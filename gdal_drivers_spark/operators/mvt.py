@@ -1,0 +1,109 @@
+"""Vector-tile feature decode — the MVT driver's read path
+(``/root/reference/gdal-drivers/mvt.cpp``) as a columnar batch decode.
+
+The reference iterates features one at a time (``GetNextFeature``,
+``mvt.cpp:524-618``); here a whole encoded layer decodes in one
+``mapInPandas`` batch and ``explode``s to feature rows:
+
+- UNKNOWN-type features skipped (``mvt.cpp:526-533``, P5);
+- dictionary tag join: tags = (key-idx, value-idx) pairs; odd trailing
+  tag ignored (``mvt.cpp:545-546``); out-of-bounds indices dropped
+  (``mvt.cpp:553-560``, P6/J4);
+- protobuf ``id`` field wins over an ``id`` attribute; the attribute
+  is the FID fallback (``mvt.cpp:569-581``);
+- geometry: zigzag → cursor cumsum → typed assembly with the
+  clockwise-exterior winding rule (``mvt.cpp:241-436``);
+- the Trafo maps tile-local ints to world coords (``mvt.cpp:64-93``).
+
+Input rows: one per encoded layer-in-tile:
+(z:int, tx:long, ty:long, layer:string, extent:int,
+ keys:array<string>, values:array<string>,
+ features:array<struct<id:long, tags:array<int>, geom_type:int,
+ geometry:array<long>>>)
+
+Output: one row per decoded feature — the union static schema
+(SURVEY §1.3: per-feature dynamic schema collapses to union + map).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..core import mvtcodec
+
+FEATURES_SCHEMA = (
+    "z int, tx long, ty long, layer string, fid long, geom_type string, "
+    "n_parts int, n_rings int, n_vertices int, geom_json string, "
+    "props map<string,string>"
+)
+
+_TYPE_NAMES = {
+    mvtcodec.GEOM_POINT: "point",
+    mvtcodec.GEOM_LINESTRING: "linestring",
+    mvtcodec.GEOM_POLYGON: "polygon",
+}
+
+
+def decode_features(layers: DataFrame, world=(0.0, 0.0, 1.0, 1.0)) -> DataFrame:
+    """Encoded layers → feature rows (columnar batch decode + explode)."""
+
+    def _decode(batches):
+        for pdf in batches:
+            out = []
+            for lr in pdf.itertuples():
+                keys = list(lr.keys)
+                values = list(lr.values)
+                for fi, f in enumerate(lr.features):
+                    gt = int(f["geom_type"])
+                    if gt not in _TYPE_NAMES:
+                        continue  # UNKNOWN skipped (mvt.cpp:526-533)
+                    # --- attributes (dictionary join, J4)
+                    props = {}
+                    tags = list(f["tags"])
+                    for i in range(0, len(tags) - 1, 2):  # odd trailing ignored
+                        ki, vi = tags[i], tags[i + 1]
+                        if 0 <= ki < len(keys) and 0 <= vi < len(values):
+                            props[keys[ki]] = values[vi]
+                    # --- FID: proto id wins, else 'id' attribute, else seq
+                    fid = int(f["id"])
+                    if fid == 0 and "id" in props:
+                        try:
+                            fid = int(props["id"])
+                        except ValueError:
+                            fid = fi
+                    # --- geometry
+                    stream = np.asarray(list(f["geometry"]), np.int64)
+                    parts = mvtcodec.decode_geometry(gt, stream)
+                    world_parts = mvtcodec.tile_to_world(
+                        parts, int(lr.z), int(lr.tx), int(lr.ty), int(lr.extent), world
+                    )
+                    if gt == mvtcodec.GEOM_POLYGON:
+                        polys = mvtcodec.assemble_polygons(world_parts)
+                        n_rings = sum(len(p) for p in polys)
+                        geom = [[r.tolist() for r in p] for p in polys]
+                        n_parts = len(polys)
+                    else:
+                        n_rings = 0
+                        geom = [p.tolist() for p in world_parts]
+                        n_parts = len(world_parts)
+                    n_vertices = int(sum(len(p) for p in world_parts))
+                    out.append(
+                        (
+                            int(lr.z), int(lr.tx), int(lr.ty), lr.layer, fid,
+                            _TYPE_NAMES[gt], n_parts, n_rings, n_vertices,
+                            json.dumps(geom), props,
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "z", "tx", "ty", "layer", "fid", "geom_type",
+                    "n_parts", "n_rings", "n_vertices", "geom_json", "props",
+                ],
+            )
+
+    return layers.mapInPandas(_decode, FEATURES_SCHEMA)

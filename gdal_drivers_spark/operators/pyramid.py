@@ -1,0 +1,118 @@
+"""Overview pyramid — multi-resolution rollup.
+
+The reference serves overviews from shallower quadtree depths
+(``/root/reference/gdal-drivers/mask.cpp:170-174``, ``199-211``) and by
+halving constant rasters until smaller than a tile
+(``solid.cpp:352-369``). Distributed equivalent: level z−1 is a
+``groupBy(parent_cell)`` aggregation of level z — iterated down to
+level 0, each step one shuffle whose key is the parent cell (the same
+shape as ``cube``/``rollup`` but over the quadtree hierarchy).
+
+Two rollup kinds:
+- pixel tiles: 4 child tiles → one parent tile, 2×2 mean downsample
+  (or min/max); numpy per group;
+- tristate masks: white/gray/black = all/any/none over children —
+  relational ``min``/``max`` classification, no UDF at all
+  (mask.cpp:240-256 tribool semantics, A7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PYRAMID_SCHEMA = "cell long, band int, tile binary, ts int"
+
+
+def parent_cell_col(cell="cell"):
+    """Parent of a packed cell, as JVM Column arithmetic (z−1, x/2, y/2)."""
+    z = F.shiftright(F.col(cell), 52)
+    x = F.shiftright(F.col(cell), 26) % F.lit(1 << 26)
+    y = F.col(cell) % F.lit(1 << 26)
+    return (
+        (z - 1) * F.lit(1 << 52)
+        + F.shiftright(x, 1) * F.lit(1 << 26)
+        + F.shiftright(y, 1)
+    )
+
+
+def rollup_tiles_one_level(tiles: DataFrame, agg: str = "mean") -> DataFrame:
+    """One pyramid step: children at level z → parents at z−1.
+
+    Each parent group holds ≤4 child tiles; each child is downsampled
+    2×2 and placed into its quadrant (missing children stay 0 — the
+    nodata-black convention of the mask driver).
+    """
+
+    def _roll(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pcell, band = int(key[0]), int(key[1])
+        ts = int(pdf["ts"].iloc[0])
+        out = np.zeros((ts, ts), np.float64)
+        half = ts // 2
+        for r in pdf.itertuples():
+            child = np.frombuffer(r.tile, np.uint8).reshape(r.ts, r.ts).astype(np.float64)
+            blocks = child.reshape(r.ts // 2, 2, r.ts // 2, 2)
+            if agg == "mean":
+                small = blocks.mean(axis=(1, 3))
+            elif agg == "max":
+                small = blocks.max(axis=(1, 3))
+            else:
+                small = blocks.min(axis=(1, 3))
+            cx = (r.cell >> 26) & ((1 << 26) - 1)
+            cy = r.cell & ((1 << 26) - 1)
+            qx, qy = cx & 1, cy & 1
+            out[qy * half : (qy + 1) * half, qx * half : (qx + 1) * half] = small
+        return pd.DataFrame(
+            {
+                "cell": [pcell],
+                "band": [band],
+                "tile": [np.rint(out).clip(0, 255).astype(np.uint8).tobytes()],
+                "ts": [ts],
+            }
+        )
+
+    return (
+        tiles.withColumn("_p", parent_cell_col())
+        .groupBy("_p", "band")
+        .applyInPandas(_roll, PYRAMID_SCHEMA)
+    )
+
+
+def build_pyramid(tiles: DataFrame, from_level: int, to_level: int = 0, agg: str = "mean"):
+    """All levels from_level−1 … to_level. Returns dict level → DataFrame.
+    Each level is computed from the previous (persist between steps when
+    iterating over large inputs — caller's choice)."""
+    levels = {from_level: tiles}
+    cur = tiles
+    for z in range(from_level - 1, to_level - 1, -1):
+        cur = rollup_tiles_one_level(cur, agg)
+        levels[z] = cur
+    return levels
+
+
+def rollup_tristate(quads: DataFrame) -> DataFrame:
+    """Tristate rollup, fully relational (no UDF): parent is white if
+    all 4 children white, black if all black, else gray. Missing
+    children count as black (zeroed background)."""
+    w = F.when(F.col("value") == "white", 1).otherwise(0)
+    return (
+        quads.groupBy(
+            (F.col("level") - 1).alias("level"),
+            F.shiftright(F.col("qx"), 1).alias("qx"),
+            F.shiftright(F.col("qy"), 1).alias("qy"),
+        )
+        .agg(
+            F.count("*").alias("n_children"),
+            F.sum(w).alias("n_white"),
+            F.max(F.when(F.col("value") != "black", 1).otherwise(0)).alias("any_nonblack"),
+        )
+        .withColumn(
+            "value",
+            F.when((F.col("n_white") == 4) & (F.col("n_children") == 4), "white")
+            .when(F.col("any_nonblack") == 0, "black")
+            .otherwise("gray"),
+        )
+        .drop("n_children", "n_white", "any_nonblack")
+    )

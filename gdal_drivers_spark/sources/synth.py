@@ -31,10 +31,11 @@ _SIZES = [16, 64, 256]  # 256 = reference block size (mask.cpp:131)
 
 def splitmix64(i):
     """Deterministic 64-bit mix (public splitmix64 constants)."""
-    z = np.asarray(i, np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        z = np.asarray(i, np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
 
 
 def phash_of(i):
@@ -152,7 +153,14 @@ def quads_pdf(depth: int, seed: int = 42) -> pd.DataFrame:
         h = int(splitmix64(np.uint64((level << 40) ^ (qx << 20) ^ qy ^ seed)))
         r = h % 100
         if level == depth:
-            rows.append((level, qx, qy, 1, "white" if r < 50 else "black"))
+            # gray leaves model an overview-rendered tree (partial nodes
+            # served at a shallower depth, mask.cpp:213-217)
+            rows.append((level, qx, qy, 1, "white" if r < 45 else ("black" if r < 85 else "gray")))
+        elif level < 2:  # always subdivide near the root — a one-node
+            # tree would make every downstream parity test trivially green
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    visit(level + 1, (qx << 1) | dx, (qy << 1) | dy)
         elif r < 30:
             rows.append((level, qx, qy, 1 << (depth - level), "white"))
         elif r < 55:

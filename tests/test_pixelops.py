@@ -1,0 +1,219 @@
+"""Pixel-operator parity vs slow, obviously-correct scalar oracles
+(SURVEY.md §5.1 golden-parity strategy). Spark runs the distributed
+operator; the oracle is a per-pixel python loop reimplementing the
+reference semantics (blender.cpp:559-655, mask.cpp:219-264)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_drivers_spark.core import codecs, qcell
+from gdal_drivers_spark.operators.blend import blend_tiles, check_compatibility
+from gdal_drivers_spark.operators.pyramid import build_pyramid, rollup_tristate
+from gdal_drivers_spark.operators.rasterize import (
+    BLACK,
+    GRAY,
+    WHITE,
+    rasterize_quads,
+    vectorize_tiles,
+)
+from gdal_drivers_spark.sources import synth
+
+TS = 64  # small tiles keep the scalar oracle fast
+
+
+# ---------------------------------------------------------------- blend
+
+def _scalar_blend_oracle(cell, sources, ts, overlap, nodata):
+    """Per-pixel loop: weight = clamped ramp product (blender.cpp:601-624),
+    acc/wacc in f64, zero-weight → nodata (blender.cpp:634-646)."""
+    z, cx, cy = (int(v) for v in qcell.unpack(cell))
+    n = 1 << z
+    cw = 1.0 / n
+    out = np.zeros((ts, ts), np.float64)
+    for row in range(ts):
+        for col in range(ts):
+            px = cx * cw + (col + 0.5) * (cw / ts)
+            py = cy * cw + (row + 0.5) * (cw / ts)
+            acc = wacc = 0.0
+            for img, (vx0, vy0, vx1, vy1) in sources:
+                if overlap > 0:
+                    wx = min(px + overlap, vx1) - max(px - overlap, vx0)
+                    wy = min(py + overlap, vy1) - max(py - overlap, vy0)
+                    w = max(0.0, min(1.0, wx / (2 * overlap))) * max(
+                        0.0, min(1.0, wy / (2 * overlap))
+                    )
+                else:
+                    w = 1.0 if (vx0 <= px < vx1 and vy0 <= py < vy1) else 0.0
+                acc += img[row, col] * w
+                wacc += w
+            if wacc > 0:
+                out[row, col] = acc / wacc
+            elif nodata is not None:
+                out[row, col] = nodata
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("overlap,nodata", [(0.0, None), (0.02, 7.0)])
+def test_blend_matches_scalar_oracle(spark, overlap, nodata):
+    cell = int(qcell.pack(3, 2, 5))
+    z, cx, cy = 3, 2, 5
+    cw = 1.0 / 8
+    x0, y0 = cx * cw, cy * cw
+    rng = np.random.default_rng(42)
+    sources = []
+    rows = []
+    for sid in range(3):
+        img = rng.integers(0, 256, (TS, TS, 1)).astype(np.uint8)
+        # valid extents: staggered sub-rects overlapping the cell
+        vx0 = x0 + (sid - 0.5) * cw * 0.4
+        vy0 = y0 + (sid - 1.0) * cw * 0.3
+        vx1, vy1 = vx0 + cw * 0.9, vy0 + cw * 1.1
+        sources.append((img[:, :, 0].astype(np.float64), (vx0, vy0, vx1, vy1)))
+        rows.append((cell, 0, sid, codecs.encode_raw(img), vx0, vy0, vx1, vy1))
+    contribs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cell", "band", "source_id", "tile", "vx0", "vy0", "vx1", "vy1"])
+    )
+    got = blend_tiles(contribs, tile_px=TS, overlap=overlap, nodata=nodata).collect()
+    assert len(got) == 1
+    out = np.frombuffer(got[0]["tile"], np.uint8).reshape(TS, TS)
+    exp = _scalar_blend_oracle(cell, sources, TS, overlap, nodata)
+    assert int(np.abs(out.astype(int) - exp.astype(int)).max()) <= 1  # rint boundary
+    # mask = OR over sources of weight>0
+    mask = np.frombuffer(got[0]["mask"], np.uint8).reshape(TS, TS)
+    assert set(np.unique(mask)) <= {0, 255}
+
+
+def test_blend_single_source_identity(spark):
+    """Blend of one source with full validity == identity (§5.3)."""
+    cell = int(qcell.pack(2, 1, 1))
+    img = synth.pattern(TS, TS, 1, 99)
+    contribs = spark.createDataFrame(
+        pd.DataFrame(
+            [(cell, 0, 0, codecs.encode_raw(img), 0.0, 0.0, 1.0, 1.0)],
+            columns=["cell", "band", "source_id", "tile", "vx0", "vy0", "vx1", "vy1"],
+        )
+    )
+    got = blend_tiles(contribs, tile_px=TS, overlap=0.0).collect()[0]
+    out = np.frombuffer(got["tile"], np.uint8).reshape(TS, TS)
+    assert (out == img[:, :, 0]).all()
+    assert got["n_sources"] == 1
+
+
+def test_blend_rejects_bad_dtype(spark):
+    with pytest.raises(ValueError, match="solid.cpp"):
+        blend_tiles(None, out_dtype="u128")
+
+
+def test_compatibility_gate():
+    ok = pd.DataFrame(
+        {"source_id": [0, 1], "res_x": [1.0, 1.00001], "res_y": [1.0, 1.0], "bands": [3, 3]}
+    )
+    check_compatibility(ok)
+    bad = pd.DataFrame(
+        {"source_id": [0, 1], "res_x": [1.0, 1.2], "res_y": [1.0, 1.0], "bands": [3, 3]}
+    )
+    with pytest.raises(ValueError, match="resolution mismatch"):
+        check_compatibility(bad)
+
+
+# ------------------------------------------------------------ rasterize
+
+def _scalar_rasterize_oracle(quads_pdf, depth, tile_px):
+    n_units = 1 << depth
+    tiles_per_side = max(1, n_units // tile_px)
+    full = np.zeros((n_units, n_units), np.uint8)
+    # gray first, white wins at overlaps (engine paints sorted by value)
+    for want in (GRAY, WHITE):
+        for r in quads_pdf.itertuples():
+            v = {"white": WHITE, "gray": GRAY, "black": BLACK}[r.value]
+            if v != want:
+                continue
+            s = 1 << (depth - r.level)
+            full[r.qy * s : (r.qy + 1) * s, r.qx * s : (r.qx + 1) * s] = v
+    return {
+        (tx, ty): full[
+            ty * tile_px : (ty + 1) * tile_px, tx * tile_px : (tx + 1) * tile_px
+        ]
+        for tx in range(tiles_per_side)
+        for ty in range(tiles_per_side)
+    }
+
+
+@pytest.mark.parametrize("depth", [6, 7])
+def test_rasterize_matches_oracle(spark, depth):
+    quads_pdf = synth.quads_pdf(depth)
+    tile_px = 1 << (depth - 1)  # 4 tiles
+    got = rasterize_quads(spark.createDataFrame(quads_pdf), depth, tile_px).collect()
+    exp = _scalar_rasterize_oracle(quads_pdf, depth, tile_px)
+    got_map = {
+        (r["tx"], r["ty"]): np.frombuffer(r["tile"], np.uint8).reshape(r["ts"], r["ts"])
+        for r in got
+    }
+    # engine emits only tiles touched by nonblack quads; others are zeros
+    for key, e in exp.items():
+        g = got_map.get(key, np.zeros_like(e))
+        assert (g == e).all(), f"tile {key}"
+
+
+def test_vectorize_roundtrip(spark, tmp_path):
+    depth = 6
+    tile_px = 1 << depth
+    quads_pdf = synth.quads_pdf(depth)
+    tiles = rasterize_quads(spark.createDataFrame(quads_pdf), depth, tile_px)
+    quads2 = vectorize_tiles(tiles, depth, tile_px)
+    tiles2 = rasterize_quads(
+        quads2.filter("value != 'black'"), depth, tile_px
+    ).collect()
+    exp = _scalar_rasterize_oracle(quads_pdf, depth, tile_px)
+    for r in tiles2:
+        g = np.frombuffer(r["tile"], np.uint8).reshape(r["ts"], r["ts"])
+        assert (g == exp[(r["tx"], r["ty"])]).all()
+    # maximality: no 4 uniform siblings with equal value
+    qp = quads2.toPandas()
+    key = {(r.level, r.qx, r.qy): r.value for r in qp.itertuples()}
+    for (lv, qx, qy), v in key.items():
+        sibs = [(lv, qx ^ 1, qy), (lv, qx, qy ^ 1), (lv, qx ^ 1, qy ^ 1)]
+        if all(key.get(s) == v for s in sibs) and (qx & 1 == 0) and (qy & 1 == 0):
+            raise AssertionError(f"non-maximal quad at {(lv, qx, qy)}")
+
+
+# -------------------------------------------------------------- pyramid
+
+def test_pyramid_mean_rollup(spark):
+    ts = 32
+    rng = np.random.default_rng(4)
+    rows = []
+    fulls = {}
+    for cx in range(2):
+        for cy in range(2):
+            img = rng.integers(0, 256, (ts, ts)).astype(np.uint8)
+            fulls[(cx, cy)] = img
+            rows.append((int(qcell.pack(4, 8 + cx, 2 + cy)), 0, img.tobytes(), ts))
+    tiles = spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "band", "tile", "ts"]))
+    levels = build_pyramid(tiles, from_level=4, to_level=3)
+    got = levels[3].collect()
+    assert len(got) == 1
+    out = np.frombuffer(got[0]["tile"], np.uint8).reshape(ts, ts)
+    assert got[0]["cell"] == int(qcell.pack(3, 4, 1))
+    half = ts // 2
+    for (cx, cy), img in fulls.items():
+        small = img.reshape(half, 2, half, 2).astype(np.float64).mean(axis=(1, 3))
+        exp = np.rint(small).clip(0, 255).astype(np.uint8)
+        quad = out[cy * half : (cy + 1) * half, cx * half : (cx + 1) * half]
+        assert (quad == exp).all()
+
+
+def test_tristate_rollup_relational(spark):
+    rows = [
+        (2, 0, 0, "white"), (2, 1, 0, "white"), (2, 0, 1, "white"), (2, 1, 1, "white"),
+        (2, 2, 0, "black"), (2, 3, 0, "black"), (2, 2, 1, "black"), (2, 3, 1, "black"),
+        (2, 0, 2, "white"), (2, 1, 2, "black"), (2, 0, 3, "gray"), (2, 1, 3, "white"),
+        (2, 2, 2, "white"),  # missing 3 siblings → gray (incomplete)
+    ]
+    quads = spark.createDataFrame(pd.DataFrame(rows, columns=["level", "qx", "qy", "value"]))
+    got = {(r["qx"], r["qy"]): r["value"] for r in rollup_tristate(quads).collect()}
+    assert got[(0, 0)] == "white"
+    assert got[(1, 0)] == "black"
+    assert got[(0, 1)] == "gray"
+    assert got[(1, 1)] == "gray"
