@@ -215,6 +215,147 @@ def q_tms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------- training-data pipeline
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ deterministic near-duplicates: every 5th doc repeated
+    verbatim (exact dup) at id+1000000, every 7th truncated to its first
+    (2n div 3) words (near dup) at id+2000000."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    trunc = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(toks, 1, F.expr("(2 * size(split(trim(lower(text)), '\\\\s+'))) div 3"))
+            ).alias("text"),
+        )
+    )
+    return d.unionByName(exact).unionByName(trunc)
+
+
+_DUP_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000,
+         array_to_string(
+           (string_split_regex(trim(lower(text)), '\\s+'))
+             [1:(2 * len(string_split_regex(trim(lower(text)), '\\s+'))) // 3],
+           ' ')
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_drivers_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_dup_corpus(spark, sf_dir), "doc_id").filter(F.col("n_dups") > 1)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_drivers_spark.operators.dedup import lsh_candidate_pairs, minhash_signature
+
+    sigs = minhash_signature(_dup_corpus(spark, sf_dir), n_hashes=16)
+    return lsh_candidate_pairs(sigs, "doc_id", n_hashes=16, bands=4)
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_drivers_spark.operators.dedup import (
+        exact_jaccard, lsh_candidate_pairs, minhash_signature, with_shingles,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir)
+    sigs = minhash_signature(corpus, n_hashes=16)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", n_hashes=16, bands=4)
+    return (
+        exact_jaccard(pairs, with_shingles(corpus), "doc_id")
+        .filter(F.col("jaccard_pct") >= 50)
+        .select("id1", "id2", "jaccard_pct")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_drivers_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs.filter(F.col("doc_id") < 200), "doc_id")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_drivers_spark.operators.text import token_stats
+
+    return token_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_drivers_spark.operators.text import lang_id
+
+    return lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_drivers_spark.operators.text import fingerprint
+
+    return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_drivers_spark.operators.similarity import brute_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    return brute_topk(qs, corpus, k=5)
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_drivers_spark.operators.similarity import near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 200)
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    return near_dup_pairs(c, threshold=25_000_000)
+
+
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (cursor running-sum) relational twin: per-user cumulative
+    value in exact integer cents, ordered by (ts, event_id)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("run_cents"),
+    )
+
+
+def q_overview_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (closest-overview-level rank-1): per brand, the part whose
+    size is closest to 25 (ties by p_partkey)."""
+    from pyspark.sql import Window
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    w = Window.partitionBy("p_brand").orderBy(F.abs(F.col("p_size") - 25), "p_partkey")
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", "p_partkey", "p_size")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -223,6 +364,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_rollup": q_pricing_rollup,
         "tristate_rollup": q_tristate_rollup,
         "tms_lookup": q_tms_lookup,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "simhash": q_simhash,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ann_topk": q_ann_topk,
+        "embed_near_dup": q_embed_near_dup,
+        "running_sum": q_running_sum,
+        "overview_select": q_overview_select,
     }
 
 
@@ -293,6 +445,194 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT req.req_id, req.x, req.y, 31 - req.y AS tms_row, store.payload_id
             FROM req JOIN store ON store.x = req.x AND store.tms_row = 31 - req.y
+        """,
+        "dedup_exact": f"""
+            SELECT md5(text) AS content_hash, min(doc_id) AS rep_id,
+                   count(*) AS n_dups
+            FROM ({_DUP_CORPUS_SQL}) c
+            GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "dedup_minhash": f"""
+            WITH tok AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS a
+                FROM ({_DUP_CORPUS_SQL}) c
+            ), sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(0, greatest(len(a) - 3, 0)),
+                    i -> CAST(concat('0x', substr(md5(a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]), 1, 8)) AS BIGINT)
+                )) AS s
+                FROM tok
+            ), sig AS (
+                SELECT doc_id, list_transform(generate_series(0, 15),
+                    j -> list_min(list_transform(s, h -> ((2*j+3)*h + (5*j+1)) % 2147483647))
+                ) AS sg
+                FROM sh
+            ), band AS (
+                SELECT doc_id, sg, b,
+                       array_to_string(sg[b*4+1 : b*4+4], '-') AS bsig
+                FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs
+            ), sized AS (
+                SELECT *, count(*) OVER (PARTITION BY b, bsig) AS bn FROM band
+            ), flt AS (
+                SELECT * FROM sized WHERE bn <= 64
+            ), pairs AS (
+                SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+                       l.sg AS sig1, r.sg AS sig2
+                FROM flt l JOIN flt r
+                  ON l.b = r.b AND l.bsig = r.bsig AND l.doc_id < r.doc_id
+            )
+            SELECT id1, id2,
+                   CAST(list_sum(list_transform(generate_series(1, 16),
+                        i -> CASE WHEN sig1[i] = sig2[i] THEN 1 ELSE 0 END)) AS BIGINT) AS n_equal
+            FROM pairs
+        """,
+        "dedup_jaccard": f"""
+            WITH tok AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS a
+                FROM ({_DUP_CORPUS_SQL}) c
+            ), sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(0, greatest(len(a) - 3, 0)),
+                    i -> CAST(concat('0x', substr(md5(a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]), 1, 8)) AS BIGINT)
+                )) AS s
+                FROM tok
+            ), sig AS (
+                SELECT doc_id, s, list_transform(generate_series(0, 15),
+                    j -> list_min(list_transform(s, h -> ((2*j+3)*h + (5*j+1)) % 2147483647))
+                ) AS sg
+                FROM sh
+            ), band AS (
+                SELECT doc_id, sg, b,
+                       array_to_string(sg[b*4+1 : b*4+4], '-') AS bsig
+                FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs
+            ), sized AS (
+                SELECT *, count(*) OVER (PARTITION BY b, bsig) AS bn FROM band
+            ), flt AS (
+                SELECT * FROM sized WHERE bn <= 64
+            ), pairs AS (
+                SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+                FROM flt l JOIN flt r
+                  ON l.b = r.b AND l.bsig = r.bsig AND l.doc_id < r.doc_id
+            ), jac AS (
+                SELECT p.id1, p.id2,
+                       CAST(len(list_intersect(s1.s, s2.s)) AS BIGINT) AS i_,
+                       CAST(len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s)) AS BIGINT) AS u_
+                FROM pairs p
+                JOIN sh s1 ON s1.doc_id = p.id1
+                JOIN sh s2 ON s2.doc_id = p.id2
+            )
+            SELECT id1, id2, (100 * i_) // u_ AS jaccard_pct
+            FROM jac WHERE (100 * i_) // u_ >= 50
+        """,
+        "simhash": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+                FROM documents WHERE doc_id < 200
+            ), h AS (
+                SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS hh
+                FROM tok
+            ), bits AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (hh >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+                FROM h, (SELECT unnest(generate_series(0, 31)) AS b) bb
+                GROUP BY doc_id, b
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "text_quality": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS a
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(a) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(a)) AS BIGINT) AS n_uniq,
+                   (100 * CAST(len(list_distinct(a)) AS BIGINT)) // CAST(len(a) AS BIGINT) AS ttr_pct,
+                   (100 * CAST(len(list_filter(a, x -> list_contains(['the','a','of','to','in'], x))) AS BIGINT)) // CAST(len(a) AS BIGINT) AS stop_pct
+            FROM t
+        """,
+        "lang_id": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+                FROM documents
+            ), sc AS (
+                SELECT doc_id, 'lang_a' AS pred_lang,
+                       CAST(sum(CASE WHEN t IN ('the','a','row','key') THEN 1 ELSE 0 END) AS BIGINT) AS score
+                FROM tok GROUP BY doc_id
+                UNION ALL
+                SELECT doc_id, 'lang_b',
+                       CAST(sum(CASE WHEN t IN ('table','join','query','merge') THEN 1 ELSE 0 END) AS BIGINT)
+                FROM tok GROUP BY doc_id
+                UNION ALL
+                SELECT doc_id, 'lang_c',
+                       CAST(sum(CASE WHEN t IN ('fast','slow','small','big') THEN 1 ELSE 0 END) AS BIGINT)
+                FROM tok GROUP BY doc_id
+            ), r AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pred_lang) AS rn
+                FROM sc
+            )
+            SELECT doc_id, pred_lang, score FROM r WHERE rn = 1
+        """,
+        "fingerprint": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS a
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(a, x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)) AS hs,
+                       len(a) AS n
+                FROM t
+            )
+            SELECT doc_id, list_min(hs) AS fp_min, list_max(hs) AS fp_max,
+                   CAST(n AS BIGINT) AS n_tokens
+            FROM h
+        """,
+        "ann_topk": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
+                FROM embeddings
+            ), qs AS (
+                SELECT vec_id AS qid, q AS qv FROM e WHERE vec_id < 10
+            ), d AS (
+                SELECT qid, e.vec_id AS cid,
+                       CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * e.q[i])) AS BIGINT) AS dot_q
+                FROM qs CROSS JOIN e
+            ), r AS (
+                SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, cid) AS rank
+                FROM d
+            )
+            SELECT qid, cid, dot_q, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+        """,
+        "embed_near_dup": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
+                FROM embeddings WHERE vec_id < 200
+            ), d AS (
+                SELECT a.vec_id AS id1, b.vec_id AS id2,
+                       CAST(list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot_q
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id1, id2, dot_q FROM d WHERE dot_q >= 25000000
+        """,
+        "running_sum": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+            FROM events
+        """,
+        "overview_select": """
+            WITH r AS (
+                SELECT p_brand, p_partkey, p_size,
+                       row_number() OVER (PARTITION BY p_brand
+                           ORDER BY abs(p_size - 25), p_partkey) AS rn
+                FROM part
+            )
+            SELECT p_brand, p_partkey, p_size FROM r WHERE rn = 1
         """,
     }
 

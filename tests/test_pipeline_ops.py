@@ -1,0 +1,105 @@
+"""Training-data pipeline operators: multimodal plumbing, LSH recall,
+dedup behavior on controlled corpora."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_drivers_spark.core import codecs
+from gdal_drivers_spark.operators.multimodal import (
+    audio_features,
+    decode_video,
+    encode_video,
+    frame_sample,
+    nn_resize,
+    resize_images,
+)
+from gdal_drivers_spark.operators.similarity import brute_topk, lsh_topk
+from gdal_drivers_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signature,
+)
+from gdal_drivers_spark.sources import synth
+
+
+def test_resize_images(spark):
+    pdf = synth.gen_images_pdf(np.arange(12))
+    df = spark.createDataFrame(pdf)
+    out = resize_images(df, 32, 32).collect()
+    assert len(out) == 12
+    by_id = {r["image_id"]: r for r in out}
+    for r in pdf.itertuples():
+        got = codecs.decode(bytes(by_id[r.image_id]["bytes"]))
+        src = codecs.decode(bytes(r.bytes))
+        exp = nn_resize(src, 32, 32)
+        assert got.shape == (32, 32, 3)
+        assert (got == exp).all()
+
+
+def test_frame_sample(spark):
+    vids = []
+    for v in range(3):
+        frames = [synth.pattern(16, 16, 3, v * 100 + i) for i in range(7)]
+        vids.append((f"vid{v}", encode_video(frames)))
+    df = spark.createDataFrame(pd.DataFrame(vids, columns=["video_id", "bytes"]))
+    out = frame_sample(df, every_k=3).collect()
+    # frames 0,3,6 per video
+    assert len(out) == 9
+    for r in out:
+        assert r["frame_idx"] in (0, 3, 6)
+        img = codecs.decode(bytes(r["bytes"]))
+        vid = int(r["video_id"][3:])
+        assert (img == synth.pattern(16, 16, 3, vid * 100 + r["frame_idx"])).all()
+
+
+def test_video_container_roundtrip():
+    frames = [synth.pattern(8, 8, 1, i) for i in range(4)]
+    dec = decode_video(encode_video(frames))
+    assert len(dec) == 4
+    for a, b in zip(dec, frames):
+        assert (a == b).all()
+
+
+def test_audio_stub_raises(spark):
+    df = spark.createDataFrame(pd.DataFrame({"audio_id": ["a"], "bytes": [b"x"]}))
+    with pytest.raises(Exception, match="audio"):
+        audio_features(df).collect()
+
+
+def test_lsh_topk_recall(spark):
+    """LSH-bucketed ANN must reach ≥0.5 recall@5 vs brute force on the
+    real embeddings table (8 sign planes, single probe — recall is the
+    test property; exactness is brute_topk's contract)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    exact = {(r["qid"], r["cid"]) for r in brute_topk(qs, corpus, k=5).collect()}
+    approx = {(r["qid"], r["cid"]) for r in lsh_topk(qs, corpus, dim=64, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_minhash_estimates_track_jaccard(spark):
+    """MinHash n_equal/16 must correlate with exact Jaccard: identical
+    docs → 16/16; disjoint docs → no candidate pair at all."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # dup
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sigs = minhash_signature(df, n_hashes=16)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", 16, 4).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id1"], pairs[0]["id2"], pairs[0]["n_equal"]) == (1, 2, 16)
+
+
+def test_exact_dedup_groups(spark):
+    rows = [(1, "x y z"), (2, "x y z"), (3, "x y  z")]  # 3 differs by whitespace
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["rep_id"]: r["n_dups"] for r in exact_dedup(df, "doc_id").collect()}
+    assert got == {1: 2, 3: 1}
