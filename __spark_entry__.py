@@ -356,6 +356,15 @@ def q_overview_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-twin batch query: tumbling 5-min windows per event_type
+    (the stream side computes the identical frame via
+    streaming.events.windowed_event_counts — tested equal)."""
+    from gdal_drivers_spark.streaming.events import windowed_event_counts
+
+    return windowed_event_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -374,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embed_near_dup": q_embed_near_dup,
         "running_sum": q_running_sum,
+        "windowed_events": q_windowed_events,
         "overview_select": q_overview_select,
     }
 
@@ -617,6 +627,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM e a JOIN e b ON a.vec_id < b.vec_id
             )
             SELECT id1, id2, dot_q FROM d WHERE dot_q >= 25000000
+        """,
+        "windowed_events": """
+            SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS win_start,
+                   event_type, count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY 1, 2
         """,
         "running_sum": """
             SELECT event_id, user_id,

@@ -1,0 +1,154 @@
+"""Scale/robustness layer: skew handling, lineage, checkpoint resume,
+streaming-vs-batch equivalence."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_drivers_spark.core import qcell
+from gdal_drivers_spark.plans.checkpoint import CheckpointedWriter
+from gdal_drivers_spark.plans.lineage import Counters, lineage_records
+from gdal_drivers_spark.plans.skew import (
+    cell_census,
+    hot_cells,
+    split_hot_cells,
+    with_salt,
+)
+
+
+def _skewed_assignments(spark, n_hot=2000, n_cold=50):
+    """One pathologically hot cell + sparse background, with footprints
+    so adaptive split can route rows by midpoint."""
+    z = 4
+    hot_cell = int(qcell.pack(z, 3, 3))
+    rng = np.random.default_rng(42)
+    rows = []
+    cw = 1 / 16
+    for i in range(n_hot):
+        mx, my = 3 * cw + rng.random() * cw, 3 * cw + rng.random() * cw
+        rows.append((i, hot_cell, mx - 0.001, my - 0.001, mx + 0.001, my + 0.001))
+    for i in range(n_cold):
+        cx, cy = int(rng.integers(0, 16)), int(rng.integers(0, 16))
+        if (cx, cy) == (3, 3):
+            continue
+        mx, my = (cx + 0.5) * cw, (cy + 0.5) * cw
+        rows.append((n_hot + i, int(qcell.pack(z, cx, cy)), mx, my, mx + 0.001, my + 0.001))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["rid", "cell", "x0", "y0", "x1", "y1"])
+    )
+
+
+def test_census_and_hot_detection(spark):
+    df = _skewed_assignments(spark)
+    hot = hot_cells(df, threshold=500).collect()
+    assert len(hot) == 1
+    assert hot[0]["cell"] == int(qcell.pack(4, 3, 3))
+
+
+def test_salting_preserves_totals(spark):
+    df = _skewed_assignments(spark)
+    hot = hot_cells(df, threshold=500)
+    salted = with_salt(df, hot, n_salts=8, salt_src="rid")
+    # two-stage agg == direct agg
+    direct = {r["cell"]: r["count"] for r in cell_census(df).collect()}
+    partial = salted.groupBy("cell", "salt").count()
+    recombined = {
+        r["cell"]: r["n"]
+        for r in partial.groupBy("cell").agg(F.sum("count").alias("n")).collect()
+    }
+    assert recombined == direct
+    # the hot cell actually fans out
+    n_salts_used = salted.filter(F.col("cell") == int(qcell.pack(4, 3, 3))).select(
+        "salt"
+    ).distinct().count()
+    assert n_salts_used > 4
+
+
+def test_adaptive_cell_split(spark):
+    df = _skewed_assignments(spark)
+    out = split_hot_cells(df, threshold=500, max_rounds=4)
+    census = {r["cell"]: r["count"] for r in cell_census(out).collect()}
+    assert out.count() == df.count()  # no rows lost
+    assert max(census.values()) <= 2000  # hot cell got subdivided
+    hot_children = [c for c in census if (c >> 52) > 4]
+    assert len(hot_children) >= 2  # descended at least one level
+    # children of the hot cell only
+    for c in hot_children:
+        z, x, y = (int(v) for v in qcell.unpack(np.int64(c)))
+        assert (x >> (z - 4), y >> (z - 4)) == (3, 3)
+
+
+def test_lineage_checksum_order_insensitive(spark):
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    a = lineage_records(df.repartition(8, "k"), "k")
+    b = lineage_records(df.sort(F.desc("k")).repartition(8, "k"), "k")
+    tot_a = a.agg(F.sum("n_rows"), F.expr("bit_xor(checksum)")).collect()[0]
+    tot_b = b.agg(F.sum("n_rows"), F.expr("bit_xor(checksum)")).collect()[0]
+    assert tot_a == tot_b
+    assert tot_a[0] == 1000
+
+
+def test_counters(spark):
+    c = Counters(spark, "decoded", "rejected")
+    df = spark.range(100)
+
+    def bump(it):
+        for pdf in it:
+            c.add("decoded", len(pdf))
+            yield pdf
+
+    df.mapInPandas(bump, "id long").count()
+    assert c.value("decoded") == 100
+    assert c.snapshot()["rejected"] == 0
+
+
+def test_checkpoint_resume_identical_output(spark, tmp_path):
+    """Kill mid-job, resume, final output identical to a clean run."""
+    data = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("batch")
+    )
+    clean_dir = str(tmp_path / "clean")
+    w1 = CheckpointedWriter(spark, clean_dir)
+    w1.write_batches(data, F.col("batch"), key="k")
+    clean = sorted(r["k"] for r in w1.read_committed().select("k").collect())
+
+    crash_dir = str(tmp_path / "crash")
+    w2 = CheckpointedWriter(spark, crash_dir)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        w2.write_batches(data, F.col("batch"), key="k", fail_after=3)
+    assert len(w2.committed()) == 3
+    # resume with a fresh writer (new process semantics)
+    w3 = CheckpointedWriter(spark, crash_dir)
+    stats = w3.write_batches(data, F.col("batch"), key="k")
+    assert stats["skipped"] == 3 and stats["written"] == 4
+    resumed = sorted(r["k"] for r in w3.read_committed().select("k").collect())
+    assert resumed == clean
+    assert w3.validate("k")
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    """Windowed agg over the events stream (availableNow) == batch twin."""
+    from gdal_drivers_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    import shutil
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    batch = windowed_event_counts(spark.read.parquet(src))
+    expected = sorted(tuple(r) for r in batch.collect())
+
+    # file-stream sources require a directory
+    stream_dir = str(tmp_path / "events_stream")
+    import os
+
+    os.makedirs(stream_dir)
+    shutil.copy(src, f"{stream_dir}/part-0.parquet")
+    stream = read_events_stream(spark, stream_dir, max_files=1)
+    out = windowed_event_counts(stream)
+    run_stream_to_memory(out, "ev_windows")
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM ev_windows").collect())
+    assert got == expected
