@@ -104,6 +104,11 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("_id", "sig", "bb.band", "bb.bsig")
+    # persist: the signature pipeline (md5 per shingle × k hashes) feeds
+    # both self-join sides — without this it recomputes 3×
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     # cap pathological buckets before the self-join
     sized = banded.withColumn(
         "_bn", F.count("*").over(Window.partitionBy("band", "bsig"))
