@@ -1,0 +1,128 @@
+"""Engine facade — the public fluent API (the analogue of the
+reference's Python binding surface: open → read() / warp()
+(``/root/reference/gdal-drivers/python/gdaldriversmodule.cpp:249-276``),
+plus the engine's own pipeline verbs).
+
+    from gdal_drivers_spark.engine import Engine
+
+    eng = Engine(spark)
+    assigned = eng.images(df).assign(z=8)          # footprint → cells
+    joined   = assigned.join_boundaries(bounds)    # + exact refine
+    counts   = joined.rollup_regions()
+    blended  = eng.tiles(contribs).blend(overlap=0.01, nodata=0)
+
+Every verb returns a new wrapper over a lazy DataFrame (``.df`` to
+escape into raw Spark). Config objects are plain dicts — the job-spec
+analogue of the reference's INI configs (solid.cpp:176-205); ``to_ini``
+renders them for lineage records (writeConfig, solid.cpp:53-88).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def to_ini(config: dict, section: str = "job") -> str:
+    """Render a job-spec dict as INI text (writeConfig analogue)."""
+    lines = [f"[{section}]"]
+    for k, v in sorted(config.items()):
+        if isinstance(v, (list, tuple)):
+            v = ",".join(str(x) for x in v)
+        lines.append(f"{k} = {v}")
+    return "\n".join(lines) + "\n"
+
+
+class ImageSet:
+    def __init__(self, spark: SparkSession, df: DataFrame):
+        self.spark = spark
+        self.df = df
+
+    def decode(self) -> "ImageSet":
+        from .operators.decode import decode_stats
+
+        return ImageSet(self.spark, decode_stats(self.df))
+
+    def assign(self, z: int) -> "Assignments":
+        from .operators.assign import assign_tiles
+
+        return Assignments(self.spark, assign_tiles(self.df, z), z)
+
+
+class Assignments:
+    def __init__(self, spark: SparkSession, df: DataFrame, z: int):
+        self.spark = spark
+        self.df = df
+        self.z = z
+
+    def join_boundaries(self, boundaries: DataFrame, broadcast: bool = True) -> "Assignments":
+        from .operators.spatial_join import cell_join
+
+        return Assignments(self.spark, cell_join(self.df, boundaries, broadcast), self.z)
+
+    def split_skew(self, threshold: int, max_rounds: int = 4) -> "Assignments":
+        from .plans.skew import split_hot_cells
+
+        return Assignments(
+            self.spark, split_hot_cells(self.df, threshold, max_rounds), self.z
+        )
+
+    def rollup_regions(self, region_col: str = "region") -> DataFrame:
+        return self.df.groupBy(region_col).agg(
+            F.count("*").alias("n_assign"),
+            F.approx_count_distinct("image_id").alias("n_images_approx"),
+        )
+
+    def census(self) -> DataFrame:
+        from .plans.skew import cell_census
+
+        return cell_census(self.df)
+
+
+class TileSet:
+    def __init__(self, spark: SparkSession, df: DataFrame):
+        self.spark = spark
+        self.df = df
+
+    def blend(self, tile_px: int = 256, overlap: float = 0.0, nodata=None, out_dtype="u8") -> DataFrame:
+        from .operators.blend import blend_tiles
+
+        return blend_tiles(self.df, tile_px, overlap, nodata, out_dtype)
+
+    def pyramid(self, from_level: int, to_level: int = 0, agg: str = "mean"):
+        from .operators.pyramid import build_pyramid
+
+        return build_pyramid(self.df, from_level, to_level, agg)
+
+    def with_halo(self, ring: int = 1) -> DataFrame:
+        from .operators.halo import with_halo
+
+        return with_halo(self.df, ring=ring)
+
+
+class Engine:
+    def __init__(self, spark: SparkSession):
+        from . import _ship
+
+        self.spark = _ship(spark)
+
+    def images(self, df: DataFrame) -> ImageSet:
+        return ImageSet(self.spark, df)
+
+    def tiles(self, df: DataFrame) -> TileSet:
+        return TileSet(self.spark, df)
+
+    def synthetic_images(self, n: int) -> ImageSet:
+        from .sources.synth import images_df
+
+        return ImageSet(self.spark, images_df(self.spark, n))
+
+    def solid(self, width: int, height: int, bands, tile_px: int = 256) -> TileSet:
+        from .operators.solid import solid_tiles
+
+        return TileSet(self.spark, solid_tiles(self.spark, width, height, bands, tile_px))
+
+    def warp(self, src_tiles: DataFrame, src_gt, dst_gt, dst_shape, **kw) -> DataFrame:
+        from .operators.warp import warp_tiles
+
+        return warp_tiles(src_tiles, src_gt, dst_gt, dst_shape, **kw)

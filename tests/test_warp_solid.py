@@ -1,0 +1,177 @@
+"""Warp resample, solid constant raster, mask file codec, halo join,
+engine facade — parity vs scalar oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_drivers_spark.core import codecs, maskfile, qcell
+from gdal_drivers_spark.engine import Engine, to_ini
+from gdal_drivers_spark.operators.halo import with_halo
+from gdal_drivers_spark.operators.solid import (
+    constant_tile,
+    overview_sizes,
+    schema_copy,
+    solid_tiles,
+)
+from gdal_drivers_spark.operators.warp import warp_tiles
+from gdal_drivers_spark.core.geometry import gt_from_extents
+from gdal_drivers_spark.sources import synth
+
+TS = 64
+
+
+def _src_tiles_df(spark, full: np.ndarray, ts: int):
+    h, w = full.shape
+    rows = []
+    for ty in range(h // ts):
+        for tx in range(w // ts):
+            img = full[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
+            rows.append((tx, ty, codecs.encode_raw(img[:, :, None].astype(np.uint8))))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["scx", "scy", "tile"]))
+
+
+def test_warp_identity_nearest(spark):
+    """Identity transform → output == input."""
+    rng = np.random.default_rng(42)
+    full = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+    src = _src_tiles_df(spark, full, TS)
+    gt = gt_from_extents(0, 0, 1, 1, 128, 128)
+    out = warp_tiles(src, gt, gt, (128, 128), tile_px=TS, method="nearest").collect()
+    assert len(out) == 4
+    for r in out:
+        tile = np.frombuffer(r["tile"], np.uint8).reshape(TS, TS)
+        exp = full[r["ocy"] * TS : (r["ocy"] + 1) * TS, r["ocx"] * TS : (r["ocx"] + 1) * TS]
+        assert (tile == exp).all()
+
+
+def test_warp_2x_downsample_matches_oracle(spark):
+    """Destination grid at half resolution, nearest: scalar oracle."""
+    rng = np.random.default_rng(7)
+    full = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+    src = _src_tiles_df(spark, full, TS)
+    src_gt = gt_from_extents(0, 0, 1, 1, 128, 128)
+    dst_gt = gt_from_extents(0, 0, 1, 1, 64, 64)
+    out = warp_tiles(src, src_gt, dst_gt, (64, 64), tile_px=TS, method="nearest").collect()
+    assert len(out) == 1
+    tile = np.frombuffer(out[0]["tile"], np.uint8).reshape(TS, TS)
+    # oracle: per destination pixel center → world → source pixel floor
+    exp = np.zeros((64, 64), np.uint8)
+    for r in range(64):
+        for c in range(64):
+            wx = (c + 0.5) / 64
+            wy = 1 - (r + 0.5) / 64  # north-up gt: y decreases with row
+            scol = wx * 128
+            srow = (1 - wy) * 128
+            exp[r, c] = full[min(int(srow), 127), min(int(scol), 127)]
+    assert (tile == exp).all()
+
+
+def test_warp_bilinear_smooths(spark):
+    full = np.zeros((128, 128), np.uint8)
+    full[:, 64:] = 200
+    src = _src_tiles_df(spark, full, TS)
+    src_gt = gt_from_extents(0, 0, 1, 1, 128, 128)
+    dst_gt = gt_from_extents(0, 0, 1, 1, 128, 128)
+    out = {(r["ocx"], r["ocy"]): np.frombuffer(r["tile"], np.uint8).reshape(TS, TS)
+           for r in warp_tiles(src, src_gt, dst_gt, (128, 128), tile_px=TS, method="bilinear").collect()}
+    row = np.hstack([out[(0, 0)], out[(1, 0)]])[10]
+    # a bilinear resample at identity grid keeps the step but the
+    # boundary column blends the two tiles' pixels (cross-tile halo!)
+    assert row[0] == 0 and row[-1] == 200
+    assert (np.diff(row.astype(int)) >= 0).all()
+
+
+def test_warp_rejects_rotation(spark):
+    gt = np.array([0, 1, 0.1, 0, 0, -1])
+    with pytest.raises(ValueError, match="orthogonal"):
+        warp_tiles(None, gt, gt, (64, 64))
+
+
+# ---------------------------------------------------------------- solid
+
+def test_solid_tiles_bitexact(spark):
+    df = solid_tiles(spark, 512, 300, [(7, "u8"), (1000.5, "f32")], tile_px=128)
+    rows = df.collect()
+    # 4×3 tiles × 2 bands
+    assert len(rows) == 4 * 3 * 2
+    for r in rows:
+        if r["dtype"] == "u8":
+            assert bytes(r["tile"]) == constant_tile(7, "u8", 128)
+        else:
+            assert bytes(r["tile"]) == constant_tile(1000.5, "f32", 128)
+
+
+def test_solid_dtype_domain():
+    with pytest.raises(ValueError, match="solid.cpp"):
+        constant_tile(1, "u128")
+
+
+def test_overview_chain():
+    sizes = overview_sizes(2048, 1024, 256)
+    assert sizes[0] == (1024, 512)
+    assert sizes[-1][0] <= 256 and sizes[-1][1] <= 256
+
+
+def test_schema_copy(spark):
+    df = solid_tiles(spark, 256, 256, [(5, "u8"), (6, "i32")])
+    cfg = schema_copy(df, value=9)
+    assert cfg["bands"] == [(9, "u8"), (9, "i32")]
+    assert cfg["tile_px"] == 256
+
+
+# ------------------------------------------------------------- maskfile
+
+def test_maskfile_roundtrip():
+    quads = synth.quads_pdf(6)
+    buf = maskfile.write_mask(quads, 6, (0.0, 0.0, 1.0, 1.0))
+    assert maskfile.probe(buf)
+    assert not maskfile.probe(b"GARBAGE!")
+    q2, depth, extents, srs = maskfile.read_mask(buf)
+    assert depth == 6
+    assert extents == (0.0, 0.0, 1.0, 1.0)
+    a = quads.sort_values(["level", "qx", "qy"]).reset_index(drop=True)
+    b = q2.sort_values(["level", "qx", "qy"]).reset_index(drop=True)
+    assert (a["value"].values == b["value"].values).all()
+    assert (a["qx"].values == b["qx"].values).all()
+    assert (a["size"].values == b["size"].values).all()
+
+
+def test_maskfile_square_up():
+    x0, y0, x1, y1 = maskfile.square_up(0, 0, 2.0, 1.0, 4)
+    assert (x1 - x0) == (y1 - y0) == 2.0
+
+
+# ----------------------------------------------------------------- halo
+
+def test_halo_join_fanout(spark):
+    cells = [qcell.pack(3, x, y) for x in range(3) for y in range(3)]
+    df = spark.createDataFrame(pd.DataFrame({"cell": [int(c) for c in cells]}))
+    h = with_halo(df, ring=1)
+    rows = h.collect()
+    # corner target (0,0) receives 4 contributors; center (1,1) gets 9
+    by_target = {}
+    for r in rows:
+        by_target.setdefault(r["target_cell"], []).append((r["dx"], r["dy"]))
+    assert len(by_target[int(qcell.pack(3, 0, 0))]) == 4
+    assert len(by_target[int(qcell.pack(3, 1, 1))]) == 9
+    # offsets are contributor-relative-to-target
+    assert (0, 0) in by_target[int(qcell.pack(3, 1, 1))]
+
+
+# --------------------------------------------------------------- engine
+
+def test_engine_fluent_pipeline(spark):
+    eng = Engine(spark)
+    imgs = eng.synthetic_images(64)
+    assigned = imgs.assign(z=5)
+    census = assigned.census().collect()
+    assert sum(r["count"] for r in census) == assigned.df.count()
+    ini = to_ini({"z": 5, "bands": [1, 2]})
+    assert "[job]" in ini and "z = 5" in ini
+
+
+def test_engine_solid_and_blend(spark):
+    eng = Engine(spark)
+    tiles = eng.solid(128, 128, [(42, "u8")], tile_px=64)
+    assert tiles.df.count() == 4
