@@ -14,6 +14,7 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -356,6 +357,106 @@ def q_overview_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join breadth (customer ⋈ orders ⋈ lineitem) + top-k:
+    top 10 orders by exact-cents revenue; Catalyst broadcasts the small
+    dims, the window is a single-partition top-k over pre-aggregated
+    order rows (64-ish groups per shuffle task after partial agg)."""
+    from pyspark.sql import Window
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100)
+                .cast("long")
+            ).alias("revenue_cents")
+        )
+    )
+    j = (
+        o.join(rev, o.o_orderkey == rev.l_orderkey, "inner")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name", "c_mktsegment", "revenue_cents")
+    )
+    w = Window.orderBy(F.desc("revenue_cents"), "o_orderkey")
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "o_orderkey", "c_name", "c_mktsegment", "revenue_cents")
+    )
+
+
+def q_rasterize_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 rows-only (pixel op, not SQL-expressible): rasterize a
+    quadtree derived deterministically from part keys; returns per-tile
+    white/gray pixel counts (values checked by the numpy-oracle pytest
+    suite; the driver records the rows-only check)."""
+    from gdal_drivers_spark.operators.rasterize import rasterize_quads
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    h = (F.col("p_partkey") * F.lit(2654435761)) % F.lit(256)
+    quads = (
+        p.select(
+            F.lit(4).alias("level"),
+            (h % 16).alias("qx"),
+            (h.cast("long") / 16).cast("long").alias("qy"),
+            F.when(F.col("p_partkey") % 2 == 0, "white").otherwise("gray").alias("value"),
+        )
+        .groupBy("level", "qx", "qy")
+        .agg(F.max("value").alias("value"))
+    )
+    tiles = rasterize_quads(quads, depth=4, tile_px=16)
+
+    @F.pandas_udf("long")
+    def n_white(tile: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series([int((np.frombuffer(bytes(b), np.uint8) == 255).sum()) for b in tile])
+
+    return tiles.select("tx", "ty", n_white(F.col("tile")).alias("n_white_px"), "ts")
+
+
+def q_blend_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 rows-only: multi-source blend of supplier-derived tiles with
+    full validity (equal weights ⇒ per-pixel mean across sources);
+    emits per-cell output checksums. The single-source identity
+    invariant (§5.3) is asserted in tests/test_pixelops.py."""
+    from gdal_drivers_spark.operators.blend import blend_tiles
+    from gdal_drivers_spark.operators.assign import pack_cell
+    from gdal_drivers_spark.core import codecs
+    from gdal_drivers_spark.sources.synth import pattern
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["s_suppkey"]:
+                img = pattern(32, 32, 1, int(k) * 7919)
+                cell = (2 << 52) + ((int(k) % 4) << 26) + (int(k) // 4 % 4)
+                rows.append((cell, 0, int(k), codecs.encode_raw(img), 0.0, 0.0, 1.0, 1.0))
+            yield pd.DataFrame(
+                rows,
+                columns=["cell", "band", "source_id", "tile", "vx0", "vy0", "vx1", "vy1"],
+            )
+
+    contribs = supp.select("s_suppkey").mapInPandas(
+        gen, "cell long, band int, source_id long, tile binary, vx0 double, vy0 double, vx1 double, vy1 double"
+    )
+    out = blend_tiles(contribs, tile_px=32)
+
+    @F.pandas_udf("string")
+    def tile_md5(tile: pd.Series) -> pd.Series:
+        import hashlib
+
+        return pd.Series([hashlib.md5(bytes(b)).hexdigest() for b in tile])
+
+    return out.select("cell", "band", "n_sources", tile_md5(F.col("tile")).alias("tile_md5"))
+
+
 def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-twin batch query: tumbling 5-min windows per event_type
     (the stream side computes the identical frame via
@@ -384,6 +485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "running_sum": q_running_sum,
         "windowed_events": q_windowed_events,
+        "top_revenue": q_top_revenue,
+        "rasterize_quads": q_rasterize_quads,
+        "blend_cells": q_blend_cells,
         "overview_select": q_overview_select,
     }
 
@@ -627,6 +731,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM e a JOIN e b ON a.vec_id < b.vec_id
             )
             SELECT id1, id2, dot_q FROM d WHERE dot_q >= 25000000
+        """,
+        "top_revenue": """
+            WITH rev AS (
+                SELECT l_orderkey,
+                       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+                FROM lineitem GROUP BY l_orderkey
+            ), j AS (
+                SELECT o.o_orderkey, c.c_name, c.c_mktsegment, rev.revenue_cents
+                FROM orders o
+                JOIN rev ON o.o_orderkey = rev.l_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+            ), r AS (
+                SELECT *, row_number() OVER (ORDER BY revenue_cents DESC, o_orderkey) AS rank
+                FROM j
+            )
+            SELECT CAST(rank AS INT) AS rank, o_orderkey, c_name, c_mktsegment, revenue_cents
+            FROM r WHERE rank <= 10
         """,
         "windowed_events": """
             SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS win_start,
