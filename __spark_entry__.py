@@ -457,6 +457,172 @@ def q_blend_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("cell", "band", "n_sources", tile_md5(F.col("tile")).alias("tile_md5"))
 
 
+def q_grid_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 (grid alignment, blender.cpp:416-429): snap per-order extents
+    to a 1/64 pixel grid with floor(ll)/ceil(ur); all-dyadic arithmetic
+    so Spark and DuckDB agree bit-for-bit."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    x0 = ((F.col("o_orderkey") * 48271) % 4096) / F.lit(4096.0)
+    y0 = ((F.col("o_orderkey") * 69621) % 4096) / F.lit(4096.0)
+    x1 = x0 + ((F.col("o_orderkey") % 7) + 1) / F.lit(512.0)
+    y1 = y0 + ((F.col("o_orderkey") % 5) + 1) / F.lit(512.0)
+    sx0, sy0 = F.floor(x0 * 64) / 64, F.floor(y0 * 64) / 64
+    sx1, sy1 = F.ceil(x1 * 64) / 64, F.ceil(y1 * 64) / 64
+    return o.select(
+        F.col("o_orderkey").alias("k"),
+        sx0.alias("sx0"), sy0.alias("sy0"), sx1.alias("sx1"), sy1.alias("sy1"),
+        (((sx1 - sx0) * 64) * ((sy1 - sy0) * 64)).cast("long").alias("n_cells"),
+    )
+
+
+def q_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 (min/max extent envelope, blender.cpp:198-221): per-row
+    corner transform with a north-up (negative dy) frame, then
+    elementwise least/greatest over the 4 corners and a per-nation
+    min/max rollup."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    px = ((F.col("c_custkey") * 48271) % 65536) / F.lit(65536.0)
+    py = ((F.col("c_custkey") * 69621) % 65536) / F.lit(65536.0)
+    w = ((F.col("c_custkey") % 15) + 1) / F.lit(1024.0)
+    h = ((F.col("c_custkey") % 9) + 1) / F.lit(1024.0)
+    # 4 transformed corners (dy negative: y grows downward from py)
+    xs = [px, px + w, px, px + w]
+    ys = [py, py, py - h, py - h]
+    row = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.least(*xs).alias("lx"), F.greatest(*xs).alias("gx"),
+        F.least(*ys).alias("ly"), F.greatest(*ys).alias("gy"),
+    )
+    return row.groupBy("nation").agg(
+        F.min("lx").alias("env_x0"), F.min("ly").alias("env_y0"),
+        F.max("gx").alias("env_x1"), F.max("gy").alias("env_y1"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_halo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (2-D halo exchange): supplier-derived tiles at z=4 re-keyed
+    to their ≤8 in-bounds neighbors (with_halo), rolled up per target
+    cell — the distributed sliding-window support of blender.cpp:601-624."""
+    from gdal_drivers_spark.operators.assign import pack_cell
+    from gdal_drivers_spark.operators.halo import with_halo
+
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    tiles = (
+        s.select(
+            ((F.col("s_suppkey") * 3) % 16).alias("tx"),
+            ((F.col("s_suppkey") * 7) % 16).alias("ty"),
+            F.col("s_suppkey").alias("payload"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.min("payload").alias("payload"))
+        .select(pack_cell(4, F.col("tx"), F.col("ty")).alias("cell"), "payload")
+    )
+    h = with_halo(tiles, ring=1)
+    return (
+        h.groupBy("target_cell")
+        .agg(F.count("*").alias("n_contrib"), F.sum("payload").alias("payload_sum"))
+        .select(
+            (F.shiftright(F.col("target_cell"), 26) % F.lit(1 << 26)).alias("tcx"),
+            (F.col("target_cell") % F.lit(1 << 26)).alias("tcy"),
+            "n_contrib",
+            "payload_sum",
+        )
+    )
+
+
+def q_pyramid_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (multi-resolution pyramid): tristate rollup of z=4 leaves to
+    EVERY level 0..4 in one pass (explode levels → groupBy), the
+    cube-style variant of the iterative parent rollup
+    (mask.cpp:170-174 overview chain)."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    h = (F.col("p_partkey") * F.lit(2654435761)) % F.lit(256)
+    leaves = (
+        p.select(
+            (h % 16).alias("qx"),
+            (h.cast("long") / 16).cast("long").alias("qy"),
+            (F.col("p_partkey") % 2).alias("bit"),
+        )
+        .groupBy("qx", "qy")
+        .agg(F.max("bit").alias("bit"))
+    )
+    lv = leaves.withColumn("level", F.explode(F.sequence(F.lit(0), F.lit(4))))
+    return (
+        lv.groupBy(
+            "level",
+            F.expr("qx div shiftleft(1, 4 - level)").alias("pqx"),
+            F.expr("qy div shiftleft(1, 4 - level)").alias("pqy"),
+        )
+        .agg(F.count("*").alias("n_leaves"), F.sum("bit").alias("n_white"))
+        .withColumn(
+            "klass",
+            F.when(F.col("n_white") == 0, "black")
+            .when(F.col("n_white") == F.col("n_leaves"), "white")
+            .otherwise("gray"),
+        )
+    )
+
+
+def q_solid_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 (constant raster generator, solid.cpp:149-156/408-440): a
+    1024×768 3-band solid served as constant tiles; per-band tile count
+    and exact pixel sum verified by decoding the payload bytes."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.solid import solid_tiles
+
+    tiles = solid_tiles(
+        spark, 1024, 768, [(7.0, "u8"), (1000.0, "u16"), (123456.0, "i32")], tile_px=256
+    )
+
+    @F.pandas_udf("long")
+    def px_sum(tile: pd.Series, dtype: pd.Series) -> pd.Series:
+        dt = {"u8": np.uint8, "u16": np.uint16, "i32": np.int32}
+        return pd.Series(
+            [int(np.frombuffer(bytes(b), dt[d]).sum(dtype=np.int64)) for b, d in zip(tile, dtype)]
+        )
+
+    return (
+        tiles.withColumn("s", px_sum(F.col("tile"), F.col("dtype")))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_tiles"), F.sum("s").alias("sum_px"))
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the
+    applyInPandasWithState streaming operator — tested identical in
+    tests/test_sessionize.py): sessions close after 1800 s of silence."""
+    from gdal_drivers_spark.streaming.sessionize import sessionize_batch
+
+    return sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"), gap_s=1800)
+
+
+def q_decode_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/U1 (format dispatch + probe): synthesize the images table
+    from order keys (fmt round-robin raw/png/thumb), decode every
+    payload in Arrow batches, report per-format counts + decode-ok
+    counts. The fmt distribution is oracle-checked; pixel values are
+    covered by the PSNR/parity pytest suite."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.decode import decode_stats
+    from gdal_drivers_spark.sources.synth import IMAGES_SCHEMA, gen_images_pdf
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+
+    def gen(batches):
+        for pdf in batches:
+            yield gen_images_pdf(pdf["o_orderkey"].to_numpy(np.int64))
+
+    images = orders.repartition(32).mapInPandas(gen, IMAGES_SCHEMA)
+    return decode_stats(images).groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("dec_ok").cast("long")).alias("n_ok"),
+    )
+
+
 def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-twin batch query: tumbling 5-min windows per event_type
     (the stream side computes the identical frame via
@@ -469,6 +635,13 @@ def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
+        "grid_snap": q_grid_snap,
+        "envelope": q_envelope,
+        "halo_pairs": q_halo_pairs,
+        "pyramid_levels": q_pyramid_levels,
+        "solid_pixels": q_solid_pixels,
+        "sessionize": q_sessionize,
+        "decode_fmt": q_decode_fmt,
         "cell_join_region": q_cell_join_region,
         "knn": q_knn,
         "pricing_rollup": q_pricing_rollup,
@@ -509,6 +682,100 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT a.cell) AS n_cells
             FROM ({_ASSIGNED_SQL}) a JOIN bounds USING (cell)
             GROUP BY region
+        """,
+        "grid_snap": """
+            SELECT o_orderkey AS k,
+                   floor((((o_orderkey * 48271) % 4096) / 4096.0) * 64) / 64 AS sx0,
+                   floor((((o_orderkey * 69621) % 4096) / 4096.0) * 64) / 64 AS sy0,
+                   ceil(((((o_orderkey * 48271) % 4096) / 4096.0) + ((o_orderkey % 7) + 1) / 512.0) * 64) / 64 AS sx1,
+                   ceil(((((o_orderkey * 69621) % 4096) / 4096.0) + ((o_orderkey % 5) + 1) / 512.0) * 64) / 64 AS sy1,
+                   CAST(
+                     ((ceil(((((o_orderkey * 48271) % 4096) / 4096.0) + ((o_orderkey % 7) + 1) / 512.0) * 64) / 64
+                       - floor((((o_orderkey * 48271) % 4096) / 4096.0) * 64) / 64) * 64)
+                     * ((ceil(((((o_orderkey * 69621) % 4096) / 4096.0) + ((o_orderkey % 5) + 1) / 512.0) * 64) / 64
+                       - floor((((o_orderkey * 69621) % 4096) / 4096.0) * 64) / 64) * 64)
+                   AS BIGINT) AS n_cells
+            FROM orders
+        """,
+        "envelope": """
+            WITH c AS (
+                SELECT c_nationkey AS nation,
+                       ((c_custkey * 48271) % 65536) / 65536.0 AS px,
+                       ((c_custkey * 69621) % 65536) / 65536.0 AS py,
+                       ((c_custkey % 15) + 1) / 1024.0 AS w,
+                       ((c_custkey % 9) + 1) / 1024.0 AS h
+                FROM customer
+            )
+            SELECT nation,
+                   min(least(px, px + w)) AS env_x0,
+                   min(least(py, py - h)) AS env_y0,
+                   max(greatest(px, px + w)) AS env_x1,
+                   max(greatest(py, py - h)) AS env_y1,
+                   count(*) AS n_rows
+            FROM c GROUP BY nation
+        """,
+        "halo_pairs": """
+            WITH tiles AS (
+                SELECT (s_suppkey * 3) % 16 AS tx, (s_suppkey * 7) % 16 AS ty,
+                       min(s_suppkey) AS payload
+                FROM supplier GROUP BY 1, 2
+            ), off AS (SELECT unnest(generate_series(-1, 1)) AS d),
+            pairs AS (
+                SELECT t.tx + ox.d AS tcx, t.ty + oy.d AS tcy, t.payload
+                FROM tiles t, off ox, off oy
+                WHERE t.tx + ox.d BETWEEN 0 AND 15 AND t.ty + oy.d BETWEEN 0 AND 15
+            )
+            SELECT tcx, tcy, count(*) AS n_contrib, sum(payload) AS payload_sum
+            FROM pairs GROUP BY 1, 2
+        """,
+        "pyramid_levels": """
+            WITH leaves AS (
+                SELECT ((p_partkey * 2654435761) % 256) % 16 AS qx,
+                       ((p_partkey * 2654435761) % 256) // 16 AS qy,
+                       max(p_partkey % 2) AS bit
+                FROM part GROUP BY 1, 2
+            ), lv AS (
+                SELECT l.*, g.level FROM leaves l,
+                     (SELECT unnest(generate_series(0, 4)) AS level) g
+            )
+            SELECT level, qx // (1 << (4 - level)) AS pqx,
+                   qy // (1 << (4 - level)) AS pqy,
+                   count(*) AS n_leaves, sum(bit) AS n_white,
+                   CASE WHEN sum(bit) = 0 THEN 'black'
+                        WHEN sum(bit) = count(*) THEN 'white'
+                        ELSE 'gray' END AS klass
+            FROM lv GROUP BY 1, 2, 3
+        """,
+        "solid_pixels": """
+            SELECT band, 12 AS n_tiles,
+                   CAST(12 AS BIGINT) * 65536 * value AS sum_px
+            FROM (VALUES (0, 7), (1, 1000), (2, 123456)) v(band, value)
+        """,
+        "sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, ts, value,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                       lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events
+            ), f AS (
+                SELECT *, CASE WHEN prev IS NULL OR t - prev > 1800 THEN 1 ELSE 0 END AS new_s
+                FROM e
+            ), g AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM f
+            )
+            SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+            FROM g GROUP BY user_id, sid
+        """,
+        "decode_fmt": """
+            SELECT CASE o_orderkey % 3 WHEN 0 THEN 'raw' WHEN 1 THEN 'png'
+                        ELSE 'thumb' END AS fmt,
+                   count(*) AS n_images, count(*) AS n_ok
+            FROM orders GROUP BY 1
         """,
         "knn": """
             WITH pts AS (
