@@ -216,6 +216,386 @@ def q_tms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic triangle table for the PIP join (P4 generalized):
+# all-dyadic vertices, no horizontal edges (the even-odd crossing rule
+# is then identical in numpy and SQL, bit-for-bit).
+_TRIANGLES = [
+    (0, [(0.0625, 0.0625), (0.4375, 0.125), (0.1875, 0.40625)]),
+    (1, [(0.5625, 0.0625), (0.9375, 0.15625), (0.6875, 0.375)]),
+    (2, [(0.0625, 0.5625), (0.40625, 0.625), (0.15625, 0.9375)]),
+    (3, [(0.5625, 0.5625), (0.90625, 0.65625), (0.625, 0.9375)]),
+    (4, [(0.25, 0.25), (0.75, 0.3125), (0.46875, 0.78125)]),
+    (5, [(0.03125, 0.03125), (0.96875, 0.09375), (0.5, 0.21875)]),
+]
+
+
+def q_pip_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 generalized (point-in-polygon join): customer points → level-3
+    cell prune → broadcast candidate map → exact vectorized ray-cast
+    refine (the distributed form of blender.cpp:590-600 containment)."""
+    from gdal_drivers_spark.operators.spatial_join import pip_join
+
+    pts = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("pid"),
+        (((F.col("c_custkey") * 48271) % 65536) / F.lit(65536.0)).alias("px"),
+        (((F.col("c_custkey") * 69621) % 65536) / F.lit(65536.0)).alias("py"),
+    )
+    polys_pdf = pd.DataFrame(
+        {"poly_id": [t[0] for t in _TRIANGLES], "ring": [t[1] for t in _TRIANGLES]}
+    )
+    j = pip_join(pts, polys_pdf, z=3)
+    return j.groupBy("poly_id").agg(
+        F.count("*").alias("n_points"), F.sum("pid").alias("key_sum")
+    )
+
+
+def _pip_oracle_sql() -> str:
+    edges = []
+    for pid, ring in _TRIANGLES:
+        for i in range(3):
+            (x0, y0), (x1, y1) = ring[i], ring[(i + 1) % 3]
+            edges.append(f"({pid}, {x0!r}, {y0!r}, {x1!r}, {y1!r})")
+    values = ",\n                   ".join(edges)
+    return f"""
+        WITH pts AS (
+            SELECT c_custkey AS pid,
+                   ((c_custkey * 48271) % 65536) / 65536.0 AS px,
+                   ((c_custkey * 69621) % 65536) / 65536.0 AS py
+            FROM customer
+        ), edges(poly_id, x0, y0, x1, y1) AS (
+            VALUES {values}
+        ), cross_ AS (
+            SELECT p.pid, e.poly_id,
+                   CASE WHEN ((e.y0 > p.py) != (e.y1 > p.py))
+                             AND p.px < e.x0 + (p.py - e.y0) / (e.y1 - e.y0) * (e.x1 - e.x0)
+                        THEN 1 ELSE 0 END AS c
+            FROM pts p, edges e
+        ), inside AS (
+            SELECT pid, poly_id FROM cross_ GROUP BY pid, poly_id HAVING sum(c) % 2 = 1
+        )
+        SELECT poly_id, count(*) AS n_points, sum(pid) AS key_sum
+        FROM inside GROUP BY poly_id
+    """
+
+
+def q_mvt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/J4/F1-F9/W2 end-to-end: per-supplier vector-tile layers are
+    ENCODED on executors (zigzag + command words + cursor deltas,
+    mvt.cpp:164-261 inverse), then decoded by the engine's batch MVT
+    reader (dictionary tag join with out-of-bounds drop + odd-trailing
+    ignore, winding-rule polygon assembly, Trafo to world). The oracle
+    computes the expected world coordinates relationally — the
+    round-trip must reproduce them exactly (×1024 quantization is
+    lossless: all coords are dyadic)."""
+    import json
+
+    import numpy as np
+
+    from gdal_drivers_spark.core import mvtcodec
+    from gdal_drivers_spark.operators.mvt import decode_features
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for s in pdf["s_suppkey"].astype("int64"):
+                s = int(s)
+                tx, ty = s % 4, (s * 3) % 4
+                pts = np.array(
+                    [[(s * 17 + 31 * j) % 256, (s * 23 + 41 * j) % 256] for j in range(3)],
+                    np.int64,
+                )
+                a, b = (s * 29) % 200, (s * 37) % 200
+                ring_a = np.array([[a, b], [a + 40, b + 8], [a + 8, b + 48]], np.int64)
+                ring_b = np.array(
+                    [[a + 12, b + 12], [a + 14, b + 20], [a + 20, b + 14]], np.int64
+                )
+                feats = [
+                    {
+                        "id": 2 * s,
+                        "tags": [0, s % 3],
+                        "geom_type": mvtcodec.GEOM_POINT,
+                        "geometry": mvtcodec.encode_geometry(
+                            mvtcodec.GEOM_POINT, [pts]
+                        ).tolist(),
+                    },
+                    {
+                        "id": 2 * s + 1,
+                        # (0,s%3) + (1,3) kept, (7,9) out-of-bounds dropped,
+                        # trailing 0 ignored (mvt.cpp:545-560)
+                        "tags": [0, s % 3, 1, 3, 7, 9, 0],
+                        "geom_type": mvtcodec.GEOM_POLYGON,
+                        "geometry": mvtcodec.encode_geometry(
+                            mvtcodec.GEOM_POLYGON, [ring_a, ring_b]
+                        ).tolist(),
+                    },
+                ]
+                rows.append(
+                    (2, tx, ty, "suppliers", 256, ["kind", "flag"], ["a", "b", "c", "x"], feats)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["z", "tx", "ty", "layer", "extent", "keys", "values", "features"],
+            )
+
+    layers = supp.mapInPandas(
+        gen,
+        "z int, tx long, ty long, layer string, extent int, keys array<string>, "
+        "values array<string>, features array<struct<id:long,tags:array<int>,"
+        "geom_type:int,geometry:array<long>>>",
+    )
+    feats = decode_features(layers)
+
+    @F.pandas_udf("sum_xq long, sum_yq long")
+    def coord_sums(geom_json: pd.Series) -> pd.DataFrame:
+        xs, ys = [], []
+        for g in geom_json:
+            pts = []
+
+            def rec(n):
+                if n and not isinstance(n[0], list):
+                    pts.append(n)
+                else:
+                    for m in n:
+                        rec(m)
+
+            rec(json.loads(g))
+            arr = np.asarray(pts, np.float64)
+            xs.append(int(np.rint(arr[:, 0] * 1024).sum()))
+            ys.append(int(np.rint(arr[:, 1] * 1024).sum()))
+        return pd.DataFrame({"sum_xq": xs, "sum_yq": ys})
+
+    return feats.select(
+        "fid",
+        "geom_type",
+        "n_parts",
+        "n_rings",
+        "n_vertices",
+        coord_sums(F.col("geom_json")).alias("cs"),
+        F.col("props")["kind"].alias("kind"),
+        F.col("props")["flag"].alias("flag"),
+    ).select(
+        "fid", "geom_type", "n_parts", "n_rings", "n_vertices",
+        F.col("cs.sum_xq").alias("sum_xq"), F.col("cs.sum_yq").alias("sum_yq"),
+        "kind", "flag",
+    )
+
+
+_MVT_ORACLE_SQL = """
+    WITH s AS (
+        SELECT s_suppkey AS k, s_suppkey % 4 AS tx, (s_suppkey * 3) % 4 AS ty,
+               (s_suppkey * 29) % 200 AS a, (s_suppkey * 37) % 200 AS b
+        FROM supplier
+    )
+    SELECT 2 * k AS fid, 'point' AS geom_type, 1 AS n_parts, 0 AS n_rings,
+           3 AS n_vertices,
+           3 * tx * 256 + ((k*17) % 256) + ((k*17+31) % 256) + ((k*17+62) % 256) AS sum_xq,
+           3 * 1024 - 3 * ty * 256
+             - (((k*23) % 256) + ((k*23+41) % 256) + ((k*23+82) % 256)) AS sum_yq,
+           CASE k % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS kind,
+           NULL AS flag
+    FROM s
+    UNION ALL
+    SELECT 2 * k + 1, 'polygon', 1, 2, 8,
+           8 * tx * 256 + 8 * a + 106,
+           8 * 1024 - 8 * ty * 256 - (8 * b + 114),
+           CASE k % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END,
+           'x'
+    FROM s
+"""
+
+
+def q_vectorize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 + inverse: part-derived quads (values alternate by cell
+    parity, so no 2×2 sibling quartet is ever uniform) are rasterized
+    to tiles and vectorized back — the non-black output must equal the
+    input quad set exactly (mask write/read cycle, mask.cpp:219-308)."""
+    from gdal_drivers_spark.operators.rasterize import rasterize_quads, vectorize_tiles
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    h = (F.col("p_partkey") * F.lit(2654435761)) % F.lit(256)
+    quads = (
+        p.select((h % 16).alias("qx"), (h.cast("long") / 16).cast("long").alias("qy"))
+        .distinct()
+        .select(
+            F.lit(4).alias("level"),
+            "qx",
+            "qy",
+            F.when((F.col("qx") + F.col("qy")) % 2 == 0, "white")
+            .otherwise("gray")
+            .alias("value"),
+        )
+    )
+    tiles = rasterize_quads(quads, depth=4, tile_px=8)
+    return vectorize_tiles(tiles, depth=4, tile_px=8).filter(F.col("value") != "black")
+
+
+_VECTORIZE_ORACLE_SQL = """
+    WITH cells AS (
+        SELECT DISTINCT ((p_partkey * 2654435761) % 256) % 16 AS qx,
+               ((p_partkey * 2654435761) % 256) // 16 AS qy
+        FROM part
+    )
+    SELECT 4 AS level, qx, qy, 1 AS size,
+           CASE WHEN (qx + qy) % 2 = 0 THEN 'white' ELSE 'gray' END AS value
+    FROM cells
+"""
+
+
+def q_warp_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 (warp: grid resample, gdaldriversmodule.cpp:182-204): a
+    256×256 source raster of constant-valued 32-px tiles is resampled
+    2× down with nearest-neighbor onto a 128×128 grid. Sample points
+    land strictly inside constant source tiles, so the per-output-tile
+    pixel sum is closed-form — the oracle computes it relationally."""
+    import numpy as np
+
+    from gdal_drivers_spark.core import codecs
+    from gdal_drivers_spark.operators.warp import warp_tiles
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                scx, scy = int(i) % 8, int(i) // 8
+                v = (scx * 13 + scy * 29) % 251
+                img = np.full((32, 32, 1), v, np.uint8)
+                rows.append((scx, scy, codecs.encode_raw(img)))
+            yield pd.DataFrame(rows, columns=["scx", "scy", "tile"])
+
+    src = spark.range(64).mapInPandas(gen, "scx long, scy long, tile binary")
+    src_gt = np.array([0.0, 1 / 256, 0.0, 1.0, 0.0, -1 / 256])
+    dst_gt = np.array([0.0, 1 / 128, 0.0, 1.0, 0.0, -1 / 128])
+    out = warp_tiles(src, src_gt, dst_gt, dst_shape=(128, 128), tile_px=32, method="nearest")
+
+    @F.pandas_udf("long")
+    def px_sum(tile: pd.Series) -> pd.Series:
+        return pd.Series(
+            [int(np.frombuffer(bytes(b), np.uint8).sum(dtype=np.int64)) for b in tile]
+        )
+
+    return out.select("ocx", "ocy", px_sum(F.col("tile")).alias("px_sum"))
+
+
+_WARP_ORACLE_SQL = """
+    WITH g AS (SELECT unnest(generate_series(0, 3)) AS v),
+         o AS (SELECT unnest(generate_series(0, 1)) AS d)
+    SELECT gx.v AS ocx, gy.v AS ocy,
+           CAST(256 * sum(((2 * gx.v + sx.d) * 13 + (2 * gy.v + sy.d) * 29) % 251) AS BIGINT) AS px_sum
+    FROM g gx, g gy, o sx, o sy
+    GROUP BY gx.v, gy.v
+"""
+
+
+def q_maskfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 + S4 + S2 (quadtree mask write → magic-probe → read,
+    mask.cpp:95-108/130-175/266-308): per-mask quad sets serialize to
+    the GQM1 binary format on executors, the scan path parses them
+    back; per-mask quad counts must survive the cycle."""
+    from gdal_drivers_spark.core import maskfile
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    h = (F.col("p_partkey") * F.lit(2654435761)) % F.lit(256)
+    quads = (
+        p.select(
+            (F.col("p_partkey") % 5).alias("mask_id"),
+            (h % 16).alias("qx"),
+            (h.cast("long") / 16).cast("long").alias("qy"),
+        )
+        .distinct()
+        .select(
+            "mask_id",
+            F.lit(4).alias("level"),
+            "qx",
+            "qy",
+            F.when((F.col("qx") + F.col("qy")) % 2 == 0, "white")
+            .otherwise("gray")
+            .alias("value"),
+        )
+    )
+
+    def _write(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        buf = maskfile.write_mask(pdf, depth=4, extents=(0.0, 0.0, 1.0, 1.0))
+        return pd.DataFrame({"mask_id": [int(key[0])], "buf": [buf]})
+
+    masks = quads.groupBy("mask_id").applyInPandas(_write, "mask_id long, buf binary")
+
+    def _read(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                buf = bytes(r.buf)
+                assert maskfile.probe(buf)
+                q, depth, _ext, _srs = maskfile.read_mask(buf)
+                rows.append(
+                    (int(r.mask_id), depth, len(q), int((q["value"] == "white").sum()))
+                )
+            yield pd.DataFrame(rows, columns=["mask_id", "depth", "n_quads", "n_white"])
+
+    return masks.mapInPandas(_read, "mask_id long, depth int, n_quads long, n_white long")
+
+
+_MASKFILE_ORACLE_SQL = """
+    WITH cells AS (
+        SELECT DISTINCT p_partkey % 5 AS mask_id,
+               ((p_partkey * 2654435761) % 256) % 16 AS qx,
+               ((p_partkey * 2654435761) % 256) // 16 AS qy
+        FROM part
+    )
+    SELECT mask_id, 4 AS depth, count(*) AS n_quads,
+           sum(CASE WHEN (qx + qy) % 2 = 0 THEN 1 ELSE 0 END) AS n_white
+    FROM cells GROUP BY mask_id
+"""
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: supplier-derived 32×32 images → nearest-
+    neighbor resize to 16×16 (Arrow batch decode/re-encode) → exact
+    per-image pixel sums. The resize gather is closed-form on the
+    deterministic pattern, so the oracle reproduces it in SQL."""
+    import numpy as np
+
+    from gdal_drivers_spark.core import codecs
+    from gdal_drivers_spark.operators.multimodal import resize_images
+    from gdal_drivers_spark.sources.synth import pattern
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for s in pdf["s_suppkey"]:
+                img = pattern(32, 32, 1, int(s) % 256)
+                rows.append((str(int(s)), codecs.encode_raw(img), 32, 32, "raw"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    images = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey").mapInPandas(
+        gen, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    small = resize_images(images, 16, 16)
+
+    @F.pandas_udf("long")
+    def px_sum(b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [int(codecs.decode(bytes(x)).sum(dtype=np.int64)) for x in b]
+        )
+
+    return small.select(
+        F.col("image_id").cast("long").alias("sid"),
+        "w",
+        "h",
+        px_sum(F.col("bytes")).alias("px_sum"),
+    )
+
+
+_MULTIMODAL_ORACLE_SQL = """
+    WITH g AS (SELECT unnest(generate_series(0, 15)) AS v)
+    SELECT s_suppkey AS sid, 16 AS w, 16 AS h,
+           CAST(sum((2 * gx.v * 3 + 2 * gy.v * 5 + s_suppkey % 256) % 256) AS BIGINT) AS px_sum
+    FROM supplier, g gx, g gy
+    GROUP BY s_suppkey
+"""
+
+
 # ---------------------------------------------- training-data pipeline
 
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,6 +1022,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "solid_pixels": q_solid_pixels,
         "sessionize": q_sessionize,
         "decode_fmt": q_decode_fmt,
+        "pip_triangles": q_pip_triangles,
+        "mvt_roundtrip": q_mvt_roundtrip,
+        "vectorize_roundtrip": q_vectorize_roundtrip,
+        "warp_downsample": q_warp_downsample,
+        "maskfile_roundtrip": q_maskfile_roundtrip,
+        "multimodal_resize": q_multimodal_resize,
         "cell_join_region": q_cell_join_region,
         "knn": q_knn,
         "pricing_rollup": q_pricing_rollup,
@@ -777,6 +1163,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_images, count(*) AS n_ok
             FROM orders GROUP BY 1
         """,
+        "pip_triangles": _pip_oracle_sql(),
+        "mvt_roundtrip": _MVT_ORACLE_SQL,
+        "vectorize_roundtrip": _VECTORIZE_ORACLE_SQL,
+        "warp_downsample": _WARP_ORACLE_SQL,
+        "maskfile_roundtrip": _MASKFILE_ORACLE_SQL,
+        "multimodal_resize": _MULTIMODAL_ORACLE_SQL,
         "knn": """
             WITH pts AS (
                 SELECT c_custkey AS pid, (c_custkey * 48271) % 65536 AS px,
