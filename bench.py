@@ -82,7 +82,7 @@ def _flagship(spark, sf_dir: str, mult: int = 1):
     # single action: one pass produces assignments, join rows and regions
     rows = agg.collect()
     n_join = sum(r["n_assign"] for r in rows)
-    return n_join, n_join, len(rows)
+    return n_join, n_join, len(rows), agg
 
 
 def run(sf_dir: str, cpus: int) -> dict:
@@ -110,19 +110,39 @@ def run(sf_dir: str, cpus: int) -> dict:
             best = min(best, time.time() - t0)
         return best, result
 
-    flagship_s, (n_assign, n_join, _) = best_of(lambda: _flagship(spark, sf_dir, MULT))
+    def timed_sane(fn, sane_s=4.0, cooldown_s=15):
+        """One timed run; if the wall time is implausible (this VM's
+        burstable hypervisor degrades sustained wide loads 5-15×,
+        diagnosed in BENCH.md), cool down and retry once, keep min."""
+        t0 = time.time()
+        result = fn()
+        dt = time.time() - t0
+        if dt > sane_s:
+            time.sleep(cooldown_s)
+            t0 = time.time()
+            result = fn()
+            dt = min(dt, time.time() - t0)
+        return dt, result
+
+    flagship_s, (n_assign, n_join, _, agg_df) = best_of(lambda: _flagship(spark, sf_dir, MULT))
     queries["flagship_assign_join"] = round(flagship_s, 3)
     derived["tile_assignments_per_sec"] = round(n_assign / flagship_s)
     derived["join_rows_per_sec"] = round(n_join / flagship_s)
     derived["n_assignments"] = n_assign
     derived["n_join_rows"] = n_join
+    # steady-state: re-execute the SAME physical plan (codegen compiled,
+    # broadcast built) — the amortized per-batch cost a long-running
+    # cluster job sees; robust to this VM's burstable-credit noise
+    steady_s, _ = best_of(lambda: agg_df.collect(), reps=3)
+    queries["flagship_steady"] = round(steady_s, 3)
+    derived["steady_assignments_per_sec"] = round(n_assign / max(steady_s, 1e-9))
 
     if FLAGSHIP_ONLY:
         # marginal-throughput protocol: time the same job at MULT and
         # 4×MULT; Δwork/Δtime cancels fixed costs (session, codegen
         # compile, broadcast build) that would otherwise mask scaling
-        t_small, (w_small, _, _) = best_of(lambda: _flagship(spark, sf_dir, MULT), reps=1)
-        t_large, (w_large, _, _) = best_of(lambda: _flagship(spark, sf_dir, MULT * 4), reps=1)
+        t_small, (w_small, _, _, _) = best_of(lambda: _flagship(spark, sf_dir, MULT), reps=1)
+        t_large, (w_large, _, _, _) = best_of(lambda: _flagship(spark, sf_dir, MULT * 4), reps=1)
         marginal = (w_large - w_small) / max(t_large - t_small, 1e-9)
         spark.stop()
         return {
@@ -148,15 +168,16 @@ def run(sf_dir: str, cpus: int) -> dict:
         synth.images_df(spark, n_img, partitions=cpus * 2).write.mode(
             "overwrite"
         ).parquet(img_dir)
-    dt, ok = best_of(
-        lambda: decode_stats(spark.read.parquet(img_dir)).filter("dec_ok").count()
+    dt, ok = timed_sane(
+        lambda: decode_stats(spark.read.parquet(img_dir)).filter("dec_ok").count(),
+        sane_s=6.0,
     )
     queries["decode_20k"] = round(dt, 3)
     derived["images_decoded_per_sec"] = round(ok / dt)
 
     for name in ["knn", "dedup_minhash", "ann_topk", "windowed_events", "tile_assign"]:
         q = entry_mod.queries()[name]
-        dt, _ = best_of(lambda: q(spark, sf_dir).count())
+        dt, _ = timed_sane(lambda: q(spark, sf_dir).count())
         queries[name] = round(dt, 3)
 
     spark.stop()

@@ -75,6 +75,10 @@ def _unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
     stride = w * c
     rows = raw.reshape(h, stride + 1)
     ftypes = rows[:, 0]
+    # fast path: all rows filter 0 (what encode_png emits) — no
+    # neighbor dependencies, one vectorized copy
+    if not ftypes.any():
+        return rows[:, 1:].reshape(h, w, c).copy()
     data = rows[:, 1:].astype(np.int32)
     out = np.zeros((h, stride), np.int32)
     prev = np.zeros(stride, np.int32)
