@@ -596,6 +596,250 @@ _MULTIMODAL_ORACLE_SQL = """
 """
 
 
+def q_feather_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (overlap-area kernel weighting, blender.cpp:601-624): the
+    closed-form box-filter feather ramp evaluated by the engine's
+    geometry kernel over a 16×16 pixel grid per supplier valid-rect;
+    all-dyadic inputs make the weight sum exact, quantized ×4096. The
+    oracle reproduces the clamped-ramp product relationally."""
+    import numpy as np
+
+    from gdal_drivers_spark.core.geometry import feather_weight
+
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey")
+
+    @F.pandas_udf("long")
+    def wsum_q(keys: pd.Series) -> pd.Series:
+        i = (np.arange(16) + 0.5) / 16.0
+        px, py = np.meshgrid(i, i)
+        px, py = px.ravel(), py.ravel()
+        out = []
+        for k in keys:
+            k = int(k)
+            vx0, vy0 = (k % 4) / 16.0, (k % 5) / 16.0
+            w = feather_weight(px, py, vx0, vy0, vx0 + 0.5, vy0 + 0.5, 1 / 8, 1 / 8)
+            out.append(int(round(float(w.sum()) * 4096)))
+        return pd.Series(out)
+
+    return s.select(F.col("s_suppkey").alias("sid"), wsum_q(F.col("s_suppkey")).alias("wsum_q"))
+
+
+_FEATHER_ORACLE_SQL = """
+    WITH g AS (SELECT unnest(generate_series(0, 15)) AS i),
+    px AS (
+        SELECT s_suppkey AS sid,
+               (gx.i + 0.5) / 16.0 AS px, (gy.i + 0.5) / 16.0 AS py,
+               (s_suppkey % 4) / 16.0 AS vx0, (s_suppkey % 5) / 16.0 AS vy0
+        FROM supplier, g gx, g gy
+    )
+    SELECT sid, CAST(round(4096 * sum(
+        least(greatest((least(px + 0.125, vx0 + 0.5) - greatest(px - 0.125, vx0)) / 0.25, 0), 1)
+      * least(greatest((least(py + 0.125, vy0 + 0.5) - greatest(py - 0.125, vy0)) / 0.25, 0), 1)
+    )) AS BIGINT) AS wsum_q
+    FROM px GROUP BY sid
+"""
+
+
+def q_zxy_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 (z-x-y path parse, mbtiles.cpp:63-110): strict regexp parse
+    + casts + bounds check vs 2^z−1; malformed (every 11th) and
+    out-of-bounds rows are dropped set-at-a-time."""
+    from gdal_drivers_spark.operators.lookup import parse_requests
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    z = 3 + F.col("p_partkey") % 3
+    x = (F.col("p_partkey") * 7) % 8
+    y = (F.col("p_partkey") * 13) % 40
+    paths = p.select(
+        F.col("p_partkey").alias("k"),
+        F.when(
+            F.col("p_partkey") % 11 == 0, F.concat(F.lit("bad-"), F.col("p_partkey"))
+        )
+        .otherwise(F.concat_ws("-", z, x, y))
+        .alias("path"),
+    )
+    return parse_requests(paths).select("k", "zoom", "x", "y")
+
+
+_ZXY_ORACLE_SQL = """
+    WITH paths AS (
+        SELECT p_partkey AS k,
+               CASE WHEN p_partkey % 11 = 0 THEN 'bad-' || p_partkey
+                    ELSE (3 + p_partkey % 3) || '-' || ((p_partkey * 7) % 8)
+                         || '-' || ((p_partkey * 13) % 40) END AS path
+        FROM part
+    ), parsed AS (
+        SELECT k,
+               TRY_CAST(regexp_extract(path, '^(\\d+)-(\\d+)-(\\d+)$', 1) AS INT) AS zoom,
+               TRY_CAST(regexp_extract(path, '^(\\d+)-(\\d+)-(\\d+)$', 2) AS BIGINT) AS x,
+               TRY_CAST(regexp_extract(path, '^(\\d+)-(\\d+)-(\\d+)$', 3) AS BIGINT) AS y
+        FROM paths
+    )
+    SELECT k, zoom, x, y FROM parsed
+    WHERE zoom IS NOT NULL AND x <= (1 << zoom) - 1 AND y <= (1 << zoom) - 1
+"""
+
+
+def q_gzip_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13+F11 (keyed fetch with gzip sniff, mbtiles.cpp:128-225): the
+    tile store holds half its blobs gzipped (first byte 0x1f), half
+    plain; fetch_tiles joins requests (TMS flip) and gunzips only what
+    sniffs as gzip. Decompressed payloads are verified by exact length
+    + byte sum."""
+    import gzip as _gzip
+
+    import numpy as np
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    hh = (F.col("p_partkey") * F.lit(2654435761)) % F.lit(1024)
+    store_keys = (
+        p.select(
+            (hh % 32).alias("x"),
+            (hh / 32).cast("long").alias("y"),
+            F.col("p_partkey").alias("pk"),
+        )
+        .groupBy("x", "y")
+        .agg(F.min("pk").alias("pk"))
+        .withColumn("zoom", F.lit(5))
+    )
+
+    def _mk(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                plain = (("tile-" + str(int(r.pk)) + ";") * (int(r.pk) % 3 + 1)).encode()
+                blob = _gzip.compress(plain, 6, mtime=0) if r.pk % 2 == 0 else plain
+                rows.append((int(r.zoom), int(r.x), int(r.y), blob))
+            yield pd.DataFrame(rows, columns=["zoom", "x", "y", "tile_data"])
+
+    store = store_keys.mapInPandas(_mk, "zoom int, x long, y long, tile_data binary")
+
+    requests = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("req_id"),
+        F.lit(5).alias("zoom"),
+        ((F.col("s_suppkey") * 11) % 32).alias("x"),
+        ((F.col("s_suppkey") * 5) % 32).alias("y"),
+    )
+    from gdal_drivers_spark.operators.lookup import fetch_tiles
+
+    fetched = fetch_tiles(requests, store)
+
+    @F.pandas_udf("n_bytes long, byte_sum long")
+    def _stats(blobs: pd.Series) -> pd.DataFrame:
+        ls, ss = [], []
+        for b in blobs:
+            arr = np.frombuffer(bytes(b), np.uint8)
+            ls.append(len(arr))
+            ss.append(int(arr.sum(dtype=np.int64)))
+        return pd.DataFrame({"n_bytes": ls, "byte_sum": ss})
+
+    return fetched.select("req_id", "x", "y", _stats(F.col("tile_data")).alias("st")).select(
+        "req_id", "x", "y", F.col("st.n_bytes").alias("n_bytes"),
+        F.col("st.byte_sum").alias("byte_sum"),
+    )
+
+
+_GZIP_ORACLE_SQL = """
+    WITH store AS (
+        SELECT ((p_partkey * 2654435761) % 1024) % 32 AS x,
+               ((p_partkey * 2654435761) % 1024) // 32 AS tms_y,
+               min(p_partkey) AS pk
+        FROM part GROUP BY 1, 2
+    ), req AS (
+        SELECT s_suppkey AS req_id, (s_suppkey * 11) % 32 AS x,
+               (s_suppkey * 5) % 32 AS y FROM supplier
+    ), hit AS (
+        SELECT req.req_id, req.x, req.y,
+               repeat('tile-' || store.pk || ';', store.pk % 3 + 1) AS plain
+        FROM req JOIN store ON store.x = req.x AND store.tms_y = 31 - req.y
+    )
+    SELECT req_id, x, y, CAST(length(plain) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(generate_series(1, length(plain)),
+                i -> ascii(substr(plain, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum
+    FROM hit
+"""
+
+
+def q_band_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 (positional band zip, blender.cpp:519-523): two per-source
+    band arrays zipped elementwise (arrays_zip — no shuffle), then a
+    per-source dot-product rollup."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    a = F.array(*[F.col("n_nationkey") * 2 + j for j in range(3)])
+    b = F.array(*[F.col("n_nationkey") * 3 + j for j in range(3)])
+    z = n.select(
+        F.col("n_nationkey").alias("nation"),
+        F.explode(F.arrays_zip(a.alias("a"), b.alias("b"))).alias("ab"),
+    )
+    return z.groupBy("nation").agg(
+        F.sum(F.col("ab.a") * F.col("ab.b")).alias("dot"),
+        F.count("*").alias("n_bands"),
+    )
+
+
+_BANDZIP_ORACLE_SQL = """
+    WITH j AS (SELECT unnest(generate_series(0, 2)) AS j)
+    SELECT n_nationkey AS nation,
+           sum((n_nationkey * 2 + j.j) * (n_nationkey * 3 + j.j)) AS dot,
+           count(*) AS n_bands
+    FROM nation, j GROUP BY n_nationkey
+"""
+
+
+def q_compat_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 (multi-source compatibility gate, blender.cpp:120-185):
+    every source's resolution must match the first source within
+    ε=1e-4 and band counts must be equal; the gate evaluated
+    relationally against the broadcast reference row."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    src = s.select(
+        F.col("s_suppkey").alias("sid"),
+        (
+            F.lit(1.0 / 256)
+            + F.when(F.col("s_suppkey") % 3 == 2, 1.0 / 2048)
+            .when(F.col("s_suppkey") % 3 == 1, 1.0 / (1 << 22))
+            .otherwise(0.0)
+        ).alias("dx"),
+        F.lit(-1.0 / 256).alias("dy"),
+        (F.lit(3) + F.when(F.col("s_suppkey") % 7 == 0, 1).otherwise(0)).alias("nbands"),
+    )
+    ref = src.orderBy("sid").limit(1).select(
+        F.col("dx").alias("ref_dx"), F.col("dy").alias("ref_dy"),
+        F.col("nbands").alias("ref_nb"),
+    )
+    j = src.crossJoin(F.broadcast(ref))
+    res_ok = (F.abs(F.col("dx") - F.col("ref_dx")) < 1e-4) & (
+        F.abs(F.col("dy") - F.col("ref_dy")) < 1e-4
+    )
+    bands_ok = F.col("nbands") == F.col("ref_nb")
+    return j.select(
+        "sid",
+        res_ok.alias("res_ok"),
+        bands_ok.alias("bands_ok"),
+        (res_ok & bands_ok).alias("compatible"),
+    )
+
+
+_COMPAT_ORACLE_SQL = """
+    WITH src AS (
+        SELECT s_suppkey AS sid,
+               1.0 / 256 + CASE WHEN s_suppkey % 3 = 2 THEN 1.0 / 2048
+                                WHEN s_suppkey % 3 = 1 THEN 1.0 / 4194304
+                                ELSE 0.0 END AS dx,
+               -1.0 / 256 AS dy,
+               3 + CASE WHEN s_suppkey % 7 = 0 THEN 1 ELSE 0 END AS nbands
+        FROM supplier
+    ), ref AS (SELECT dx AS ref_dx, dy AS ref_dy, nbands AS ref_nb
+               FROM src ORDER BY sid LIMIT 1)
+    SELECT sid,
+           (abs(dx - ref_dx) < 1e-4 AND abs(dy - ref_dy) < 1e-4) AS res_ok,
+           nbands = ref_nb AS bands_ok,
+           (abs(dx - ref_dx) < 1e-4 AND abs(dy - ref_dy) < 1e-4
+            AND nbands = ref_nb) AS compatible
+    FROM src, ref
+"""
+
+
 # ---------------------------------------------- training-data pipeline
 
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,6 +1272,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_downsample": q_warp_downsample,
         "maskfile_roundtrip": q_maskfile_roundtrip,
         "multimodal_resize": q_multimodal_resize,
+        "feather_weights": q_feather_weights,
+        "zxy_parse": q_zxy_parse,
+        "gzip_tiles": q_gzip_tiles,
+        "band_zip": q_band_zip,
+        "compat_gate": q_compat_gate,
         "cell_join_region": q_cell_join_region,
         "knn": q_knn,
         "pricing_rollup": q_pricing_rollup,
@@ -1163,6 +1412,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_images, count(*) AS n_ok
             FROM orders GROUP BY 1
         """,
+        "feather_weights": _FEATHER_ORACLE_SQL,
+        "zxy_parse": _ZXY_ORACLE_SQL,
+        "gzip_tiles": _GZIP_ORACLE_SQL,
+        "band_zip": _BANDZIP_ORACLE_SQL,
+        "compat_gate": _COMPAT_ORACLE_SQL,
         "pip_triangles": _pip_oracle_sql(),
         "mvt_roundtrip": _MVT_ORACLE_SQL,
         "vectorize_roundtrip": _VECTORIZE_ORACLE_SQL,
