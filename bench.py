@@ -141,8 +141,8 @@ def run(sf_dir: str, cpus: int) -> dict:
         # marginal-throughput protocol: time the same job at MULT and
         # 4×MULT; Δwork/Δtime cancels fixed costs (session, codegen
         # compile, broadcast build) that would otherwise mask scaling
-        t_small, (w_small, _, _, _) = best_of(lambda: _flagship(spark, sf_dir, MULT), reps=1)
-        t_large, (w_large, _, _, _) = best_of(lambda: _flagship(spark, sf_dir, MULT * 4), reps=1)
+        t_small, (w_small, _, _, _) = best_of(lambda: _flagship(spark, sf_dir, MULT), reps=2)
+        t_large, (w_large, _, _, _) = best_of(lambda: _flagship(spark, sf_dir, MULT * 4), reps=2)
         marginal = (w_large - w_small) / max(t_large - t_small, 1e-9)
         spark.stop()
         return {
@@ -208,8 +208,9 @@ def scaling() -> dict:
     import time as _time
 
     lo, hi = (int(v) for v in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(","))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
     results: dict[int, list[dict]] = {lo: [], hi: []}
-    for _rep in range(2):
+    for _rep in range(reps):
         for cpus in (lo, hi):
             env = dict(
                 os.environ,
@@ -225,17 +226,30 @@ def scaling() -> dict:
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             results[cpus].append(json.loads(line))
             _time.sleep(8)  # let hypervisor burst credits recover
-    thr = {
+    import statistics
+
+    # two pairings, both reported: "best" takes the least-throttled
+    # observation per level (the min-of-reps convention for timing on a
+    # noisy machine — this VM's hypervisor degrades identical jobs
+    # 5-15×, diagnosed in BENCH.md) and estimates the engine's true
+    # scaling; "median" is the conservative noise-floor view.
+    best = {
         c: max(r["derived"]["marginal_assignments_per_sec"] for r in runs)
         for c, runs in results.items()
     }
-    eff = thr[hi] / (thr[lo] * (hi / lo))
+    med = {
+        c: statistics.median(r["derived"]["marginal_assignments_per_sec"] for r in runs)
+        for c, runs in results.items()
+    }
+    eff_best = best[hi] / (best[lo] * (hi / lo))
+    eff_med = med[hi] / (med[lo] * (hi / lo))
     return {
         "metric": f"flagship marginal-throughput scaling local[{lo}]→local[{hi}] (N→4N)",
-        "value": round(eff, 3),
+        "value": round(eff_best, 3),
         "unit": "ratio",
-        f"assignments_per_sec_local{lo}": thr[lo],
-        f"assignments_per_sec_local{hi}": thr[hi],
+        "efficiency_median_pairing": round(eff_med, 3),
+        f"assignments_per_sec_local{lo}": best[lo],
+        f"assignments_per_sec_local{hi}": best[hi],
         "full": {str(k): v for k, v in results.items()},
     }
 
