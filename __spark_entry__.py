@@ -930,6 +930,105 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace + BPE-ish regex (GPT-2-style class
+    split: letter runs / digit runs / single punctuation) — all
+    JVM-side regexp_extract_all, oracle-identical in DuckDB."""
+    from gdal_drivers_spark.operators.text import regex_token_stats
+
+    return regex_token_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
+
+
+_BPE_ORACLE_SQL = """
+    WITH t AS (
+        SELECT doc_id, trim(lower(text)) AS s FROM documents
+    ), tok AS (
+        SELECT doc_id,
+               string_split_regex(s, '\\s+') AS ws,
+               regexp_extract_all(s, '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n]') AS bpe
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_ws,
+           CAST(len(bpe) AS BIGINT) AS n_bpe,
+           CAST(len(list_filter(bpe, x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(bpe, x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT) AS n_num,
+           CAST(len(bpe)
+              - len(list_filter(bpe, x -> regexp_matches(x, '^[a-z]+$')))
+              - len(list_filter(bpe, x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT) AS n_other
+    FROM tok
+"""
+
+
+def q_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive cell split (skew handling, the distributed form of
+    mask.cpp:246-248 node subdivision): a deterministic hot cell
+    (¼ of all orders land in z=4 cell (3,3)) exceeds the threshold and
+    descends one level, children routed by footprint midpoint; the
+    census after splitting is the oracle-checked output."""
+    from gdal_drivers_spark.operators.assign import pack_cell
+    from gdal_drivers_spark.plans.skew import split_hot_cells
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    hot = k % 4 == 0
+    h = (k * 2654435761) % 256
+    cx = F.when(hot, 3).otherwise(h % 16)
+    cy = F.when(hot, 3).otherwise((h.cast("long") / 16).cast("long"))
+    midx = (
+        F.when(hot, (cx + 0.25 + 0.5 * F.expr("(o_orderkey div 4) % 2")))
+        .otherwise(cx + 0.5)
+        / 16.0
+    )
+    midy = (
+        F.when(hot, (cy + 0.25 + 0.5 * F.expr("(o_orderkey div 8) % 2")))
+        .otherwise(cy + 0.5)
+        / 16.0
+    )
+    df = o.select(
+        k.alias("k"),
+        pack_cell(4, cx, cy).alias("cell"),
+        midx.alias("x0"), midy.alias("y0"), midx.alias("x1"), midy.alias("y1"),
+    )
+    # threshold: hot cell (~n/4 rows) splits once; its 4 children
+    # (~n/16 each) stay under — exactly one split round by construction
+    n_rows = o.count()
+    out = split_hot_cells(df, threshold=max(n_rows // 8, 8), max_rounds=3)
+    return (
+        out.groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.shiftright(F.col("cell"), 52).cast("int").alias("z"),
+            (F.shiftright(F.col("cell"), 26) % F.lit(1 << 26)).alias("x"),
+            (F.col("cell") % F.lit(1 << 26)).alias("y"),
+            "n",
+        )
+    )
+
+
+_SKEW_ORACLE_SQL = """
+    WITH r AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 4 = 0 THEN 3
+                    ELSE ((o_orderkey * 2654435761) % 256) % 16 END AS cx,
+               CASE WHEN o_orderkey % 4 = 0 THEN 3
+                    ELSE ((o_orderkey * 2654435761) % 256) // 16 END AS cy
+        FROM orders
+    ), spl AS (
+        SELECT k,
+               CASE WHEN cx = 3 AND cy = 3 THEN 5 ELSE 4 END AS z,
+               CASE WHEN cx = 3 AND cy = 3 THEN
+                    CASE WHEN k % 4 = 0 THEN 6 + (k // 4) % 2 ELSE 7 END
+                    ELSE cx END AS x,
+               CASE WHEN cx = 3 AND cy = 3 THEN
+                    CASE WHEN k % 4 = 0 THEN 6 + (k // 8) % 2 ELSE 7 END
+                    ELSE cy END AS y
+        FROM r
+    )
+    SELECT z, x, y, count(*) AS n FROM spl GROUP BY 1, 2, 3
+"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_drivers_spark.operators.similarity import brute_topk
 
@@ -1277,6 +1376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gzip_tiles": q_gzip_tiles,
         "band_zip": q_band_zip,
         "compat_gate": q_compat_gate,
+        "bpe_tokens": q_bpe_tokens,
+        "skew_split": q_skew_split,
         "cell_join_region": q_cell_join_region,
         "knn": q_knn,
         "pricing_rollup": q_pricing_rollup,
@@ -1417,6 +1518,8 @@ def oracle_sql() -> dict[str, str]:
         "gzip_tiles": _GZIP_ORACLE_SQL,
         "band_zip": _BANDZIP_ORACLE_SQL,
         "compat_gate": _COMPAT_ORACLE_SQL,
+        "bpe_tokens": _BPE_ORACLE_SQL,
+        "skew_split": _SKEW_ORACLE_SQL,
         "pip_triangles": _pip_oracle_sql(),
         "mvt_roundtrip": _MVT_ORACLE_SQL,
         "vectorize_roundtrip": _VECTORIZE_ORACLE_SQL,

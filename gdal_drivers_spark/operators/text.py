@@ -42,6 +42,32 @@ def token_stats(df: DataFrame, id_col: str, text: str = "text") -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs / digit runs / single other
+# non-space — the class structure GPT-2-style BPE pre-tokenization
+# splits on, kept to a portable regex subset (identical semantics in
+# Java regex and RE2/DuckDB, no lookarounds).
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n]"
+
+
+def regex_token_stats(df: DataFrame, id_col: str, text: str = "text") -> DataFrame:
+    """Token counting, whitespace + BPE-ish regex (task directive):
+    (id, n_ws, n_bpe, n_alpha, n_num, n_other) — all exact integers,
+    all JVM-side (regexp_extract_all, codegen)."""
+    t = F.trim(F.lower(F.col(text)))
+    ws = F.split(t, r"\s+")
+    bpe = F.expr(f"regexp_extract_all(trim(lower({text})), '{BPE_PATTERN}', 0)")
+    n_alpha = F.size(F.filter(bpe, lambda x: x.rlike("^[a-z]+$")))
+    n_num = F.size(F.filter(bpe, lambda x: x.rlike("^[0-9]+$")))
+    return df.select(
+        F.col(id_col),
+        F.size(ws).cast("long").alias("n_ws"),
+        F.size(bpe).cast("long").alias("n_bpe"),
+        n_alpha.cast("long").alias("n_alpha"),
+        n_num.cast("long").alias("n_num"),
+        (F.size(bpe) - n_alpha - n_num).cast("long").alias("n_other"),
+    )
+
+
 def lang_id(df: DataFrame, id_col: str, text: str = "text") -> DataFrame:
     """Marker-vote language ID: score per language = marker-token hits
     (with multiplicity); winner by (max score, language name). Output
