@@ -1040,6 +1040,92 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_topk(qs, corpus, k=5)
 
 
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: sign-LSH bucketing with deterministic integer
+    pseudo-hyperplanes (no runtime RNG) — same-bucket candidates only,
+    then exact integer top-k. Fully reproducible, so unlike typical
+    LSH this has a bit-exact SQL oracle (bucket ids and ranking both
+    recomputed relationally by DuckDB)."""
+    from gdal_drivers_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    return lsh_topk(qs, corpus, dim=64, k=5)
+
+
+_ANN_LSH_ORACLE_SQL = """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
+        FROM embeddings
+    ), bk AS (
+        SELECT vec_id, q,
+               list_sum(list_transform(generate_series(0, 7), p ->
+                   CASE WHEN list_sum(list_transform(generate_series(0, 63), j ->
+                        q[j + 1] * (CASE WHEN (j * (2 * p + 3) + p) % 2 = 0 THEN 1 ELSE -1 END)
+                   )) > 0 THEN (1 << (7 - p)) ELSE 0 END
+               )) AS b
+        FROM e
+    ), qs AS (SELECT vec_id AS qid, q AS qv, b FROM bk WHERE vec_id < 10),
+    scored AS (
+        SELECT qs.qid, bk.vec_id AS cid,
+               CAST(list_sum(list_transform(generate_series(1, 64), i -> qs.qv[i] * bk.q[i])) AS BIGINT) AS dot_q
+        FROM qs JOIN bk ON qs.b = bk.b
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, cid) AS rank
+        FROM scored
+    )
+    SELECT qid, cid, dot_q, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+"""
+
+
+def q_overview_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/A5 overview halving chain (solid.cpp:352-369): per part-
+    derived raster size, levels halve (ceil) until ≤ one 256-px tile;
+    iterated ceil-halving has the closed form ceil(w / 2^i), which the
+    engine computes as codegen arithmetic and the oracle verifies with
+    a recursive CTE doing the literal per-level halving."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(F.col("p_partkey") <= 200)
+    w0 = 257 + (F.col("p_partkey") * 37) % 4096
+    h0 = 257 + (F.col("p_partkey") * 53) % 4096
+    lv = p.select(
+        F.col("p_partkey").alias("k"), w0.alias("w0"), h0.alias("h0")
+    ).withColumn("level", F.explode(F.sequence(F.lit(1), F.lit(13))))
+    scale = F.expr("shiftleft(CAST(1 AS BIGINT), level)")
+    pscale = F.expr("shiftleft(CAST(1 AS BIGINT), level - 1)")
+    out = lv.select(
+        "k",
+        "level",
+        ((F.col("w0") + scale - 1) / scale).cast("long").alias("w"),
+        ((F.col("h0") + scale - 1) / scale).cast("long").alias("h"),
+        ((F.col("w0") + pscale - 1) / pscale).cast("long").alias("pw"),
+        ((F.col("h0") + pscale - 1) / pscale).cast("long").alias("ph"),
+    )
+    # a level exists iff its parent still exceeded one tile
+    return out.filter((F.col("pw") > 256) | (F.col("ph") > 256)).select(
+        "k", "level", "w", "h"
+    )
+
+
+_OVERVIEW_ORACLE_SQL = """
+    WITH RECURSIVE base AS (
+        SELECT p_partkey AS k,
+               257 + (p_partkey * 37) % 4096 AS w0,
+               257 + (p_partkey * 53) % 4096 AS h0
+        FROM part WHERE p_partkey <= 200
+    ), chain AS (
+        SELECT k, 0 AS level, w0 AS w, h0 AS h FROM base
+        UNION ALL
+        SELECT k, level + 1, (w + 1) // 2, (h + 1) // 2
+        FROM chain WHERE w > 256 OR h > 256
+    )
+    SELECT k, level, w, h FROM chain WHERE level > 0
+"""
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_drivers_spark.operators.similarity import near_dup_pairs
 
@@ -1391,6 +1477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "overview_chain": q_overview_chain,
         "embed_near_dup": q_embed_near_dup,
         "running_sum": q_running_sum,
         "windowed_events": q_windowed_events,
@@ -1519,6 +1607,8 @@ def oracle_sql() -> dict[str, str]:
         "band_zip": _BANDZIP_ORACLE_SQL,
         "compat_gate": _COMPAT_ORACLE_SQL,
         "bpe_tokens": _BPE_ORACLE_SQL,
+        "ann_lsh": _ANN_LSH_ORACLE_SQL,
+        "overview_chain": _OVERVIEW_ORACLE_SQL,
         "skew_split": _SKEW_ORACLE_SQL,
         "pip_triangles": _pip_oracle_sql(),
         "mvt_roundtrip": _MVT_ORACLE_SQL,

@@ -1,0 +1,169 @@
+"""Property-based invariants (SURVEY §5.3) via hypothesis — pure-core
+properties, no Spark session (fast, wide input coverage):
+
+- zigzag(unzigzag) = id and vice versa (mvt.cpp:241-244);
+- command word pack/split round-trip (mvt.cpp:171-179);
+- cell pack/unpack round-trip, parent/children closure, neighbor
+  bounds clamp (mask.cpp:229-256 / mbtiles.cpp:146-152 semantics);
+- TMS flip involution (mbtiles.cpp:154-155);
+- Morton interleave round-trip;
+- snap-to-grid: result aligned and contains the input
+  (blender.cpp:416-429);
+- feather weight ∈ [0,1]; zero-overlap degrades to the hard
+  point-in-rect indicator (blender.cpp:590-624);
+- geometry command-stream encode→decode round-trip (cursor cumsum);
+- image codec round-trips: raw/png exact, thumb PSNR ≥ 40 dB.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gdal_drivers_spark.core import codecs, geometry, mvtcodec, qcell
+
+I64 = st.integers(min_value=-(2**62), max_value=2**62 - 1)
+
+
+@given(st.lists(I64, min_size=1, max_size=64))
+def test_zigzag_roundtrip(vs):
+    v = np.asarray(vs, np.int64)
+    assert (mvtcodec.unzigzag(mvtcodec.zigzag(v)) == v).all()
+    nn = np.abs(v)  # zigzag domain: unsigned
+    assert (mvtcodec.zigzag(mvtcodec.unzigzag(nn)) == nn).all()
+
+
+@given(st.integers(0, 7), st.integers(0, 2**28))
+def test_cmd_word_roundtrip(op, count):
+    w = mvtcodec.cmd_word(op, count)
+    got_op, got_count = mvtcodec.cmd_split(np.int64(w))
+    assert (int(got_op), int(got_count)) == (op, count)
+
+
+@given(st.integers(0, 20), st.data())
+def test_cell_pack_unpack_parent_children(z, data):
+    n = 1 << z
+    x = data.draw(st.integers(0, n - 1))
+    y = data.draw(st.integers(0, n - 1))
+    c = qcell.pack(z, x, y)
+    zz, xx, yy = (int(v) for v in qcell.unpack(c))
+    assert (zz, xx, yy) == (z, x, y)
+    kids = qcell.children(c)
+    assert len(kids) == 4
+    for k in kids:
+        assert int(qcell.parent(k)) == int(c)
+    if z > 0:
+        p = qcell.parent(c)
+        pz, px, py = (int(v) for v in qcell.unpack(p))
+        assert (pz, px, py) == (z - 1, x // 2, y // 2)
+
+
+@given(st.integers(1, 12), st.data(), st.integers(1, 3))
+def test_neighbors_clamped_in_bounds(z, data, ring):
+    n = 1 << z
+    x = data.draw(st.integers(0, n - 1))
+    y = data.draw(st.integers(0, n - 1))
+    nb = qcell.neighbors(qcell.pack(z, x, y), ring=ring)
+    # exact-ring semantics: every in-bounds cell at Chebyshev distance
+    # == ring, and nothing else (empty iff the whole ring is clamped out)
+    expected = {
+        (xx, yy)
+        for xx in range(max(0, x - ring), min(n, x + ring + 1))
+        for yy in range(max(0, y - ring), min(n, y + ring + 1))
+        if max(abs(xx - x), abs(yy - y)) == ring
+    }
+    got = set()
+    for c in np.asarray(nb).ravel():
+        zz, xx, yy = (int(v) for v in qcell.unpack(np.int64(c)))
+        assert zz == z
+        got.add((xx, yy))
+    assert got == expected
+
+
+@given(st.integers(0, 28), st.data())
+def test_tms_flip_involution(z, data):
+    y = data.draw(st.integers(0, (1 << z) - 1))
+    assert qcell.tms_flip(z, qcell.tms_flip(z, y)) == y
+
+
+@given(st.integers(0, 2**26 - 1), st.integers(0, 2**26 - 1))
+def test_morton_roundtrip(x, y):
+    xx, yy = qcell.unmorton(qcell.morton(np.int64(x), np.int64(y)))
+    assert (int(xx), int(yy)) == (x, y)
+
+
+@given(
+    st.floats(-100, 100), st.floats(-100, 100),
+    st.floats(0.001, 50), st.floats(0.001, 50),
+    st.integers(1, 64), st.integers(1, 64),
+)
+def test_snap_contains_and_aligns(x0, y0, w, h, rx_i, ry_i):
+    rx, ry = 1.0 / rx_i, 1.0 / ry_i
+    x1, y1 = x0 + w, y0 + h
+    sx0, sy0, sx1, sy1 = geometry.snap_extents(x0, y0, x1, y1, 0.0, 0.0, rx, ry)
+    assert sx0 <= x0 + 1e-9 and sy0 <= y0 + 1e-9
+    assert sx1 >= x1 - 1e-9 and sy1 >= y1 - 1e-9
+    for v, r in ((sx0, rx), (sx1, rx), (sy0, ry), (sy1, ry)):
+        assert abs(v / r - round(v / r)) < 1e-6
+
+
+@given(st.data())
+def test_feather_weight_bounds_and_indicator(data):
+    pts = data.draw(
+        st.lists(st.tuples(st.floats(0, 1), st.floats(0, 1)), min_size=1, max_size=32)
+    )
+    px = np.array([p[0] for p in pts])
+    py = np.array([p[1] for p in pts])
+    vx0, vy0 = 0.25, 0.25
+    vx1, vy1 = 0.75, 0.75
+    ow = data.draw(st.floats(0.01, 0.3))
+    w = geometry.feather_weight(px, py, vx0, vy0, vx1, vy1, ow, ow)
+    assert ((w >= 0) & (w <= 1)).all()
+    hard = geometry.feather_weight(px, py, vx0, vy0, vx1, vy1, 0, 0)
+    ind = geometry.points_in_rect(px, py, vx0, vy0, vx1, vy1).astype(float)
+    assert (hard == ind).all()
+
+
+@given(
+    st.sampled_from([mvtcodec.GEOM_POINT, mvtcodec.GEOM_LINESTRING]),
+    st.lists(
+        st.lists(st.tuples(st.integers(0, 4095), st.integers(0, 4095)), min_size=2, max_size=12),
+        min_size=1, max_size=4,
+    ),
+)
+def test_geometry_stream_roundtrip(gt, parts):
+    arrs = [np.asarray(p, np.int64) for p in parts]
+    stream = mvtcodec.encode_geometry(gt, arrs)
+    dec = mvtcodec.decode_geometry(gt, stream)
+    flat_in = np.vstack(arrs)
+    flat_out = np.vstack(dec)
+    assert (flat_out == flat_in).all()
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4095), st.integers(0, 4095)),
+        min_size=3, max_size=10, unique=True,
+    )
+)
+def test_polygon_stream_roundtrip_closes_rings(ring):
+    arr = np.asarray(ring, np.int64)
+    stream = mvtcodec.encode_geometry(mvtcodec.GEOM_POLYGON, [arr])
+    dec = mvtcodec.decode_geometry(mvtcodec.GEOM_POLYGON, stream)
+    assert len(dec) == 1
+    out = dec[0]
+    assert (out[-1] == out[0]).all()  # closed (mvt.cpp:341-348)
+    assert (out[:-1] == arr).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 48), st.integers(1, 48), st.sampled_from([1, 3]),
+    st.integers(0, 2**31),
+)
+def test_codec_roundtrips(w, h, c, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8).astype(np.uint8)
+    assert (codecs.decode(codecs.encode_raw(img)) == img).all()
+    assert (codecs.decode(codecs.encode_png(img)) == img).all()
+    thumb = codecs.decode(codecs.encode_thumb(img))
+    assert codecs.psnr(img, thumb) >= 40.0
