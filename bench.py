@@ -175,6 +175,47 @@ def run(sf_dir: str, cpus: int) -> dict:
     queries["decode_20k"] = round(dt, 3)
     derived["images_decoded_per_sec"] = round(ok / dt)
 
+    # blend benchmark (the reference Blender driver's core op): N cells
+    # × S sources of 64-px tiles, feathered weighted average in the
+    # grouped Arrow UDAF. Input pre-materialized (scan+blend timed).
+    n_cells, n_src, ts = 512, 4, 256
+    blend_dir = f"/tmp/bench_blend_{n_cells}x{n_src}"
+    if not os.path.isdir(blend_dir):
+        import pandas as _pd
+
+        from gdal_drivers_spark.core import codecs as _codecs
+        from gdal_drivers_spark.sources.synth import pattern as _pattern
+
+        def _gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    cell = (6 << 52) + (i // n_src)
+                    img = _pattern(ts, ts, 1, (i * 2654435761) % 256)
+                    rows.append(
+                        (cell, 0, i % n_src, _codecs.encode_raw(img), 0.0, 0.0, 1.0, 1.0)
+                    )
+                yield _pd.DataFrame(
+                    rows,
+                    columns=["cell", "band", "source_id", "tile", "vx0", "vy0", "vx1", "vy1"],
+                )
+
+        spark.range(0, n_cells * n_src, 1, cpus * 2).mapInPandas(
+            _gen,
+            "cell long, band int, source_id long, tile binary, "
+            "vx0 double, vy0 double, vx1 double, vy1 double",
+        ).write.mode("overwrite").parquet(blend_dir)
+
+    from gdal_drivers_spark.operators.blend import blend_tiles
+
+    dt, nb = timed_sane(
+        lambda: blend_tiles(spark.read.parquet(blend_dir), tile_px=ts, overlap=0.05).count(),
+        sane_s=8.0,
+    )
+    queries["blend_512c4s_256px"] = round(dt, 3)
+    derived["blend_mpix_per_sec"] = round(n_cells * n_src * ts * ts / dt / 1e6, 1)
+
     for name in ["knn", "dedup_minhash", "ann_topk", "windowed_events", "tile_assign"]:
         q = entry_mod.queries()[name]
         dt, _ = timed_sane(lambda: q(spark, sf_dir).count())

@@ -35,7 +35,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..core import codecs
-from ..core.geometry import feather_weight
 from ..core.qcell import UNIT, Grid
 
 BLEND_SCHEMA = (
@@ -84,16 +83,23 @@ def blend_tiles(
         # pixel centers (+0.5 — blender.cpp:593)
         pxs = x0 + (np.arange(tile_px) + 0.5) * (cw / tile_px)
         pys = y0 + (np.arange(tile_px) + 0.5) * (ch / tile_px)
-        PX, PY = np.meshgrid(pxs, pys)  # row-major: PY varies by row
+
+        # the kernel weight is separable (wx(px)·wy(py), blender.cpp
+        # 606-624 is two clamped 1-D ramps): two length-T ramps + one
+        # outer product replace 4 min/max passes over T² points —
+        # entrywise identical to feather_weight (same expressions)
+        def _ramp(p, lo, hi, o):
+            if o <= 0:
+                return ((p >= lo) & (p < hi)).astype(np.float64)
+            return np.clip((np.minimum(p + o, hi) - np.maximum(p - o, lo)) / (2.0 * o), 0.0, 1.0)
 
         acc = np.zeros((tile_px, tile_px), np.float64)
         wacc = np.zeros((tile_px, tile_px), np.float64)
-        for _, r in pdf.iterrows():
-            img = codecs.decode(bytes(r["tile"])).astype(np.float64)[:, :, 0]
-            w = feather_weight(
-                PX.ravel(), PY.ravel(), r["vx0"], r["vy0"], r["vx1"], r["vy1"],
-                overlap, overlap,
-            ).reshape(tile_px, tile_px)
+        for r in pdf.itertuples():
+            img = codecs.decode(bytes(r.tile)).astype(np.float64)[:, :, 0]
+            w = np.outer(
+                _ramp(pys, r.vy0, r.vy1, overlap), _ramp(pxs, r.vx0, r.vx1, overlap)
+            )
             acc += img * w
             wacc += w
         valid = wacc > 0
