@@ -1266,6 +1266,40 @@ def q_blend_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("cell", "band", "n_sources", tile_md5(F.col("tile")).alias("tile_md5"))
 
 
+def q_caption_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-equality gate (BASELINE.json input_hint: per-row caption
+    equality vs the reference pipeline): the images table is
+    synthesized on executors with its real caption column, rows pass
+    through the Arrow decode stage, and every (image_id, caption) pair
+    is emitted for the oracle to reproduce verbatim."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.decode import decode_stats
+    from gdal_drivers_spark.sources.synth import IMAGES_SCHEMA, gen_images_pdf
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey").filter(
+        F.col("o_orderkey") % 7 == 0
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield gen_images_pdf(pdf["o_orderkey"].to_numpy(np.int64))
+
+    images = orders.repartition(16).mapInPandas(gen, IMAGES_SCHEMA)
+    return decode_stats(images).filter("dec_ok").select("image_id", "caption")
+
+
+_CAPTION_ORACLE_SQL = """
+    SELECT 'img' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS image_id,
+           'caption ' || o_orderkey || ' '
+             || (['amber','bright','calm','dusty','early','faded','green','hazy'])[(o_orderkey % 8) + 1]
+             || ' '
+             || (['valley','harbor','ridge','meadow','canyon','delta','plateau','grove'])[(o_orderkey % 8) + 1]
+           AS caption
+    FROM orders WHERE o_orderkey % 7 = 0
+"""
+
+
 def q_grid_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 (grid alignment, blender.cpp:416-429): snap per-order extents
     to a 1/64 pixel grid with floor(ll)/ceil(ur); all-dyadic arithmetic
@@ -1445,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
         "grid_snap": q_grid_snap,
+        "caption_parity": q_caption_parity,
         "envelope": q_envelope,
         "halo_pairs": q_halo_pairs,
         "pyramid_levels": q_pyramid_levels,
@@ -1507,6 +1542,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_ASSIGNED_SQL}) a JOIN bounds USING (cell)
             GROUP BY region
         """,
+        "caption_parity": _CAPTION_ORACLE_SQL,
         "grid_snap": """
             SELECT o_orderkey AS k,
                    floor((((o_orderkey * 48271) % 4096) / 4096.0) * 64) / 64 AS sx0,
