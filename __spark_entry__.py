@@ -1300,6 +1300,48 @@ _CAPTION_ORACLE_SQL = """
 """
 
 
+def q_psnr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-pixel invariant (BASELINE.json input_hint: per-row
+    allclose, PSNR≥40 dB for lossy): encode→decode every format on
+    executors and emit the exact max |error| per image. Lossless
+    (raw/png) must be bit-exact (0); the thumb quantizer's mid-rise
+    reconstruction has max error exactly 2 on this pattern (all v%4
+    residues present) and PSNR ≥ 40 — all oracle-checked."""
+    import numpy as np
+
+    from gdal_drivers_spark.core import codecs
+    from gdal_drivers_spark.sources.synth import pattern
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey")
+
+    def gen(batches):
+        fmts = ["raw", "png", "thumb"]
+        for pdf in batches:
+            rows = []
+            for k in pdf["s_suppkey"]:
+                k = int(k)
+                fmt = fmts[k % 3]
+                img = pattern(32, 32, 1, k % 256)
+                dec = codecs.decode(codecs.ENCODERS[fmt](img), fmt)
+                err = int(np.abs(dec.astype(np.int32) - img.astype(np.int32)).max())
+                p = codecs.psnr(img, dec)
+                rows.append((k, fmt, err, bool(p >= 40.0)))
+            yield pd.DataFrame(rows, columns=["k", "fmt", "max_abs_err", "psnr_ok"])
+
+    return supp.repartition(16).mapInPandas(
+        gen, "k long, fmt string, max_abs_err int, psnr_ok boolean"
+    )
+
+
+_PSNR_ORACLE_SQL = """
+    SELECT s_suppkey AS k,
+           CASE s_suppkey % 3 WHEN 0 THEN 'raw' WHEN 1 THEN 'png' ELSE 'thumb' END AS fmt,
+           CASE WHEN s_suppkey % 3 = 2 THEN 2 ELSE 0 END AS max_abs_err,
+           TRUE AS psnr_ok
+    FROM supplier
+"""
+
+
 def q_grid_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 (grid alignment, blender.cpp:416-429): snap per-order extents
     to a 1/64 pixel grid with floor(ll)/ceil(ur); all-dyadic arithmetic
@@ -1480,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "grid_snap": q_grid_snap,
         "caption_parity": q_caption_parity,
+        "psnr_gate": q_psnr_gate,
         "envelope": q_envelope,
         "halo_pairs": q_halo_pairs,
         "pyramid_levels": q_pyramid_levels,
@@ -1543,6 +1586,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY region
         """,
         "caption_parity": _CAPTION_ORACLE_SQL,
+        "psnr_gate": _PSNR_ORACLE_SQL,
         "grid_snap": """
             SELECT o_orderkey AS k,
                    floor((((o_orderkey * 48271) % 4096) / 4096.0) * 64) / 64 AS sx0,
