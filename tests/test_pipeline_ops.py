@@ -103,3 +103,18 @@ def test_exact_dedup_groups(spark):
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
     got = {r["rep_id"]: r["n_dups"] for r in exact_dedup(df, "doc_id").collect()}
     assert got == {1: 2, 3: 1}
+
+
+def test_lsh_bucket_cap_guards_degenerate_corpus(spark):
+    """A pathological all-identical corpus would put every doc in the
+    same LSH bucket — the max_bucket cap must prevent the quadratic
+    pair blowup (the standard guard; SURVEY scale notes)."""
+    import pandas as pd
+
+    rows = [(i, "same text repeated for every single document here") for i in range(300)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sigs = minhash_signature(df, n_hashes=16)
+    capped = lsh_candidate_pairs(sigs, "doc_id", 16, 4, max_bucket=64).count()
+    assert capped == 0  # every bucket exceeds the cap -> dropped, no n^2
+    uncapped = lsh_candidate_pairs(sigs, "doc_id", 16, 4, max_bucket=1000).count()
+    assert uncapped == 300 * 299 // 2
