@@ -87,6 +87,30 @@ def frame_sample(videos: DataFrame, every_k: int = 2) -> DataFrame:
     return videos.mapInPandas(_run, FRAMES_SCHEMA)
 
 
+def frame_sample_udtf(spark, videos: DataFrame, every_k: int = 2) -> DataFrame:
+    """Native Python UDTF form of frame sampling (PySpark 4 `udtf` —
+    the engine's literal table-function surface for the reference's
+    one-dataset→many-features shape, SURVEY §2.9 U2). Same semantics
+    as `frame_sample`; registered and invoked through SQL so the
+    lateral-join plumbing is exercised."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="frame_idx int, w int, h int, px_sum bigint")
+    class SampleFrames:
+        def eval(self, video_bytes, k: int):
+            frames = decode_video(bytes(video_bytes))
+            for i in range(0, len(frames), k):
+                f = frames[i]
+                yield i, f.shape[1], f.shape[0], int(f.sum(dtype=np.int64))
+
+    spark.udtf.register("sample_frames", SampleFrames)
+    videos.createOrReplaceTempView("_videos_udtf_in")
+    return spark.sql(
+        f"SELECT v.video_id, s.* FROM _videos_udtf_in v, "
+        f"LATERAL sample_frames(v.bytes, {every_k}) s"
+    )
+
+
 def audio_features(audio: DataFrame) -> DataFrame:
     """STUB: no audio codec in this environment. The dispatch raises at
     execution with a clear message; schema/plumbing are declared so the

@@ -118,3 +118,24 @@ def test_lsh_bucket_cap_guards_degenerate_corpus(spark):
     assert capped == 0  # every bucket exceeds the cap -> dropped, no n^2
     uncapped = lsh_candidate_pairs(sigs, "doc_id", 16, 4, max_bucket=1000).count()
     assert uncapped == 300 * 299 // 2
+
+
+def test_frame_sample_udtf_matches_mapinpandas(spark):
+    """The native Python UDTF (lateral table function) must produce the
+    same sampled frames as the mapInPandas form."""
+    from gdal_drivers_spark.operators.multimodal import frame_sample_udtf
+
+    vids = []
+    for v in range(3):
+        frames = [synth.pattern(16, 16, 3, v * 100 + i) for i in range(7)]
+        vids.append((f"vid{v}", encode_video(frames)))
+    df = spark.createDataFrame(pd.DataFrame(vids, columns=["video_id", "bytes"]))
+    base = {
+        (r["video_id"], r["frame_idx"]): codecs.decode(bytes(r["bytes"])).sum()
+        for r in frame_sample(df, every_k=3).collect()
+    }
+    got = {
+        (r["video_id"], r["frame_idx"]): r["px_sum"]
+        for r in frame_sample_udtf(spark, df, every_k=3).collect()
+    }
+    assert got == {k: int(v) for k, v in base.items()}
