@@ -1199,25 +1199,25 @@ def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rasterize_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5 rows-only (pixel op, not SQL-expressible): rasterize a
-    quadtree derived deterministically from part keys; returns per-tile
-    white/gray pixel counts (values checked by the numpy-oracle pytest
-    suite; the driver records the rows-only check)."""
+    """S5 (quadtree→raster rasterization with index prune): leaf quads
+    at z=6 painted into 16-px tiles; the per-tile white-pixel count
+    decoded from the actual painted bytes equals the relational count
+    of white cells per tile region (oracle-checked)."""
     from gdal_drivers_spark.operators.rasterize import rasterize_quads
 
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
-    h = (F.col("p_partkey") * F.lit(2654435761)) % F.lit(256)
+    h = (F.col("p_partkey") * F.lit(2654435761)) % F.lit(4096)
     quads = (
         p.select(
-            F.lit(4).alias("level"),
-            (h % 16).alias("qx"),
-            (h.cast("long") / 16).cast("long").alias("qy"),
+            F.lit(6).alias("level"),
+            (h % 64).alias("qx"),
+            (h.cast("long") / 64).cast("long").alias("qy"),
             F.when(F.col("p_partkey") % 2 == 0, "white").otherwise("gray").alias("value"),
         )
         .groupBy("level", "qx", "qy")
         .agg(F.max("value").alias("value"))
     )
-    tiles = rasterize_quads(quads, depth=4, tile_px=16)
+    tiles = rasterize_quads(quads, depth=6, tile_px=16)
 
     @F.pandas_udf("long")
     def n_white(tile: pd.Series) -> pd.Series:
@@ -1586,6 +1586,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY region
         """,
         "caption_parity": _CAPTION_ORACLE_SQL,
+        "rasterize_quads": """
+            WITH cells AS (
+                SELECT ((p_partkey * 2654435761) % 4096) % 64 AS qx,
+                       ((p_partkey * 2654435761) % 4096) // 64 AS qy,
+                       max(CASE WHEN p_partkey % 2 = 0 THEN 'white' ELSE 'gray' END) AS v
+                FROM part GROUP BY 1, 2
+            )
+            SELECT qx // 16 AS tx, qy // 16 AS ty,
+                   sum(CASE WHEN v = 'white' THEN 1 ELSE 0 END) AS n_white_px,
+                   16 AS ts
+            FROM cells GROUP BY 1, 2
+        """,
         "psnr_gate": _PSNR_ORACLE_SQL,
         "grid_snap": """
             SELECT o_orderkey AS k,
