@@ -217,3 +217,48 @@ def test_tristate_rollup_relational(spark):
     assert got[(1, 0)] == "black"
     assert got[(0, 1)] == "gray"
     assert got[(1, 1)] == "gray"
+
+
+def test_halo_convolve_matches_whole_image_oracle(spark):
+    """Cross-tile 3×3 box-mean via halo join == convolving the stitched
+    full image (seam-exact), with edge normalization by in-bounds
+    sample count."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_drivers_spark.core import qcell
+    from gdal_drivers_spark.operators.halo import halo_convolve
+
+    t, nz = 16, 4  # 4x4 tiles of 16px at z=2
+    full = np.zeros((nz * t, nz * t), np.uint8)
+    rows = []
+    for ty in range(nz):
+        for tx in range(nz):
+            img = ((np.arange(t)[:, None] * 7 + np.arange(t)[None, :] * 11
+                    + tx * 31 + ty * 57) % 256).astype(np.uint8)
+            full[ty * t : (ty + 1) * t, tx * t : (tx + 1) * t] = img
+            rows.append((int(qcell.pack(2, tx, ty)), img.tobytes()))
+    tiles = spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "tile"]))
+    got = {
+        r["cell"]: np.frombuffer(bytes(r["tile"]), np.uint8).reshape(t, t)
+        for r in halo_convolve(tiles, tile_px=t).collect()
+    }
+    assert len(got) == nz * nz
+
+    # whole-image oracle: padded sums + in-bounds counts
+    H = W = nz * t
+    padv = np.zeros((H + 2, W + 2), np.float64)
+    padv[1:-1, 1:-1] = full
+    padc = np.zeros((H + 2, W + 2), np.float64)
+    padc[1:-1, 1:-1] = 1.0
+    acc = np.zeros((H, W)); cnt = np.zeros((H, W))
+    for ky in range(3):
+        for kx in range(3):
+            acc += padv[ky : ky + H, kx : kx + W]
+            cnt += padc[ky : ky + H, kx : kx + W]
+    exp = np.rint(acc / cnt).astype(np.uint8)
+    for ty in range(nz):
+        for tx in range(nz):
+            g = got[int(qcell.pack(2, tx, ty))]
+            e = exp[ty * t : (ty + 1) * t, tx * t : (tx + 1) * t]
+            assert (g == e).all(), (tx, ty)
