@@ -112,6 +112,15 @@ def knn_join(
         )
         w = Window.partitionBy("_qid").orderBy("dist2", "_pid")
         topk = matched.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        # Truncate lineage once per iteration: topk is consumed three
+        # times (certification stats, the kept rows, and the caller's
+        # final action) and the pending anti-join chain would otherwise
+        # be re-executed from the source on every take(1) — O(iters²)
+        # recompute. localCheckpoint materializes the (small, ≤ |Q|·k
+        # after certification) frame; on a real cluster a reliable
+        # checkpoint dir gives the same truncation with executor-loss
+        # tolerance.
+        topk = topk.localCheckpoint(eager=False)
         # certification: the k-th distance must be within the guaranteed
         # ring radius (any unseen point is at Chebyshev cell distance
         # > ring ⇒ euclidean distance ≥ ring*side away from the query's
@@ -131,7 +140,9 @@ def knn_join(
             pending = None
         else:
             done = topk.join(done_ids, "_qid", "left_semi")
-            pending = pending.join(done_ids, "_qid", "left_anti")
+            pending = pending.join(done_ids, "_qid", "left_anti").localCheckpoint(
+                eager=False
+            )
         collected = done if collected is None else collected.unionByName(done)
         if pending is None or len(pending.take(1)) == 0:
             break
