@@ -1177,6 +1177,75 @@ _UNKNOWN_FILTER_ORACLE_SQL = """
 """
 
 
+def q_remote_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: remote tile scan (mvt.cpp:699-730) with retry/backoff and
+    per-row status — driven by a deterministic in-process transport
+    (sandbox has no network): x%3 transient 503s before the real
+    answer, (x+y)%7==0 → terminal 404, payloads are single-byte runs,
+    gzipped when y is even (gunzip sniff per mbtiles.cpp:214-224).
+    Malformed URLs (k%17==0) are dropped by the URL grammar. The
+    oracle recomputes statuses, attempt counts and payload shapes
+    relationally."""
+    from gdal_drivers_spark.sources.remote import fetch_remote_tiles
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    reqs = part.select(
+        F.when(
+            F.col("p_partkey") % 17 == 0, F.lit("http://tiles.example/malformed")
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://tiles.example/3-"),
+                (F.col("p_partkey") % 8).cast("string"),
+                F.lit("-"),
+                ((F.col("p_partkey") * 3) % 8).cast("string"),
+                F.lit(".mvt"),
+            )
+        )
+        .alias("url")
+    )
+
+    def fake_transport(url: str, attempt: int) -> tuple[int, bytes]:
+        import gzip as _gz
+        import re as _re
+
+        m = _re.search(r"/3-(\d+)-(\d+)\.mvt$", url)
+        x, y = int(m.group(1)), int(m.group(2))
+        if attempt < x % 3:
+            return 503, b""
+        if (x + y) % 7 == 0:
+            return 404, b""
+        raw = bytes([(x * 8 + y) % 251]) * ((x + y) % 19 + 1)
+        return 200, _gz.compress(raw) if y % 2 == 0 else raw
+
+    fetched = fetch_remote_tiles(reqs, transport=fake_transport, backoff_s=0.001)
+    return fetched.select(
+        "x",
+        "y",
+        "status",
+        "n_attempts",
+        F.length("tile_data").cast("long").alias("n_bytes"),
+        F.coalesce(
+            F.expr("CAST(conv(hex(substring(tile_data, 1, 1)), 16, 10) AS BIGINT)"),
+            F.lit(0),
+        ).alias("byte_val"),
+    )
+
+
+_REMOTE_FETCH_ORACLE_SQL = """
+    WITH r AS (
+        SELECT p_partkey % 8 AS x, (p_partkey * 3) % 8 AS y
+        FROM part WHERE p_partkey % 17 <> 0
+    )
+    SELECT x, y,
+           CAST(CASE WHEN (x + y) % 7 = 0 THEN 404 ELSE 200 END AS INT) AS status,
+           CAST(x % 3 + 1 AS INT) AS n_attempts,
+           CAST(CASE WHEN (x + y) % 7 = 0 THEN 0 ELSE (x + y) % 19 + 1 END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN (x + y) % 7 = 0 THEN 0 ELSE (x * 8 + y) % 251 END AS BIGINT) AS byte_val
+    FROM r
+"""
+
+
 def q_gt_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: resolution from a 6-term geotransform — hypot(gt1,gt4),
     hypot(gt2,gt5) (blender.cpp:141-151). Geotransform components are
@@ -1727,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "unknown_filter": q_unknown_filter,
+        "remote_fetch": q_remote_fetch,
         "gt_resolution": q_gt_resolution,
         "nodata_norm": q_nodata_norm,
         "overview_chain": q_overview_chain,
@@ -1875,6 +1945,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ANN_LSH_ORACLE_SQL,
         "ann_ivf": _ANN_IVF_ORACLE_SQL,
         "unknown_filter": _UNKNOWN_FILTER_ORACLE_SQL,
+        "remote_fetch": _REMOTE_FETCH_ORACLE_SQL,
         "gt_resolution": _GT_RESOLUTION_ORACLE_SQL,
         "nodata_norm": _NODATA_NORM_ORACLE_SQL,
         "overview_chain": _OVERVIEW_ORACLE_SQL,

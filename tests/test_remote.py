@@ -1,0 +1,81 @@
+"""Remote tile scan (S12, mvt.cpp:699-730): URL grammar, bounds rule,
+retry/backoff exhaustion, terminal statuses, gzip inflate."""
+
+import gzip
+
+import pandas as pd
+
+from gdal_drivers_spark.sources.remote import URL_RE, fetch_remote_tiles
+
+
+def _reqs(spark, urls):
+    return spark.createDataFrame(pd.DataFrame({"url": urls}))
+
+
+def test_url_grammar_and_bounds(spark):
+    """Non-matching URLs and out-of-bounds tiles are dropped (identify
+    refusal mvt.cpp:654-672 + bounds mbtiles.cpp:146-152)."""
+    urls = [
+        "http://h/3-1-2.mvt",          # ok
+        "https://h/tiles/0-0-0",       # ok, no extension
+        "ftp://h/2-3-3.pbf",           # ok
+        "http://h/nope",               # no z-x-y tail
+        "file:///local/3-1-2.mvt",     # scheme not remote
+        "http://h/2-4-0.mvt",          # x > 2^2-1
+        "http://h/2-0-4.mvt",          # y > 2^2-1
+    ]
+    got = fetch_remote_tiles(
+        _reqs(spark, urls), transport=lambda u, a: (200, b"ab")
+    ).collect()
+    kept = sorted((r["zoom"], r["x"], r["y"]) for r in got)
+    assert kept == [(0, 0, 0), (2, 3, 3), (3, 1, 2)]
+    assert all(bytes(r["tile_data"]) == b"ab" and r["status"] == 200 for r in got)
+
+
+def test_transient_exhaustion_keeps_row_with_final_status(spark):
+    """A URL that never stops 503ing is exhausted after max_attempts
+    and recorded, not raised — a poison URL must not kill the stage."""
+    got = fetch_remote_tiles(
+        _reqs(spark, ["http://h/1-0-1.mvt"]),
+        transport=lambda u, a: (503, b"x"),
+        max_attempts=3,
+        backoff_s=0.0,
+    ).collect()
+    (r,) = got
+    assert (r["status"], r["n_attempts"]) == (503, 3)
+    assert bytes(r["tile_data"]) == b""
+
+
+def test_retry_then_success_counts_attempts(spark):
+    calls = {"n": 0}
+
+    def tp(url, attempt):
+        return (503, b"") if attempt < 2 else (200, b"ok")
+
+    (r,) = fetch_remote_tiles(
+        _reqs(spark, ["http://h/1-1-0.mvt"]), transport=tp, backoff_s=0.0
+    ).collect()
+    assert (r["status"], r["n_attempts"], bytes(r["tile_data"])) == (200, 3, b"ok")
+
+
+def test_terminal_status_no_retry_and_gzip_inflate(spark):
+    def tp(url, attempt):
+        if url.endswith("0-0.mvt"):
+            return 404, b"ignored"
+        return 200, gzip.compress(b"payload")
+
+    rows = {
+        (r["x"], r["y"]): r
+        for r in fetch_remote_tiles(
+            _reqs(spark, ["http://h/1-0-0.mvt", "http://h/1-1-1.mvt"]), transport=tp
+        ).collect()
+    }
+    assert rows[(0, 0)]["status"] == 404
+    assert rows[(0, 0)]["n_attempts"] == 1
+    assert bytes(rows[(0, 0)]["tile_data"]) == b""
+    assert bytes(rows[(1, 1)]["tile_data"]) == b"payload"
+
+
+def test_urlre_is_anchored():
+    assert URL_RE.match("http://h/a/3-1-2.mvt")
+    assert not URL_RE.match("http://h/3-1-2.mvt/extra")
