@@ -1246,6 +1246,59 @@ _REMOTE_FETCH_ORACLE_SQL = """
 """
 
 
+_PHASH_EXPR = """
+  (((s_suppkey div 4) * 40503) % 65536
+   + (((s_suppkey div 4) * 12289) % 65536) * 65536
+   + (((s_suppkey div 4) * 52579) % 65536) * 4294967296L
+   + (((s_suppkey div 4) * 17761) % 32768) * 281474976710656L)
+  ^ (CASE CAST(s_suppkey % 4 AS INT)
+      WHEN 0 THEN 0L
+      WHEN 1 THEN shiftleft(1L, CAST((s_suppkey * 13) % 48 AS INT))
+      WHEN 2 THEN shiftleft(1L, CAST((s_suppkey * 13) % 48 AS INT))
+                | shiftleft(1L, CAST((((s_suppkey * 13) % 48) * 7 + 5) % 48 AS INT))
+      ELSE 366503875925L END)
+"""
+
+
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup by perceptual hash: Hamming distance ≤ 3 via
+    multi-index banding (pigeonhole over 4 bands → recall 1, so the
+    banded engine result must equal the oracle's brute-force n² scan).
+    Supplier keys get planted phashes: groups of 4 share a base hash,
+    members 0-2 perturbed by ≤2 bits (near-dups), member 3 by 20 bits
+    (far). input_hint's (image_id, …, phash:int64) dedup path."""
+    from gdal_drivers_spark.operators.dedup import phash_near_dup
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("image_id"), F.expr(_PHASH_EXPR).alias("phash")
+    )
+    return phash_near_dup(supp, max_dist=3, n_bands=4)
+
+
+_PHASH_ORACLE_SQL = """
+    WITH p AS (
+        SELECT s_suppkey AS k,
+               xor(
+                 ((s_suppkey // 4) * 40503) % 65536
+                 + (((s_suppkey // 4) * 12289) % 65536) * 65536
+                 + (((s_suppkey // 4) * 52579) % 65536) * 4294967296
+                 + (((s_suppkey // 4) * 17761) % 32768) * 281474976710656,
+                 CASE CAST(s_suppkey % 4 AS INT)
+                   WHEN 0 THEN 0
+                   WHEN 1 THEN 1::BIGINT << CAST((s_suppkey * 13) % 48 AS INT)
+                   WHEN 2 THEN (1::BIGINT << CAST((s_suppkey * 13) % 48 AS INT))
+                             | (1::BIGINT << CAST((((s_suppkey * 13) % 48) * 7 + 5) % 48 AS INT))
+                   ELSE 366503875925 END
+               ) AS phash
+        FROM supplier
+    )
+    SELECT a.k AS id1, b.k AS id2,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS dist
+    FROM p a JOIN p b ON a.k < b.k
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
 def q_gt_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: resolution from a 6-term geotransform — hypot(gt1,gt4),
     hypot(gt2,gt5) (blender.cpp:141-151). Geotransform components are
@@ -1797,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "unknown_filter": q_unknown_filter,
         "remote_fetch": q_remote_fetch,
+        "phash_near_dup": q_phash_near_dup,
         "gt_resolution": q_gt_resolution,
         "nodata_norm": q_nodata_norm,
         "overview_chain": q_overview_chain,
@@ -1946,6 +2000,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ANN_IVF_ORACLE_SQL,
         "unknown_filter": _UNKNOWN_FILTER_ORACLE_SQL,
         "remote_fetch": _REMOTE_FETCH_ORACLE_SQL,
+        "phash_near_dup": _PHASH_ORACLE_SQL,
         "gt_resolution": _GT_RESOLUTION_ORACLE_SQL,
         "nodata_norm": _NODATA_NORM_ORACLE_SQL,
         "overview_chain": _OVERVIEW_ORACLE_SQL,

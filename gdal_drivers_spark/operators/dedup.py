@@ -167,3 +167,75 @@ def exact_jaccard(pairs: DataFrame, shingled: DataFrame, id_col: str) -> DataFra
         .withColumn("jaccard_pct", F.expr("(100 * _i) div _u"))  # exact int div
         .drop("sh1", "sh2", "_i", "_u")
     )
+
+
+def phash_near_dup(
+    df: DataFrame,
+    max_dist: int = 3,
+    n_bands: int = 4,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs: (id1 < id2, hamming dist ≤
+    ``max_dist``) over a 64-bit ``phash`` column — the image-pipeline
+    dedup for the (image_id, …, phash) input schema.
+
+    Multi-index hashing (pigeonhole): split the hash into ``n_bands``
+    contiguous bands; any pair within Hamming distance d < n_bands
+    must agree **exactly** on ≥1 band, so banding has recall 1 — the
+    result is exact, proven by the brute-force SQL oracle. Candidate
+    generation is an equi-join on (band_idx, band_val): the same
+    shuffle shape as the LSH/cell joins, never the n² cross product.
+    All JVM-side (shift/mask/xor/bit_count codegen — no Python).
+
+    ``max_bucket`` guards degenerate corpora (millions of identical
+    hashes → quadratic bucket): bands whose bucket exceeds the cap are
+    dropped with the same rationale as ``lsh_candidate_pairs``; recall
+    stays 1 for any pair that retains one uncapped band.
+    """
+    assert n_bands > max_dist, "pigeonhole needs n_bands > max_dist"
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+    b = df.select(F.col(id_col).alias("_id"), F.col(phash_col).alias("_p"))
+    banded = b.select(
+        "_id",
+        "_p",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        (
+                            F.shiftrightunsigned(F.col("_p"), i * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", "_p", "_band.band_idx", "_band.band_val")
+    if max_bucket is not None:
+        w = Window.partitionBy("band_idx", "band_val")
+        banded = banded.withColumn("_n", F.count("*").over(w)).filter(
+            F.col("_n") <= max_bucket
+        ).drop("_n")
+    a1 = banded.select(
+        F.col("_id").alias("id1"), F.col("_p").alias("p1"), "band_idx", "band_val"
+    )
+    a2 = banded.select(
+        F.col("_id").alias("id2"), F.col("_p").alias("p2"), "band_idx", "band_val"
+    )
+    pairs = (
+        a1.join(a2, ["band_idx", "band_val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "p1", "p2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    dist = F.bit_count(F.col("p1").bitwiseXOR(F.col("p2")))
+    return (
+        pairs.withColumn("dist", dist.cast("int"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id1", "id2", "dist")
+    )

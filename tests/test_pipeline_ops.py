@@ -116,6 +116,28 @@ def test_ivf_topk_recall_and_probe_discipline(spark):
     assert n_lists >= 2, "degenerate centroid set"
 
 
+def test_phash_near_dup_planted_pairs(spark):
+    """Banded Hamming near-dup: planted hashes at distance 0/1/4 —
+    dist ≤ 3 pairs found exactly, the 4-bit pair excluded; identical
+    hashes pair at distance 0."""
+    from gdal_drivers_spark.operators.dedup import phash_near_dup
+
+    base = 0x0123456789ABCDEF
+    rows = pd.DataFrame(
+        {
+            "image_id": [1, 2, 3, 4],
+            "phash": [base, base ^ 1, base ^ 0xF000, base],
+        }
+    )
+    got = {
+        (r["id1"], r["id2"]): r["dist"]
+        for r in phash_near_dup(
+            spark.createDataFrame(rows), max_dist=3, n_bands=4
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (1, 4): 0, (2, 4): 1}
+
+
 def test_minhash_estimates_track_jaccard(spark):
     """MinHash n_equal/16 must correlate with exact Jaccard: identical
     docs → 16/16; disjoint docs → no candidate pair at all."""
