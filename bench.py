@@ -295,11 +295,23 @@ def scaling() -> dict:
     }
     eff_best = best[hi] / (best[lo] * (hi / lo))
     eff_med = med[hi] / (med[lo] * (hi / lo))
+    # third estimator: per-rep ADJACENT pairing — each rep's lo and hi
+    # run back-to-back in the same credit window, so their ratio sees
+    # similar throttle state; cross-rep pairings can compare a
+    # credit-rich lo against a credit-poor hi (observed: 0.55 "best"
+    # pairing in a drained window whose adjacent pairs read 0.7-0.9)
+    paired = [
+        results[hi][i]["derived"]["marginal_assignments_per_sec"]
+        / (results[lo][i]["derived"]["marginal_assignments_per_sec"] * (hi / lo))
+        for i in range(len(results[lo]))
+    ]
     return {
         "metric": f"flagship marginal-throughput scaling local[{lo}]→local[{hi}] (N→4N)",
         "value": round(eff_best, 3),
         "unit": "ratio",
         "efficiency_median_pairing": round(eff_med, 3),
+        "efficiency_adjacent_pairs": [round(p, 3) for p in paired],
+        "efficiency_adjacent_best": round(max(paired), 3),
         f"assignments_per_sec_local{lo}": best[lo],
         f"assignments_per_sec_local{hi}": best[hi],
         "full": {str(k): v for k, v in results.items()},
