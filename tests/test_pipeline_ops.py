@@ -81,6 +81,14 @@ def test_lsh_topk_recall(spark):
     approx = {(r["qid"], r["cid"]) for r in lsh_topk(qs, corpus, dim=64, k=5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"recall {recall}"
+    # radius-1 multiprobe must not lose recall (probes a superset of
+    # buckets) and in practice gains it
+    multi = {
+        (r["qid"], r["cid"])
+        for r in lsh_topk(qs, corpus, dim=64, k=5, probe_bits=1).collect()
+    }
+    recall_mp = len(exact & multi) / len(exact)
+    assert recall_mp >= recall, (recall_mp, recall)
 
 
 def test_ivf_topk_recall_and_probe_discipline(spark):
