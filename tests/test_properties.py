@@ -167,3 +167,18 @@ def test_codec_roundtrips(w, h, c, seed):
     assert (codecs.decode(codecs.encode_png(img)) == img).all()
     thumb = codecs.decode(codecs.encode_thumb(img))
     assert codecs.psnr(img, thumb) >= 40.0
+
+
+@given(
+    st.integers(0, 2**63 - 1),
+    st.sets(st.integers(0, 62), max_size=3),
+)
+def test_phash_band_pigeonhole(h, flips):
+    """The recall-1 invariant behind dedup.phash_near_dup: any pair
+    within Hamming distance 3 agrees exactly on ≥1 of 4 contiguous
+    16-bit bands (3 flipped bits cannot touch 4 disjoint bands)."""
+    h2 = h
+    for b in flips:
+        h2 ^= 1 << b
+    bands = lambda v: [(v >> (16 * i)) & 0xFFFF for i in range(4)]
+    assert any(a == b for a, b in zip(bands(h), bands(h2)))
