@@ -1246,6 +1246,61 @@ _REMOTE_FETCH_ORACLE_SQL = """
 """
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extract: deterministic 16×16 images (pixel =
+    (3x+5y+phash)%256, FIXTURES.md §1) → per-channel histogram features
+    (operators/multimodal.image_features) → argmax bin / max count, all
+    JVM-side after the one Arrow hop. Oracle rebuilds the histogram
+    relationally from the pixel formula."""
+    import numpy as np
+
+    from gdal_drivers_spark.core import codecs
+    from gdal_drivers_spark.operators.multimodal import image_features
+    from gdal_drivers_spark.sources.synth import pattern
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for s in pdf["s_suppkey"].astype("int64"):
+                s = int(s)
+                img = pattern(16, 16, 1, s % 256)
+                rows.append((str(s), codecs.encode_raw(img), "raw"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    images = supp.mapInPandas(gen, "image_id string, bytes binary, fmt string")
+    feats = image_features(images, bins=16)
+    return feats.select(
+        F.col("image_id").cast("long").alias("k"),
+        (F.array_position(F.col("feat"), F.array_max(F.col("feat"))) - 1)
+        .cast("int")
+        .alias("argmax_bin"),
+        F.array_max(F.col("feat")).cast("long").alias("max_count"),
+        F.col("n_pixels"),
+    )
+
+
+_IMAGE_FEATURES_ORACLE_SQL = """
+    WITH s AS (SELECT s_suppkey AS k, s_suppkey % 256 AS ph FROM supplier),
+    px AS (
+        SELECT s.k, ((3 * gx.x + 5 * gy.y + s.ph) % 256) // 16 AS bin
+        FROM s,
+             LATERAL (SELECT unnest(generate_series(0, 15)) AS x) gx,
+             LATERAL (SELECT unnest(generate_series(0, 15)) AS y) gy
+    ),
+    h AS (SELECT k, bin, count(*) AS cnt FROM px GROUP BY k, bin),
+    r AS (
+        SELECT k, bin, cnt,
+               row_number() OVER (PARTITION BY k ORDER BY cnt DESC, bin) AS rn
+        FROM h
+    )
+    SELECT k, CAST(bin AS INT) AS argmax_bin, cnt AS max_count,
+           CAST(256 AS BIGINT) AS n_pixels
+    FROM r WHERE rn = 1
+"""
+
+
 _PHASH_EXPR = """
   (((s_suppkey div 4) * 40503) % 65536
    + (((s_suppkey div 4) * 12289) % 65536) * 65536
@@ -1851,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unknown_filter": q_unknown_filter,
         "remote_fetch": q_remote_fetch,
         "phash_near_dup": q_phash_near_dup,
+        "image_features": q_image_features,
         "gt_resolution": q_gt_resolution,
         "nodata_norm": q_nodata_norm,
         "overview_chain": q_overview_chain,
@@ -2001,6 +2057,7 @@ def oracle_sql() -> dict[str, str]:
         "unknown_filter": _UNKNOWN_FILTER_ORACLE_SQL,
         "remote_fetch": _REMOTE_FETCH_ORACLE_SQL,
         "phash_near_dup": _PHASH_ORACLE_SQL,
+        "image_features": _IMAGE_FEATURES_ORACLE_SQL,
         "gt_resolution": _GT_RESOLUTION_ORACLE_SQL,
         "nodata_norm": _NODATA_NORM_ORACLE_SQL,
         "overview_chain": _OVERVIEW_ORACLE_SQL,

@@ -68,6 +68,39 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return images.mapInPandas(_run, RESIZE_SCHEMA)
 
 
+FEATURES_SCHEMA = "image_id string, feat array<double>, n_pixels long"
+
+
+def image_features(images: DataFrame, bins: int = 16) -> DataFrame:
+    """Feature-extract: decode → per-channel intensity histogram
+    (``bins`` buckets of the 0-255 range, channel-concatenated) — a
+    real, library-free image embedding that feeds the similarity ops
+    (``similarity.brute_topk``/``ivf_topk``/``near_dup_pairs`` over
+    the ``feat`` column). Counts, not frequencies, so the output is
+    exact-integer valued (engine-portable oracles); normalize
+    downstream if cosine semantics are wanted. One Arrow hop,
+    ``np.bincount`` per channel."""
+    width = 256 // bins
+
+    def _run(batches):
+        for pdf in batches:
+            ids, feats, npix = [], [], []
+            for r in pdf.itertuples():
+                img = codecs.decode(bytes(r.bytes), r.fmt)
+                chans = [
+                    np.bincount(img[:, :, c].ravel() // width, minlength=bins)[:bins]
+                    for c in range(img.shape[2])
+                ]
+                ids.append(r.image_id)
+                feats.append(np.concatenate(chans).astype(np.float64))
+                npix.append(img.shape[0] * img.shape[1])
+            yield pd.DataFrame(
+                {"image_id": ids, "feat": feats, "n_pixels": npix}
+            )
+
+    return images.mapInPandas(_run, FEATURES_SCHEMA)
+
+
 FRAMES_SCHEMA = "video_id string, frame_idx int, bytes binary, w int, h int"
 
 

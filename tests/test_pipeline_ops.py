@@ -124,6 +124,35 @@ def test_ivf_topk_recall_and_probe_discipline(spark):
     assert n_lists >= 2, "degenerate centroid set"
 
 
+def test_image_features_feed_similarity(spark):
+    """Composition the pipeline needs: decode → histogram features →
+    ANN. Identical images must be each other's rank-1 (after self) in
+    feature space; histogram mass equals the pixel count."""
+    import numpy as np
+
+    from gdal_drivers_spark.core import codecs
+    from gdal_drivers_spark.operators.multimodal import image_features
+    from gdal_drivers_spark.operators.similarity import brute_topk
+    from gdal_drivers_spark.sources.synth import pattern
+
+    rows = []
+    for i, ph in enumerate([10, 10, 200]):  # 0 and 1 identical
+        rows.append((str(i), codecs.encode_raw(pattern(16, 16, 1, ph)), "raw"))
+    images = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+    )
+    feats = image_features(images, bins=16)
+    got = {r["image_id"]: r["feat"] for r in feats.collect()}
+    assert all(sum(v) == 256 for v in got.values())
+    assert got["0"] == got["1"] != got["2"]
+    qs = feats.select(F.col("image_id").alias("qid"), F.col("feat").alias("qvec"))
+    corpus = feats.select(F.col("image_id").alias("cid"), F.col("feat").alias("cvec"))
+    top = brute_topk(qs, corpus, k=2).collect()
+    best = {r["qid"]: r["cid"] for r in top if r["rank"] == 1}
+    # ties broken by cid: image 0's top-1 is itself ("0" < "1" lexic.)
+    assert best["0"] == "0" and best["1"] == "0"
+
+
 def test_phash_near_dup_planted_pairs(spark):
     """Banded Hamming near-dup: planted hashes at distance 0/1/4 —
     dist ≤ 3 pairs found exactly, the 4-bit pair excluded; identical
