@@ -227,7 +227,10 @@ def run(sf_dir: str, cpus: int) -> dict:
     queries["blend_512c4s_256px"] = round(dt, 3)
     derived["blend_mpix_per_sec"] = round(n_cells * n_src * ts * ts / dt / 1e6, 1)
 
-    for name in ["knn", "dedup_minhash", "ann_topk", "windowed_events", "tile_assign"]:
+    for name in [
+        "knn", "dedup_minhash", "ann_topk", "ann_ivf", "phash_near_dup",
+        "windowed_events", "tile_assign",
+    ]:
         q = entry_mod.queries()[name]
         dt, _ = timed_sane(lambda: q(spark, sf_dir).count())
         queries[name] = round(dt, 3)
