@@ -236,6 +236,12 @@ def phash_near_dup(
         banded = banded.withColumn("_n", F.count("*").over(w)).filter(
             F.col("_n") <= max_bucket
         ).drop("_n")
+    # both self-join sides read the banded+capped frame — persist so the
+    # scan + banding + cap window run once (same rationale as the LSH
+    # candidate pipeline above)
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a1 = banded.select(
         F.col("_id").alias("id1"), F.col("_p").alias("p1"), "band_idx", "band_val"
     )
