@@ -57,3 +57,41 @@ def test_unbucketed_join_shuffles_both_sides(spark, tmp_path, no_broadcast):
     j = a.join(b, "cell")
     j.count()
     assert _n_exchanges(j) >= 2, "control: plain SMJ shuffles both sides"
+
+
+def test_bucketed_blend_has_no_exchange(spark):
+    """The 100 TB blend contract: over a table bucketed by the blend's
+    grouping keys (cell, band), the grouped Arrow UDAF's clustering
+    requirement is satisfied by the bucketing — ZERO exchanges; the
+    whole mosaic runs scan → applyInPandas with no shuffle. Control:
+    the same data unbucketed shuffles once."""
+    import pandas as pd
+
+    from gdal_drivers_spark.core import codecs
+    from gdal_drivers_spark.operators.blend import blend_tiles
+    from gdal_drivers_spark.sources.synth import pattern
+
+    rows = []
+    for i in range(32 * 2):
+        cell = (6 << 52) + (i // 2)
+        img = pattern(16, 16, 1, i % 256)
+        rows.append((cell, 0, i % 2, codecs.encode_raw(img), 0.0, 0.0, 1.0, 1.0))
+    pdf = pd.DataFrame(
+        rows, columns=["cell", "band", "source_id", "tile", "vx0", "vy0", "vx1", "vy1"]
+    )
+    df = spark.createDataFrame(pdf)
+    spark.sql("DROP TABLE IF EXISTS blend_bkt")
+    (
+        df.write.mode("overwrite")
+        .bucketBy(4, "cell", "band")
+        .sortBy("cell", "band")
+        .format("parquet")
+        .saveAsTable("blend_bkt")
+    )
+    out = blend_tiles(spark.table("blend_bkt"), tile_px=16, overlap=0.05)
+    assert out.count() == 32
+    assert _n_exchanges(out) == 0, "bucketed blend must not shuffle"
+    ctrl = blend_tiles(df, tile_px=16, overlap=0.05)
+    ctrl.count()
+    assert _n_exchanges(ctrl) >= 1, "control: unbucketed blend shuffles"
+    spark.sql("DROP TABLE IF EXISTS blend_bkt")
