@@ -48,6 +48,23 @@ class ImageSet:
 
         return Assignments(self.spark, assign_tiles(self.df, z), z)
 
+    def features(self, bins: int = 16) -> DataFrame:
+        """Histogram feature-extract (multimodal.image_features)."""
+        from .operators.multimodal import image_features
+
+        return image_features(self.df, bins)
+
+    def phash_near_dups(self, max_dist: int = 3, n_bands: int = 4) -> DataFrame:
+        """Perceptual-hash Hamming near-dup pairs (dedup.phash_near_dup)."""
+        from .operators.dedup import phash_near_dup
+
+        return phash_near_dup(self.df, max_dist=max_dist, n_bands=n_bands)
+
+    def resize(self, out_w: int, out_h: int) -> "ImageSet":
+        from .operators.multimodal import resize_images
+
+        return ImageSet(self.spark, resize_images(self.df, out_w, out_h))
+
 
 class Assignments:
     def __init__(self, spark: SparkSession, df: DataFrame, z: int):

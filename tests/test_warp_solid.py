@@ -171,6 +171,23 @@ def test_engine_fluent_pipeline(spark):
     assert "[job]" in ini and "z = 5" in ini
 
 
+def test_engine_image_pipeline_ops(spark):
+    """Facade: features / resize / phash near-dups compose off ImageSet."""
+    eng = Engine(spark)
+    imgs = eng.synthetic_images(32)
+    feats = imgs.features(bins=16).collect()
+    assert len(feats) == 32
+    # histogram mass = pixels × channels (feat is channel-concatenated)
+    assert all(
+        sum(r["feat"]) == r["n_pixels"] * (len(r["feat"]) // 16) for r in feats
+    )
+    small = imgs.resize(8, 8)
+    got = small.df.select("w", "h").distinct().collect()
+    assert [(r["w"], r["h"]) for r in got] == [(8, 8)]
+    pairs = imgs.phash_near_dups()  # splitmix phashes: no near pairs expected
+    assert pairs.count() == 0  # exactness proven in test_pipeline_ops/oracle
+
+
 def test_engine_solid_and_blend(spark):
     eng = Engine(spark)
     tiles = eng.solid(128, 128, [(42, "u8")], tile_px=64)
