@@ -52,16 +52,26 @@ class CheckpointedWriter:
             return set()
         return {int(r["batch_id"]) for r in rows}
 
-    def _commit(self, batch_id: int, n_rows: int, checksum: int) -> None:
+    def _commit(
+        self, batch_id: int, n_rows: int, checksum: int, seq: int
+    ) -> None:
         # one tiny parquet per commit: the append is atomic at the
         # filesystem level (tmp file + rename via spark write to a
-        # unique subpath, then the manifest read unions all files)
+        # unique subpath, then the manifest read unions all files).
+        # ``seq`` is the snapshot sequence number (single-writer
+        # monotone counter) — the minimal Iceberg snapshot-id analogue
+        # that makes time travel (read-as-of) possible.
         pdf = self.spark.createDataFrame(
-            [(int(batch_id), int(n_rows), int(checksum))],
-            "batch_id long, n_rows long, checksum long",
+            [(int(batch_id), int(n_rows), int(checksum), int(seq))],
+            "batch_id long, n_rows long, checksum long, seq long",
         )
         unique = f"{self.manifest_dir}/commit-{batch_id}-{uuid.uuid4().hex[:8]}"
         pdf.coalesce(1).write.mode("overwrite").parquet(unique)
+
+    def snapshots(self) -> list[tuple[int, int, int]]:
+        """Commit log: (seq, batch_id, n_rows), seq-ordered."""
+        rows = self._read_manifest().select("seq", "batch_id", "n_rows").collect()
+        return sorted((int(r["seq"]), int(r["batch_id"]), int(r["n_rows"])) for r in rows)
 
     # ------------------------------------------------------------- write
 
@@ -82,6 +92,7 @@ class CheckpointedWriter:
         if batch_ids is None:
             batch_ids = [int(r["_batch"]) for r in tagged.select("_batch").distinct().collect()]
         done = self.committed()
+        seq = len(done)  # single-writer monotone snapshot counter
         stats = {"written": 0, "skipped": 0, "rows": 0}
         for i, b in enumerate(sorted(batch_ids)):
             if b in done:
@@ -93,7 +104,8 @@ class CheckpointedWriter:
             agg = part.agg(
                 F.count("*").alias("n"), F.expr(f"bit_xor(xxhash64({key}))").alias("ck")
             ).collect()[0]
-            self._commit(b, agg["n"], agg["ck"] or 0)
+            seq += 1
+            self._commit(b, agg["n"], agg["ck"] or 0, seq)
             stats["written"] += 1
             stats["rows"] += int(agg["n"])
             if fail_after is not None and stats["written"] >= fail_after:
@@ -102,9 +114,16 @@ class CheckpointedWriter:
 
     # -------------------------------------------------------------- read
 
-    def read_committed(self) -> DataFrame:
-        """Union of committed batches only, validated against manifest."""
-        done = sorted(self.committed())
+    def read_committed(self, as_of_seq: int | None = None) -> DataFrame:
+        """Union of committed batches only, validated against manifest.
+        ``as_of_seq`` time-travels: read the table as it stood after
+        snapshot ``seq`` (Iceberg's read-as-of-snapshot on the minimal
+        manifest log — committed data is immutable, so an old snapshot
+        is exactly the batches with seq ≤ as_of_seq)."""
+        if as_of_seq is None:
+            done = sorted(self.committed())
+        else:
+            done = sorted(b for s, b, _ in self.snapshots() if s <= as_of_seq)
         paths = [f"{self.out}/batch={b}" for b in done]
         if not paths:
             raise ValueError("no committed batches")

@@ -127,6 +127,29 @@ def test_checkpoint_resume_identical_output(spark, tmp_path):
     assert w3.validate("k")
 
 
+def test_checkpoint_time_travel(spark, tmp_path):
+    """Read-as-of-snapshot on the manifest log: the table as it stood
+    after snapshot s is exactly the first s committed batches, and the
+    sequence survives a resume (monotone across writers)."""
+    data = spark.range(1_000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("batch")
+    )
+    d = str(tmp_path / "tt")
+    w = CheckpointedWriter(spark, d)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        w.write_batches(data, F.col("batch"), key="k", fail_after=2)
+    CheckpointedWriter(spark, d).write_batches(data, F.col("batch"), key="k")
+    snaps = CheckpointedWriter(spark, d).snapshots()
+    assert [s for s, _, _ in snaps] == [1, 2, 3, 4, 5]
+    r = CheckpointedWriter(spark, d)
+    n_full = r.read_committed().count()
+    assert n_full == 1_000
+    as_of_2 = r.read_committed(as_of_seq=2)
+    batches_2 = {b for _, b, _ in snaps[:2]}
+    expect = data.filter(F.col("batch").isin([int(x) for x in batches_2])).count()
+    assert as_of_2.count() == expect < n_full
+
+
 def test_stream_equals_batch(spark, tmp_path):
     """Windowed agg over the events stream (availableNow) == batch twin."""
     from gdal_drivers_spark.streaming.events import (
