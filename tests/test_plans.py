@@ -127,6 +127,52 @@ def test_checkpoint_resume_identical_output(spark, tmp_path):
     assert w3.validate("k")
 
 
+def test_aqe_splits_skewed_cell_join(spark):
+    """The join half of the skew story (SURVEY §4): engine-level
+    salting/cell-split covers grouped aggregations; for JOINS the
+    engine relies on AQE's skew split — prove it actually engages on a
+    hot-cell join (95% of rows on one cell): the final adaptive plan
+    must show SortMergeJoin(skew=true) with an AQEShuffleRead skewed
+    child. Thresholds lowered to make the tiny fixture 'big'."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+        left = spark.range(400_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(42))
+            .otherwise(F.col("id") % 1000)
+            .alias("cell"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("cell"), (F.col("id") * 7).alias("attr")
+        )
+        j = left.join(right, "cell")
+        assert len(j.collect()) == 400_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE skew split did not engage"
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_checkpoint_time_travel(spark, tmp_path):
     """Read-as-of-snapshot on the manifest log: the table as it stood
     after snapshot s is exactly the first s committed batches, and the
