@@ -53,7 +53,12 @@ def decode_stats(images: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fm
         for i, (buf, fmt) in enumerate(zip(bufs, fmts)):
             try:
                 img = codecs.decode(bytes(buf), fmt)
-            except (ValueError, KeyError, NotImplementedError):
+            except Exception:  # noqa: BLE001 — poison-row guard:
+                # corrupt payloads raise whatever the codec stack
+                # raises (zlib.error on truncation, struct.error on
+                # short headers, ValueError on bad magic…). One bad
+                # blob among 10^12 must mark its row dec_ok=false,
+                # never kill the stage.
                 continue
             out["dec_h"][i], out["dec_w"][i], out["dec_c"][i] = img.shape
             out["px_mean"][i] = float(img.mean())
