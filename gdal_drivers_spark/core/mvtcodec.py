@@ -162,3 +162,24 @@ def tile_to_world(parts, z: int, tx: int, ty: int, extent: int = 4096, world=(0.
     sx = tw / extent
     sy = -th / extent
     return [np.column_stack([ox + p[:, 0] * sx, oy + p[:, 1] * sy]) for p in parts]
+
+
+def world_to_tile(parts, z: int, tx: int, ty: int, extent: int = 4096, world=(0.0, 0.0, 1.0, 1.0)):
+    """Inverse Trafo: world coords → tile-local integers (round to the
+    extent grid — exact for coordinates produced by tile_to_world,
+    which are dyadic multiples of the grid step)."""
+    wx0, wy0, wx1, wy1 = world
+    n = 1 << z
+    tw = (wx1 - wx0) / n
+    th = (wy1 - wy0) / n
+    ox = wx0 + tx * tw
+    oy = wy1 - ty * th
+    sx = tw / extent
+    sy = -th / extent
+    return [
+        np.column_stack([
+            np.rint((p[:, 0] - ox) / sx).astype(np.int64),
+            np.rint((p[:, 1] - oy) / sy).astype(np.int64),
+        ])
+        for p in parts
+    ]

@@ -107,3 +107,61 @@ def decode_features(layers: DataFrame, world=(0.0, 0.0, 1.0, 1.0)) -> DataFrame:
             )
 
     return layers.mapInPandas(_decode, FEATURES_SCHEMA)
+
+
+_TYPE_IDS = {v: k for k, v in _TYPE_NAMES.items()}
+
+LAYERS_SCHEMA = (
+    "z int, tx long, ty long, layer string, extent int, keys array<string>, "
+    "values array<string>, features array<struct<id:long,tags:array<int>,"
+    "geom_type:int,geometry:array<long>>>"
+)
+
+
+def encode_layers(
+    features: DataFrame, extent: int = 256, world=(0.0, 0.0, 1.0, 1.0)
+) -> DataFrame:
+    """The vector WRITE path — inverse of ``decode_features``: feature
+    rows (decode's output shape) → encoded per-tile layers. The
+    reference is read-only (update refused, mvt.cpp:771-774); a lake
+    engine needs the sink too, e.g. to materialize vectorize() output
+    as tiles. Per tile-layer: rebuild the key/value dictionaries
+    (sorted → deterministic tag indices), inverse-Trafo world→tile
+    ints, re-encode command streams (zigzag + cursor deltas). Grouped
+    Arrow UDF keyed by (z,tx,ty,layer) — the same partitioning a
+    tile sink writes with, so encode feeds the writer shuffle-free."""
+    import json
+
+    def _encode(key, pdf):
+        z, tx, ty, layer = int(key[0]), int(key[1]), int(key[2]), str(key[3])
+        keys = sorted({k for props in pdf["props"] for k in (props or {})})
+        vals = sorted({v for props in pdf["props"] for v in (props or {}).values()})
+        kidx = {k: i for i, k in enumerate(keys)}
+        vidx = {v: i for i, v in enumerate(vals)}
+        feats = []
+        for r in pdf.itertuples():
+            gt = _TYPE_IDS[r.geom_type]
+            geom = json.loads(r.geom_json)
+            if gt == mvtcodec.GEOM_POLYGON:
+                # polygons→rings; decode closed the rings — encode wants open
+                rings = [np.asarray(ring)[:-1] for poly in geom for ring in poly]
+                parts = rings
+            else:
+                parts = [np.asarray(p) for p in geom]
+            tparts = mvtcodec.world_to_tile(parts, z, tx, ty, extent, world)
+            stream = mvtcodec.encode_geometry(gt, tparts)
+            tags = []
+            for k, v in sorted((r.props or {}).items()):
+                tags.extend((kidx[k], vidx[v]))
+            feats.append(
+                {"id": int(r.fid), "tags": tags, "geom_type": gt,
+                 "geometry": stream.tolist()}
+            )
+        return pd.DataFrame(
+            [(z, tx, ty, layer, extent, keys, vals, feats)],
+            columns=["z", "tx", "ty", "layer", "extent", "keys", "values", "features"],
+        )
+
+    return features.groupBy("z", "tx", "ty", "layer").applyInPandas(
+        _encode, LAYERS_SCHEMA
+    )

@@ -144,3 +144,33 @@ def test_request_parse_rejects_bad_paths(spark):
     assert "3-99-2" not in paths  # out of bounds (2^3-1=7)
     assert "x-1-2" not in paths and "3-1" not in paths and "3--1-2" not in paths
     assert "03-001-2" in paths  # leading zeros parse as ints (width rule relaxed)
+
+
+def test_encode_layers_roundtrip(spark, fixture_layer):
+    """Vector write path: decode → encode_layers → decode must be a
+    fixpoint — same fid/type/shape counts, same coordinate multiset,
+    same props (dictionaries rebuilt, tag indices re-derived)."""
+    from gdal_drivers_spark.operators.mvt import encode_layers
+
+    extent = fixture_layer["extent"]
+    first = decode_features(_layer_df(spark, fixture_layer))
+    re_encoded = encode_layers(first, extent=extent)
+    second = decode_features(re_encoded)
+
+    def snapshot(df):
+        rows = df.select(
+            "fid", "geom_type", "n_parts", "n_rings", "n_vertices",
+            "geom_json", "props",
+        ).collect()
+        return sorted(
+            (
+                r["fid"], r["geom_type"], r["n_parts"], r["n_rings"],
+                r["n_vertices"], r["geom_json"],
+                tuple(sorted((r["props"] or {}).items())),
+            )
+            for r in rows
+        )
+
+    a, b = snapshot(first), snapshot(second)
+    assert len(a) == len(b) > 0
+    assert a == b
