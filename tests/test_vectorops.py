@@ -174,3 +174,55 @@ def test_encode_layers_roundtrip(spark, fixture_layer):
     a, b = snapshot(first), snapshot(second)
     assert len(a) == len(b) > 0
     assert a == b
+
+
+def test_raster_vector_tile_loop(spark):
+    """The full raster↔vector↔tiles loop: quadtree mask → rasterize to
+    pixel tiles → vectorize back to maximal quads → each white quad
+    becomes a polygon feature → encode as MVT layers on the z=1 tile
+    grid → decode — coordinates survive exactly (quad corners are
+    dyadic, on the extent grid) and total white area is preserved."""
+    import json
+
+    from gdal_drivers_spark.operators.mvt import encode_layers
+    from gdal_drivers_spark.operators.rasterize import rasterize_quads, vectorize_tiles
+
+    depth, tile_px, z = 6, 32, 1
+    quads = spark.createDataFrame(synth.quads_pdf(depth))
+    tiles = rasterize_quads(quads, depth, tile_px)
+    vq = vectorize_tiles(tiles, depth, tile_px).filter("value = 'white'").collect()
+    assert len(vq) > 4
+
+    n = 1 << z
+    feats, area_in = [], 0.0
+    for i, r in enumerate(vq):
+        s = 1.0 / (1 << r["level"])
+        x0, x1 = r["qx"] * s, r["qx"] * s + s
+        y1, y0 = 1.0 - r["qy"] * s, 1.0 - r["qy"] * s - s
+        area_in += s * s
+        ring = [[x0, y0], [x0, y1], [x1, y1], [x1, y0], [x0, y0]]
+        tx = min(int(x0 * n), n - 1)
+        ty = min(int((1.0 - y1) * n), n - 1)
+        feats.append(
+            (z, tx, ty, "mask", i + 1, "polygon", json.dumps([[ring]]), {"v": "white"})
+        )
+    fdf = spark.createDataFrame(
+        pd.DataFrame(
+            feats,
+            columns=["z", "tx", "ty", "layer", "fid", "geom_type", "geom_json", "props"],
+        )
+    )
+    decoded = decode_features(encode_layers(fdf, extent=256))
+    got = decoded.collect()
+    assert len(got) == len(vq)
+    area_out = 0.0
+    for r in got:
+        polys = json.loads(r["geom_json"])
+        for rings in polys:
+            for ring in rings:
+                xs = [p[0] for p in ring]
+                ys = [p[1] for p in ring]
+                area_out += abs(
+                    sum(xs[i] * ys[i + 1] - xs[i + 1] * ys[i] for i in range(len(ring) - 1))
+                ) / 2.0
+    assert abs(area_out - area_in) < 1e-12
