@@ -1120,6 +1120,46 @@ _ANN_IVF_ORACLE_SQL = """
 """
 
 
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: dot and squared norms are exact integers
+    over the quantized embeddings, so cos = dot/sqrt(n1·n2) is one
+    correctly-rounded IEEE double expression — identical in Spark and
+    DuckDB; reported as round(cos·10⁶)."""
+    from gdal_drivers_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    return cosine_topk(qs, corpus, k=5)
+
+
+_ANN_COSINE_ORACLE_SQL = """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, q,
+               CAST(list_sum(list_transform(generate_series(1, 64), i -> q[i] * q[i])) AS BIGINT) AS nn
+        FROM e
+    ), qs AS (SELECT vec_id AS qid, q AS qv, nn AS n1 FROM n WHERE vec_id < 10),
+    scored AS (
+        SELECT qs.qid, n.vec_id AS cid,
+               CAST(round(
+                   CAST(list_sum(list_transform(generate_series(1, 64), i -> qs.qv[i] * n.q[i])) AS BIGINT)
+                   / sqrt(CAST(qs.n1 * n.nn AS DOUBLE)) * 1e6
+               ) AS BIGINT) AS cos_q6
+        FROM qs, n
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_q6 DESC, cid) AS rank
+        FROM scored
+    )
+    SELECT qid, cid, cos_q6, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+"""
+
+
 def q_unknown_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: UNKNOWN-type features are skipped during decode
     (mvt.cpp:526-533). Per supplier: one point, one linestring, one
@@ -1903,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_cosine": q_ann_cosine,
         "unknown_filter": q_unknown_filter,
         "remote_fetch": q_remote_fetch,
         "phash_near_dup": q_phash_near_dup,
@@ -2054,6 +2095,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokens": _BPE_ORACLE_SQL,
         "ann_lsh": _ANN_LSH_ORACLE_SQL,
         "ann_ivf": _ANN_IVF_ORACLE_SQL,
+        "ann_cosine": _ANN_COSINE_ORACLE_SQL,
         "unknown_filter": _UNKNOWN_FILTER_ORACLE_SQL,
         "remote_fetch": _REMOTE_FETCH_ORACLE_SQL,
         "phash_near_dup": _PHASH_ORACLE_SQL,

@@ -246,3 +246,37 @@ def near_dup_pairs(
         j.select("id1", "id2", dot_int(F.col("v1"), F.col("v2")).alias("dot_q"))
         .filter(F.col("dot_q") >= threshold)
     )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    qid: str = "qid",
+    cid: str = "cid",
+    qvec: str = "qvec",
+    cvec: str = "cvec",
+) -> DataFrame:
+    """Exact cosine top-k: dot and both squared norms are exact
+    integers over the quantized vectors, so cos = dot/sqrt(n1·n2) is
+    one correctly-rounded IEEE expression — identical doubles in any
+    engine, hence an exact oracle (reported as round(cos·10⁶)).
+    Same plan shape as brute_topk: broadcast queries, narrow scoring,
+    WindowGroupLimit top-k."""
+    q = queries.select(F.col(qid).alias("_qid"), quantize(F.col(qvec)).alias("_qv"))
+    c = corpus.select(F.col(cid).alias("_cid"), quantize(F.col(cvec)).alias("_cv"))
+    scored = c.join(F.broadcast(q), F.col("_qid").isNotNull()).select(
+        "_qid",
+        "_cid",
+        dot_int(F.col("_qv"), F.col("_cv")).alias("_dot"),
+        dot_int(F.col("_qv"), F.col("_qv")).alias("_n1"),
+        dot_int(F.col("_cv"), F.col("_cv")).alias("_n2"),
+    )
+    cos = F.col("_dot") / F.sqrt((F.col("_n1") * F.col("_n2")).cast("double"))
+    scored = scored.withColumn("cos_q6", F.round(cos * 1e6).cast("long"))
+    w = Window.partitionBy("_qid").orderBy(F.desc("cos_q6"), F.col("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias(qid), F.col("_cid").alias(cid), "cos_q6", "rank")
+    )
