@@ -155,6 +155,57 @@ def decode_thumb(buf: bytes) -> np.ndarray:
     return ((q.astype(np.uint16) << 2) | 2).clip(0, 255).astype(np.uint8)
 
 
+_DCT_MAGIC = b"GDC1"
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8×8 DCT-II basis: B[k,n] = a_k·cos(π(2n+1)k/16)."""
+    n = np.arange(8)
+    k = n.reshape(-1, 1)
+    b = np.cos(np.pi * (2 * n + 1) * k / 16.0)
+    b[0] *= np.sqrt(1.0 / 8.0)
+    b[1:] *= np.sqrt(2.0 / 8.0)
+    return b
+
+
+_DCT_B = _dct_basis()
+
+
+def encode_dct(img: np.ndarray, q: int = 3) -> bytes:
+    """Transform-coded lossy format (the JPEG-shaped codec, from
+    scratch): 8×8 block DCT-II per channel, uniform coefficient
+    quantization by ``q``, int16 coeffs zlib-compressed. Whole-image
+    vectorized — blocks via reshape/transpose, the transform is two
+    matmuls (B·X·Bᵀ) over all blocks at once. q=3 keeps max
+    reconstruction error ≤ ~6 per pixel → PSNR well above the 40 dB
+    gate on natural-ish content while being genuinely transform-lossy
+    (unlike thumb's plain requantization)."""
+    h, w, c = img.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    x = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge").astype(np.float64) - 128.0
+    hh, ww = h + ph, w + pw
+    # (c, nby, nbx, 8, 8) blocks
+    blocks = x.transpose(2, 0, 1).reshape(c, hh // 8, 8, ww // 8, 8).transpose(0, 1, 3, 2, 4)
+    coeffs = _DCT_B @ blocks @ _DCT_B.T
+    iq = np.rint(coeffs / q).astype(np.int16)
+    payload = zlib.compress(iq.tobytes(), 6)
+    return _DCT_MAGIC + struct.pack("<IIBB", w, h, c, q) + payload
+
+
+def decode_dct(buf: bytes) -> np.ndarray:
+    if buf[:4] != _DCT_MAGIC:
+        raise ValueError("not a GDC1 dct tile")
+    w, h, c, q = struct.unpack_from("<IIBB", buf, 4)
+    hh, ww = h + (-h) % 8, w + (-w) % 8
+    iq = np.frombuffer(zlib.decompress(buf[14:]), np.int16).reshape(
+        c, hh // 8, ww // 8, 8, 8
+    )
+    coeffs = iq.astype(np.float64) * q
+    blocks = _DCT_B.T @ coeffs @ _DCT_B
+    x = blocks.transpose(0, 1, 3, 2, 4).reshape(c, hh, ww).transpose(1, 2, 0)
+    return np.rint(x + 128.0).clip(0, 255).astype(np.uint8)[:h, :w, :]
+
+
 # -------------------------------------------------------------- registry
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
@@ -164,11 +215,17 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     )
 
 
-ENCODERS = {"raw": encode_raw, "png": encode_png, "thumb": encode_thumb}
-DECODERS = {"raw": decode_raw, "png": decode_png, "thumb": decode_thumb, "jpeg": decode_jpeg}
+ENCODERS = {"raw": encode_raw, "png": encode_png, "thumb": encode_thumb, "dct": encode_dct}
+DECODERS = {
+    "raw": decode_raw, "png": decode_png, "thumb": decode_thumb,
+    "dct": decode_dct, "jpeg": decode_jpeg,
+}
 LOSSLESS = {"raw", "png"}
 
-_MAGIC_TABLE = [(_PNG_SIG, "png"), (_RAW_MAGIC, "raw"), (_THUMB_MAGIC, "thumb"), (b"\xff\xd8\xff", "jpeg")]
+_MAGIC_TABLE = [
+    (_PNG_SIG, "png"), (_RAW_MAGIC, "raw"), (_THUMB_MAGIC, "thumb"),
+    (_DCT_MAGIC, "dct"), (b"\xff\xd8\xff", "jpeg"),
+]
 
 
 def sniff_fmt(buf: bytes) -> str:

@@ -167,6 +167,9 @@ def test_codec_roundtrips(w, h, c, seed):
     assert (codecs.decode(codecs.encode_png(img)) == img).all()
     thumb = codecs.decode(codecs.encode_thumb(img))
     assert codecs.psnr(img, thumb) >= 40.0
+    dct = codecs.decode(codecs.encode_dct(img))  # via magic sniff
+    assert dct.shape == img.shape
+    assert codecs.psnr(img, dct) >= 40.0
 
 
 @given(
