@@ -117,6 +117,60 @@ class TileSet:
         return with_halo(self.df, ring=ring)
 
 
+class EmbeddingSet:
+    """Fluent surface over the similarity operators for a corpus
+    DataFrame of (id, vector) — the ANN half of the training-data
+    pipeline (U4 API shape)."""
+
+    def __init__(self, spark: SparkSession, df: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        self.spark = spark
+        self.df = df
+        self._id, self._vec = id_col, vec_col
+
+    def _corpus(self):
+        from pyspark.sql import functions as F
+
+        return self.df.select(
+            F.col(self._id).alias("cid"), F.col(self._vec).alias("cvec")
+        )
+
+    def topk(self, queries: DataFrame, k: int = 5) -> DataFrame:
+        """Exact integer-dot top-k. queries: (qid, qvec)."""
+        from .operators.similarity import brute_topk
+
+        return brute_topk(queries, self._corpus(), k=k)
+
+    def cosine_topk(self, queries: DataFrame, k: int = 5) -> DataFrame:
+        from .operators.similarity import cosine_topk
+
+        return cosine_topk(queries, self._corpus(), k=k)
+
+    def lsh_topk(self, queries: DataFrame, dim: int, k: int = 5, **kw) -> DataFrame:
+        from .operators.similarity import lsh_topk
+
+        return lsh_topk(queries, self._corpus(), dim=dim, k=k, **kw)
+
+    def ivf_topk(self, queries: DataFrame, stride: int = 64, k: int = 5,
+                 nprobe: int = 2) -> DataFrame:
+        """IVF-Flat with data-derived centroids (every ``stride``-th
+        vector by id — deterministic, no RNG)."""
+        from pyspark.sql import functions as F
+
+        from .operators.similarity import ivf_topk
+
+        cents = self.df.filter(F.col(self._id) % stride == 0).select(
+            (F.col(self._id) / stride).cast("long").alias("list_id"),
+            F.col(self._vec).alias("center"),
+        )
+        return ivf_topk(queries, self._corpus(), cents, k=k, nprobe=nprobe)
+
+    def near_dups(self, threshold: int, **kw) -> DataFrame:
+        from .operators.similarity import near_dup_pairs
+
+        return near_dup_pairs(self._corpus(), threshold, **kw)
+
+
 class Engine:
     def __init__(self, spark: SparkSession):
         from . import _ship
@@ -128,6 +182,10 @@ class Engine:
 
     def tiles(self, df: DataFrame) -> TileSet:
         return TileSet(self.spark, df)
+
+    def embeddings(self, df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> EmbeddingSet:
+        return EmbeddingSet(self.spark, df, id_col, vec_col)
 
     def synthetic_images(self, n: int) -> ImageSet:
         from .sources.synth import images_df

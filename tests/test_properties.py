@@ -185,3 +185,27 @@ def test_phash_band_pigeonhole(h, flips):
         h2 ^= 1 << b
     bands = lambda v: [(v >> (16 * i)) & 0xFFFF for i in range(4)]
     assert any(a == b for a, b in zip(bands(h), bands(h2)))
+
+
+@given(
+    st.integers(0, 6),
+    st.data(),
+)
+def test_trafo_inverse_roundtrip(z, data):
+    """world_to_tile(tile_to_world(p)) == p for any tile and any
+    integer tile-local coords within the extent (the encode sink's
+    exactness precondition)."""
+    n = 1 << z
+    tx = data.draw(st.integers(0, n - 1))
+    ty = data.draw(st.integers(0, n - 1))
+    extent = data.draw(st.sampled_from([256, 4096]))
+    pts = np.array(
+        [
+            [data.draw(st.integers(0, extent)), data.draw(st.integers(0, extent))]
+            for _ in range(3)
+        ],
+        np.int64,
+    )
+    w = mvtcodec.tile_to_world([pts], z, tx, ty, extent)
+    back = mvtcodec.world_to_tile(w, z, tx, ty, extent)
+    assert (back[0] == pts).all()

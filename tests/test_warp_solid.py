@@ -188,6 +188,21 @@ def test_engine_image_pipeline_ops(spark):
     assert pairs.count() == 0  # exactness proven in test_pipeline_ops/oracle
 
 
+def test_engine_embeddings_facade(spark):
+    """EmbeddingSet: exact / cosine / IVF top-k all rank the query's
+    own vector first when it queries its own corpus."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    es = Engine(spark).embeddings(emb)
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    for out in (es.topk(qs, k=3), es.cosine_topk(qs, k=3), es.ivf_topk(qs, k=3)):
+        rank1 = {r["qid"]: r["cid"] for r in out.collect() if r["rank"] == 1}
+        assert len(rank1) == 5 and all(rank1[q] == q for q in rank1)
+
+
 def test_engine_solid_and_blend(spark):
     eng = Engine(spark)
     tiles = eng.solid(128, 128, [(42, "u8")], tile_px=64)
