@@ -273,7 +273,8 @@ def _pip_oracle_sql() -> str:
         ), inside AS (
             SELECT pid, poly_id FROM cross_ GROUP BY pid, poly_id HAVING sum(c) % 2 = 1
         )
-        SELECT poly_id, count(*) AS n_points, sum(pid) AS key_sum
+        SELECT CAST(poly_id AS BIGINT) AS poly_id, count(*) AS n_points,
+               CAST(sum(pid) AS BIGINT) AS key_sum
         FROM inside GROUP BY poly_id
     """
 
@@ -437,7 +438,7 @@ _VECTORIZE_ORACLE_SQL = """
                ((p_partkey * 2654435761) % 256) // 16 AS qy
         FROM part
     )
-    SELECT 4 AS level, qx, qy, 1 AS size,
+    SELECT 4 AS level, qx, qy, CAST(1 AS BIGINT) AS size,
            CASE WHEN (qx + qy) % 2 = 0 THEN 'white' ELSE 'gray' END AS value
     FROM cells
 """
@@ -544,7 +545,7 @@ _MASKFILE_ORACLE_SQL = """
         FROM part
     )
     SELECT mask_id, 4 AS depth, count(*) AS n_quads,
-           sum(CASE WHEN (qx + qy) % 2 = 0 THEN 1 ELSE 0 END) AS n_white
+           CAST(sum(CASE WHEN (qx + qy) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_white
     FROM cells GROUP BY mask_id
 """
 
@@ -780,7 +781,7 @@ def q_band_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BANDZIP_ORACLE_SQL = """
     WITH j AS (SELECT unnest(generate_series(0, 2)) AS j)
     SELECT n_nationkey AS nation,
-           sum((n_nationkey * 2 + j.j) * (n_nationkey * 3 + j.j)) AS dot,
+           CAST(sum((n_nationkey * 2 + j.j) * (n_nationkey * 3 + j.j)) AS BIGINT) AS dot,
            count(*) AS n_bands
     FROM nation, j GROUP BY n_nationkey
 """
@@ -1211,9 +1212,9 @@ def q_unknown_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _UNKNOWN_FILTER_ORACLE_SQL = """
     SELECT 'point' AS geom_type, count(*) AS n_features,
-           sum(3 * s_suppkey + 1) AS sum_fid FROM supplier
+           CAST(sum(3 * s_suppkey + 1) AS BIGINT) AS sum_fid FROM supplier
     UNION ALL
-    SELECT 'linestring', count(*), sum(3 * s_suppkey + 2) FROM supplier
+    SELECT 'linestring', count(*), CAST(sum(3 * s_suppkey + 2) AS BIGINT) FROM supplier
 """
 
 
@@ -1436,7 +1437,7 @@ def q_nodata_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NODATA_NORM_ORACLE_SQL = """
     SELECT o_orderkey AS k,
-           CASE WHEN o_orderkey % 4 > 0 THEN 1.0 ELSE 0.0 END AS w_norm,
+           CAST(CASE WHEN o_orderkey % 4 > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS w_norm,
            CAST(CASE WHEN o_orderkey % 4 = 0 THEN 7 ELSE o_orderkey % 251 END AS BIGINT) AS out_val
     FROM orders
 """
@@ -1615,12 +1616,15 @@ def q_rasterize_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_blend_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 rows-only: multi-source blend of supplier-derived tiles with
-    full validity (equal weights ⇒ per-pixel mean across sources);
-    emits per-cell output checksums. The single-source identity
-    invariant (§5.3) is asserted in tests/test_pixelops.py."""
+    """A1/U3/O2 (Blender core, blender.cpp:559-655) with a HARD oracle:
+    multi-source blend of supplier-derived deterministic tiles with
+    full validity (equal weights ⇒ per-pixel f64 mean across sources,
+    rint + u8 cast). The blended tile's exact integer pixel sum has a
+    closed form on the pattern (pix = (x*3+y*5+k*7919)%256), which the
+    oracle reproduces in SQL including numpy's round-half-to-even.
+    The single-source identity invariant (§5.3) is asserted in
+    tests/test_pixelops.py."""
     from gdal_drivers_spark.operators.blend import blend_tiles
-    from gdal_drivers_spark.operators.assign import pack_cell
     from gdal_drivers_spark.core import codecs
     from gdal_drivers_spark.sources.synth import pattern
 
@@ -1643,13 +1647,45 @@ def q_blend_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = blend_tiles(contribs, tile_px=32)
 
-    @F.pandas_udf("string")
-    def tile_md5(tile: pd.Series) -> pd.Series:
-        import hashlib
+    @F.pandas_udf("long")
+    def px_sum(tile: pd.Series) -> pd.Series:
+        import numpy as np
 
-        return pd.Series([hashlib.md5(bytes(b)).hexdigest() for b in tile])
+        return pd.Series(
+            [int(np.frombuffer(bytes(b), np.uint8).sum(dtype=np.int64)) for b in tile]
+        )
 
-    return out.select("cell", "band", "n_sources", tile_md5(F.col("tile")).alias("tile_md5"))
+    return out.select("cell", "band", "n_sources", px_sum(F.col("tile")).alias("px_sum"))
+
+
+_BLEND_CELLS_ORACLE_SQL = """
+    WITH s AS (
+        SELECT s_suppkey AS k,
+               (CAST(2 AS BIGINT) << 52)
+               + (CAST(s_suppkey % 4 AS BIGINT) << 26)
+               + CAST((s_suppkey // 4) % 4 AS BIGINT) AS cell
+        FROM supplier
+    ), px AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(0, 31) gx(x), generate_series(0, 31) gy(y)
+    ), m AS (
+        -- per-pixel integer numerator/denominator of the f64 mean
+        SELECT cell, x, y,
+               CAST(sum((x * 3 + y * 5 + k * 7919) % 256) AS BIGINT) AS snum,
+               count(*) AS n
+        FROM s, px GROUP BY 1, 2, 3
+    ), r AS (
+        -- numpy rint = round-half-to-even on the exact rational snum/n
+        SELECT cell, n,
+               CASE WHEN 2 * (snum % n) = n
+                    THEN (snum // n) + ((snum // n) % 2)
+                    ELSE (2 * snum + n) // (2 * n) END AS pxv
+        FROM m
+    )
+    SELECT cell, CAST(0 AS INT) AS band, CAST(max(n) AS INT) AS n_sources,
+           CAST(sum(pxv) AS BIGINT) AS px_sum
+    FROM r GROUP BY cell
+"""
 
 
 def q_caption_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1818,7 +1854,9 @@ def q_pyramid_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qx", "qy")
         .agg(F.max("bit").alias("bit"))
     )
-    lv = leaves.withColumn("level", F.explode(F.sequence(F.lit(0), F.lit(4))))
+    lv = leaves.withColumn(
+        "level", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(4).cast("long")))
+    )
     return (
         lv.groupBy(
             "level",
@@ -1980,6 +2018,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY region
         """,
         "caption_parity": _CAPTION_ORACLE_SQL,
+        "blend_cells": _BLEND_CELLS_ORACLE_SQL,
         "rasterize_quads": """
             WITH cells AS (
                 SELECT ((p_partkey * 2654435761) % 4096) % 64 AS qx,
@@ -1988,7 +2027,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM part GROUP BY 1, 2
             )
             SELECT qx // 16 AS tx, qy // 16 AS ty,
-                   sum(CASE WHEN v = 'white' THEN 1 ELSE 0 END) AS n_white_px,
+                   CAST(sum(CASE WHEN v = 'white' THEN 1 ELSE 0 END) AS BIGINT) AS n_white_px,
                    16 AS ts
             FROM cells GROUP BY 1, 2
         """,
@@ -2035,7 +2074,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM tiles t, off ox, off oy
                 WHERE t.tx + ox.d BETWEEN 0 AND 15 AND t.ty + oy.d BETWEEN 0 AND 15
             )
-            SELECT tcx, tcy, count(*) AS n_contrib, sum(payload) AS payload_sum
+            SELECT tcx, tcy, count(*) AS n_contrib,
+                   CAST(sum(payload) AS BIGINT) AS payload_sum
             FROM pairs GROUP BY 1, 2
         """,
         "pyramid_levels": """
@@ -2050,14 +2090,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT level, qx // (1 << (4 - level)) AS pqx,
                    qy // (1 << (4 - level)) AS pqy,
-                   count(*) AS n_leaves, sum(bit) AS n_white,
+                   count(*) AS n_leaves, CAST(sum(bit) AS BIGINT) AS n_white,
                    CASE WHEN sum(bit) = 0 THEN 'black'
                         WHEN sum(bit) = count(*) THEN 'white'
                         ELSE 'gray' END AS klass
             FROM lv GROUP BY 1, 2, 3
         """,
         "solid_pixels": """
-            SELECT band, 12 AS n_tiles,
+            SELECT band, CAST(12 AS BIGINT) AS n_tiles,
                    CAST(12 AS BIGINT) * 65536 * value AS sum_px
             FROM (VALUES (0, 7), (1, 1000), (2, 123456)) v(band, value)
         """,
@@ -2078,7 +2118,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, min(t) AS session_start, max(t) AS session_end,
                    count(*) AS n_events,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM g GROUP BY user_id, sid
         """,
         "decode_fmt": """
@@ -2128,8 +2168,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_rollup": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
-                   sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+                   CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -2141,7 +2181,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM part GROUP BY 1, 2
             )
             SELECT qx // 2 AS px, qy // 2 AS py,
-                   count(*) AS n_children, sum(bit) AS n_white,
+                   count(*) AS n_children, CAST(sum(bit) AS BIGINT) AS n_white,
                    CASE WHEN sum(bit) = 0 THEN 'black'
                         WHEN sum(bit) = count(*) THEN 'white'
                         ELSE 'gray' END AS klass
@@ -2335,7 +2375,7 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue": """
             WITH rev AS (
                 SELECT l_orderkey,
-                       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+                       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
                 FROM lineitem GROUP BY l_orderkey
             ), j AS (
                 SELECT o.o_orderkey, c.c_name, c.c_mktsegment, rev.revenue_cents
