@@ -216,6 +216,85 @@ def q_tms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mbtiles_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 over a REAL SQLite archive (mbtiles.cpp:128-225): a genuine
+    ``.mbtiles`` file is written (tiles stored TMS, gzip on even
+    payloads), scanned back executor-side via sources/mbtiles (per-zoom
+    work units, stdlib sqlite3), and served through the full request
+    path — z-x-y string parse (F10), bounds check, TMS flip, keyed
+    join, gzip sniff + gunzip (F11). Fixture tiles mirror the
+    tms_lookup store so the oracle is the same relational lookup.
+
+    The archive is built on the driver (fixture construction — a real
+    deployment reads archives from shared storage); the SCAN runs on
+    executors."""
+    import gzip as _gzip
+    import os
+    import tempfile
+
+    from gdal_drivers_spark.sources.mbtiles import read_mbtiles, write_mbtiles
+    from gdal_drivers_spark.operators.lookup import parse_requests, fetch_tiles
+
+    z = 5
+    n = 1 << z
+    store_rows = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select(
+            ((F.col("p_partkey") * 7) % n).alias("x"),
+            (F.lit(n - 1) - (F.col("p_partkey") * 13) % n).alias("tms_row"),
+            F.col("p_partkey").alias("payload_id"),
+        )
+        .groupBy("x", "tms_row")
+        .agg(F.min("payload_id").alias("payload_id"))
+        .collect()
+    )
+    tmpdir = tempfile.mkdtemp(prefix="gds_mbtiles_")
+    path = os.path.join(tmpdir, "fixture.mbtiles")
+    write_mbtiles(
+        path,
+        [
+            (
+                z, int(r.x), int(r.tms_row),
+                _gzip.compress(str(int(r.payload_id)).encode(), mtime=0)
+                if r.payload_id % 2 == 0
+                else str(int(r.payload_id)).encode(),
+            )
+            for r in store_rows
+        ],
+        metadata={"name": "fixture", "format": "txt"},
+    )
+
+    store = read_mbtiles(spark, [path]).select(
+        "zoom", "x", F.col("tms_y").alias("y"), "tile_data"
+    )
+    requests = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("req_id"),
+        F.concat_ws(
+            "-", F.lit(z), (F.col("s_suppkey") * 11) % n, (F.col("s_suppkey") * 5) % n
+        ).alias("path"),
+    )
+    hits = fetch_tiles(parse_requests(requests), store)
+    return hits.select(
+        "req_id", "x", "y", "tms_y",
+        F.col("tile_data").cast("string").cast("long").alias("payload_id"),
+    )
+
+
+_MBTILES_ORACLE_SQL = """
+    WITH store AS (
+        SELECT (p_partkey * 7) % 32 AS x,
+               31 - (p_partkey * 13) % 32 AS tms_row,
+               min(p_partkey) AS payload_id
+        FROM part GROUP BY 1, 2
+    ), req AS (
+        SELECT s_suppkey AS req_id, (s_suppkey * 11) % 32 AS x,
+               (s_suppkey * 5) % 32 AS y FROM supplier
+    )
+    SELECT req.req_id, req.x, req.y, 31 - req.y AS tms_y, store.payload_id
+    FROM req JOIN store ON store.x = req.x AND store.tms_row = 31 - req.y
+"""
+
+
 # Deterministic triangle table for the PIP join (P4 generalized):
 # all-dyadic vertices, no horizontal edges (the even-odd crossing rule
 # is then identical in numpy and SQL, bit-for-bit).
@@ -404,6 +483,95 @@ _MVT_ORACLE_SQL = """
            CASE k % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END,
            'x'
     FROM s
+"""
+
+
+def q_mvt_proto_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 + F9 over the REAL wire format: per-tile Mapbox Vector Tile
+    protobuf blobs (varint framing per proto/vector_tile.proto:7-80)
+    are built on executors by the engine's own encoder, then decoded
+    through the full proto scan (mvt.cpp:732-770 parse → typed Value
+    dispatch mvt.cpp:457-520 incl. bool subtype :469-474 → dictionary
+    tag join → geometry). One point feature per supplier with all six
+    typed attribute kinds; the oracle reproduces every typed value and
+    the canonical string rendering relationally."""
+    import numpy as np
+
+    from gdal_drivers_spark.core import mvtproto
+    from gdal_drivers_spark.operators.mvt import decode_features_proto
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name", (F.col("s_suppkey") % 4).alias("tx")
+    )
+
+    def build_tile(key, pdf):
+        tx = int(key[0])
+        pdf = pdf.sort_values("s_suppkey")
+        keys = ["cnt", "flag", "name", "neg", "score", "w"]
+        values, feats = [], []
+        for r in pdf.itertuples():
+            k = int(r.s_suppkey)
+            base = len(values)
+            values += [
+                ("int", 3 * k + 1),
+                ("bool", k % 2 == 1),
+                ("string", str(r.s_name)),
+                ("sint", -(k + 7)),
+                ("double", k / 4.0),
+                ("float", k * 0.5),
+            ]
+            tags = []
+            for j in range(6):
+                tags += [j, base + j]
+            feats.append(
+                {
+                    "id": k + 1,
+                    "tags": np.asarray(tags, np.uint64),
+                    "geom_type": 1,  # point
+                    "geometry": np.asarray(
+                        [(1 << 3) | 1,  # MoveTo count=1
+                         ((k * 7) % 256) << 1, ((k * 11) % 256) << 1],
+                        np.uint64,
+                    ),
+                }
+            )
+        blob = mvtproto.encode_tile(
+            [{"name": "typed", "extent": 256, "version": 2,
+              "keys": keys, "values": values, "features": feats}]
+        )
+        return pd.DataFrame({"z": [2], "tx": [tx], "ty": [1], "data": [blob]})
+
+    tiles = supp.groupBy("tx").applyInPandas(
+        build_tile, "z int, tx long, ty long, data binary"
+    )
+    feats = decode_features_proto(tiles)
+    tp = F.col("props_typed")
+    return feats.select(
+        "fid",
+        tp["name"]["s"].alias("name"),
+        tp["cnt"]["i"].alias("cnt"),
+        tp["neg"]["i"].alias("neg"),
+        tp["flag"]["b"].alias("flag"),
+        tp["score"]["d"].alias("score"),
+        tp["w"]["d"].alias("w"),
+        tp["cnt"]["t"].alias("t_cnt"),
+        F.col("props")["score"].alias("score_str"),
+        "n_vertices",
+    )
+
+
+_MVT_PROTO_ORACLE_SQL = """
+    SELECT s_suppkey + 1 AS fid,
+           s_name AS name,
+           CAST(3 * s_suppkey + 1 AS BIGINT) AS cnt,
+           CAST(-(s_suppkey + 7) AS BIGINT) AS neg,
+           s_suppkey % 2 = 1 AS flag,
+           CAST(s_suppkey AS DOUBLE) / 4.0 AS score,
+           CAST(CAST(s_suppkey * 0.5 AS REAL) AS DOUBLE) AS w,
+           'int' AS t_cnt,
+           printf('%.6f', s_suppkey / 4.0) AS score_str,
+           CAST(1 AS INT) AS n_vertices
+    FROM supplier
 """
 
 
@@ -1955,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_fmt": q_decode_fmt,
         "pip_triangles": q_pip_triangles,
         "mvt_roundtrip": q_mvt_roundtrip,
+        "mvt_proto_typed": q_mvt_proto_typed,
         "vectorize_roundtrip": q_vectorize_roundtrip,
         "warp_downsample": q_warp_downsample,
         "maskfile_roundtrip": q_maskfile_roundtrip,
@@ -1971,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_rollup": q_pricing_rollup,
         "tristate_rollup": q_tristate_rollup,
         "tms_lookup": q_tms_lookup,
+        "mbtiles_scan": q_mbtiles_scan,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2146,6 +2316,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_split": _SKEW_ORACLE_SQL,
         "pip_triangles": _pip_oracle_sql(),
         "mvt_roundtrip": _MVT_ORACLE_SQL,
+        "mvt_proto_typed": _MVT_PROTO_ORACLE_SQL,
         "vectorize_roundtrip": _VECTORIZE_ORACLE_SQL,
         "warp_downsample": _WARP_ORACLE_SQL,
         "maskfile_roundtrip": _MASKFILE_ORACLE_SQL,
@@ -2200,6 +2371,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT req.req_id, req.x, req.y, 31 - req.y AS tms_row, store.payload_id
             FROM req JOIN store ON store.x = req.x AND store.tms_row = 31 - req.y
         """,
+        "mbtiles_scan": _MBTILES_ORACLE_SQL,
         "dedup_exact": f"""
             SELECT md5(text) AS content_hash, min(doc_id) AS rep_id,
                    count(*) AS n_dups

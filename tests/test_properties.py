@@ -209,3 +209,82 @@ def test_trafo_inverse_roundtrip(z, data):
     w = mvtcodec.tile_to_world([pts], z, tx, ty, extent)
     back = mvtcodec.world_to_tile(w, z, tx, ty, extent)
     assert (back[0] == pts).all()
+
+
+# ------------------------------------------------------------- protobuf wire
+
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=0, max_size=200))
+def test_proto_packed_varint_roundtrip(vals):
+    """Vectorized packed-varint decode inverts the encoder, and the
+    encoder is byte-identical to per-value LEB128."""
+    from gdal_drivers_spark.core import mvtproto
+
+    arr = np.asarray(vals, np.uint64)
+    blob = mvtproto.encode_packed_varints(arr)
+    assert blob == b"".join(mvtproto.encode_varint(int(v)) for v in vals)
+    back = mvtproto.decode_packed_varints(blob)
+    assert (back == arr).all()
+
+
+@given(
+    st.sampled_from(["string", "float", "double", "int", "uint", "sint", "bool"]),
+    st.data(),
+)
+def test_proto_value_roundtrip(kind, data):
+    from gdal_drivers_spark.core import mvtproto
+
+    if kind == "string":
+        v = data.draw(st.text(max_size=40))
+    elif kind in ("float", "double"):
+        v = data.draw(st.floats(allow_nan=False, allow_infinity=False, width=32))
+    elif kind == "int":
+        v = data.draw(st.integers(-(2**63), 2**63 - 1))
+    elif kind == "uint":
+        v = data.draw(st.integers(0, 2**64 - 1))
+    elif kind == "sint":
+        v = data.draw(st.integers(-(2**63), 2**63 - 1))
+    else:
+        v = data.draw(st.booleans())
+    k2, v2 = mvtproto.decode_value(mvtproto.encode_value(kind, v))
+    assert k2 == kind
+    if kind == "float":
+        assert v2 == np.float32(v)
+    else:
+        assert v2 == v
+
+
+@given(
+    st.sampled_from([mvtcodec.GEOM_POINT, mvtcodec.GEOM_LINESTRING]),
+    st.lists(
+        st.lists(st.tuples(st.integers(0, 4095), st.integers(0, 4095)), min_size=2, max_size=12),
+        min_size=1, max_size=4,
+    ),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 3)), max_size=4),
+)
+def test_proto_tile_equals_array_encoding(gt, parts, tagpairs):
+    """VERDICT r02 criterion: proto-encode→decode == array-encode→decode.
+    The same command stream framed through real protobuf must decode to
+    the identical feature (id, tags, geom_type, geometry) the engine's
+    int-array layer encoding carries."""
+    from gdal_drivers_spark.core import mvtproto
+
+    arrs = [np.asarray(p, np.int64) for p in parts]
+    stream = mvtcodec.encode_geometry(gt, arrs)  # the array encoding
+    tags = np.asarray([t for p in tagpairs for t in p], np.uint64)
+    feat = {"id": 7, "tags": tags, "geom_type": gt,
+            "geometry": stream.astype(np.uint64)}
+    blob = mvtproto.encode_tile(
+        [{"name": "l", "extent": 4096, "version": 2,
+          "keys": ["a", "b", "c", "d"],
+          "values": [("string", "x"), ("int", 1), ("bool", True), ("double", 0.5)],
+          "features": [feat]}]
+    )
+    layers = mvtproto.decode_tile(blob)
+    assert len(layers) == 1 and len(layers[0]["features"]) == 1
+    f = layers[0]["features"][0]
+    assert f["id"] == 7 and f["geom_type"] == gt
+    assert (f["geometry"] == stream).all()
+    assert (f["tags"] == tags.astype(np.int64)).all()
+    # and the geometry decodes to the same vertices either way
+    dec = mvtcodec.decode_geometry(gt, np.asarray(f["geometry"], np.int64))
+    assert (np.vstack(dec) == np.vstack(arrs)).all()
