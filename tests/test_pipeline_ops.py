@@ -231,3 +231,56 @@ def test_frame_sample_udtf_matches_mapinpandas(spark):
         for r in frame_sample_udtf(spark, df, every_k=3).collect()
     }
     assert got == {k: int(v) for k, v in base.items()}
+
+
+def test_near_dup_default_is_pruned_with_recall(spark):
+    """VERDICT r01 #7: near_dup_pairs defaults to the LSH-bucketed plan
+    (no cross join in the executed plan); exact=True is the opt-in
+    all-pairs baseline. The pruned default must recover a solid share
+    of the exact pairs on a clustered corpus (planted near-dup pairs
+    have high cosine → usually identical sign sketches)."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.similarity import near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vid = 0
+    for _ in range(40):  # 40 planted pairs: v and v+tiny noise
+        v = rng.normal(0, 1, 16)
+        v = v / np.linalg.norm(v)
+        w = v + rng.normal(0, 0.01, 16)
+        w = w / np.linalg.norm(w)
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        rows.append((vid, [float(x) for x in w])); vid += 1
+    corpus = spark.createDataFrame(rows, "cid long, cvec array<double>")
+
+    exact = near_dup_pairs(corpus, threshold=90_000_000, dim=16, exact=True)
+    pruned = near_dup_pairs(corpus, threshold=90_000_000, dim=16)
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    exact_pairs = {(r.id1, r.id2) for r in exact.collect()}
+    pruned_pairs = {(r.id1, r.id2) for r in pruned.collect()}
+    assert pruned_pairs <= exact_pairs  # prune never invents pairs
+    assert len(exact_pairs) >= 40
+    recall = len(pruned_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"recall {recall:.2f}"
+
+
+def test_embedding_set_ivf_non_contiguous_ids(spark):
+    """ADVICE r01: EmbeddingSet.ivf_topk must return neighbors even
+    when no corpus id is a stride multiple (ids 1..50, stride 64)."""
+    import numpy as np
+
+    from gdal_drivers_spark.engine import EmbeddingSet
+
+    rng = np.random.default_rng(5)
+    vecs = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(1, 51)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    es = EmbeddingSet(spark, df, id_col="vec_id", vec_col="embedding")
+    qs = df.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = es.ivf_topk(qs, stride=64, k=3, nprobe=2).collect()
+    assert len(got) > 0  # previously: silently empty

@@ -221,3 +221,46 @@ def test_stream_equals_batch(spark, tmp_path):
     run_stream_to_memory(out, "ev_windows")
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM ev_windows").collect())
     assert got == expected
+
+
+def test_checkpoint_single_input_scan(spark, tmp_path):
+    """VERDICT r01 #5 done-criterion: write_batches scans the INPUT
+    exactly once regardless of batch count. An accumulator bumped by a
+    pandas UDF in the input plan counts how many rows ever flow out of
+    the source; after writing 8 batches it must equal n_rows (the old
+    per-batch loop scanned ~2×8 times)."""
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.pandas_udf("long")
+    def counted(v: pd.Series) -> pd.Series:
+        acc.add(len(v))
+        return v
+
+    n = 4000
+    src = spark.range(n).select(
+        counted(F.col("id")).alias("k"), (F.col("id") % 97).alias("v")
+    )
+    w = CheckpointedWriter(spark, str(tmp_path / "out"))
+    stats = w.write_batches(src, F.col("k") % 8, key="k")
+    assert stats["written"] == 8 and stats["rows"] == n
+    assert acc.value == n, f"input scanned {acc.value / n:.1f}× (want 1×)"
+    # and the committed data reads back complete + valid
+    assert w.read_committed().count() == n
+    assert w.validate("k")
+
+
+def test_manifest_mixes_pre_seq_commits(spark, tmp_path):
+    """ADVICE r01: manifests written before the ``seq`` column existed
+    must still read (mergeSchema + seq default), and committed() only
+    swallows the empty-manifest case."""
+    w = CheckpointedWriter(spark, str(tmp_path / "out"))
+    # simulate an old 3-column commit file
+    spark.createDataFrame(
+        [(0, 10, 1234)], "batch_id long, n_rows long, checksum long"
+    ).coalesce(1).write.parquet(f"{w.manifest_dir}/commit-0-legacy")
+    src = spark.range(100).select(F.col("id").alias("k"))
+    stats = w.write_batches(src, F.col("k") % 4, key="k")
+    assert stats["skipped"] == 1 and stats["written"] == 3  # batch 0 honored
+    assert w.committed() == {0, 1, 2, 3}
+    snaps = w.snapshots()
+    assert [s for s, _, _ in snaps][:1] == [0]  # legacy commit defaults to seq 0

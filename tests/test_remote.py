@@ -79,3 +79,29 @@ def test_terminal_status_no_retry_and_gzip_inflate(spark):
 def test_urlre_is_anchored():
     assert URL_RE.match("http://h/a/3-1-2.mvt")
     assert not URL_RE.match("http://h/3-1-2.mvt/extra")
+
+
+def test_transport_exceptions_and_corrupt_gzip_poison_only_their_rows(spark):
+    """ADVICE r01: URLError-style leaks from the transport and corrupt
+    gzip payloads must not kill the stage — sentinel status, empty
+    payload, other rows unaffected."""
+    from gdal_drivers_spark.sources.remote import fetch_remote_tiles
+
+    def tp(url, attempt):
+        if "1-0-0" in url:
+            raise OSError("socket timeout")  # leaky transport
+        if "1-1-0" in url:
+            return 200, b"\x1f\x8b corrupt not really gzip"
+        return 200, b"fine"
+
+    reqs = spark.createDataFrame(
+        [("http://t/1-0-0",), ("http://t/1-1-0",), ("http://t/1-0-1",)],
+        "url string",
+    )
+    rows = {r.url: r for r in fetch_remote_tiles(reqs, transport=tp).collect()}
+    assert rows["http://t/1-0-0"].status == 599
+    assert bytes(rows["http://t/1-0-0"].tile_data) == b""
+    assert rows["http://t/1-1-0"].status == -2
+    assert bytes(rows["http://t/1-1-0"].tile_data) == b""
+    assert rows["http://t/1-0-1"].status == 200
+    assert bytes(rows["http://t/1-0-1"].tile_data) == b"fine"

@@ -207,3 +207,39 @@ def test_engine_solid_and_blend(spark):
     eng = Engine(spark)
     tiles = eng.solid(128, 128, [(42, "u8")], tile_px=64)
     assert tiles.df.count() == 4
+
+
+def test_warp_cover_is_distributed_no_localtablescan(spark):
+    """VERDICT r01 #4 done-criterion: the output-tile⇄source-tile cover
+    table is generated with Column arithmetic (spark.range + explode),
+    not a driver-materialized LocalTableScan — so a 10⁶-output-tile
+    warp stays O(1) on the driver. Asserted on a 64×64-output-tile
+    (4096 tiles) plan without executing the full job."""
+    src = spark.createDataFrame(
+        pd.DataFrame({"scx": [0], "scy": [0],
+                      "tile": [codecs.encode_raw(np.zeros((8, 8, 1), np.uint8))]})
+    )
+    gt = gt_from_extents(0, 0, 1, 1, 64 * 8, 64 * 8)
+    out = warp_tiles(src, gt, gt, (64 * 8, 64 * 8), tile_px=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only LocalTableScan is the src fixture itself; the cover
+    # side is a Range → codegen explode, nothing driver-materialized
+    assert plan.count("LocalTableScan") == 1, plan
+    assert "Range (0, 4096" in plan
+    # and the degenerate single-source case still computes correctly:
+    # tile (0,0) plus its ±1-pixel-slop neighbors (the bilinear halo
+    # slop the driver-loop version also emitted), nothing else
+    got = out.collect()
+    assert {(r["ocx"], r["ocy"]) for r in got} == {(0, 0), (1, 0), (0, 1), (1, 1)}
+
+
+def test_warp_empty_cover_returns_no_rows(spark):
+    """Destination entirely outside source coverage → empty result,
+    not an error (mbtiles.cpp:188-192 missing-tile semantics)."""
+    src = spark.createDataFrame(
+        pd.DataFrame({"scx": [0], "scy": [0],
+                      "tile": [codecs.encode_raw(np.zeros((8, 8, 1), np.uint8))]})
+    )
+    sgt = gt_from_extents(0, 0, 1, 1, 8, 8)
+    dgt = gt_from_extents(100, 100, 101, 101, 8, 8)
+    assert warp_tiles(src, sgt, dgt, (8, 8), tile_px=8).count() == 0
