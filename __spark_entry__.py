@@ -216,6 +216,104 @@ def q_tms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warp_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 cross-SRS (warp(srs=...), gdaldriversmodule.cpp:182-204): a
+    128×128 EPSG:4326 source raster (global pattern (gx·3+gy·5+11)%256)
+    resampled nearest onto a 128×128 EPSG:3857 grid via the closed-form
+    spherical-Mercator transform (core/srs.py). The oracle replays the
+    exact per-pixel chain — dst center → world → inverse Mercator →
+    source pixel floor → pattern — in SQL; all grid constants are
+    powers of two so the affine steps are exact, and ln/tan/atan/exp
+    agree bit-for-bit across numpy/libm/DuckDB (verified on this
+    platform). Dst bbox strictly inside the source so no clamping."""
+    import math
+
+    import numpy as np
+
+    from gdal_drivers_spark.core import codecs
+    from gdal_drivers_spark.core.srs import R_MERC
+    from gdal_drivers_spark.operators.warp import warp_tiles
+
+    TS = 32
+    # source: lon [0,8)°, lat (40,48]°, 128×128 px, dx=dy=2^-4 (exact)
+    src_gt = np.array([0.0, 0.0625, 0.0, 48.0, 0.0, -0.0625])
+
+    def merc_y(lat_deg: float) -> float:
+        return R_MERC * math.log(math.tan(math.pi / 4.0 + lat_deg * math.pi / 360.0))
+
+    # dst: strictly inside — lon [0.5,7.5], lat [40.5,47.5] in 3857
+    x0 = 0.5 * R_MERC * math.pi / 180.0
+    x1 = 7.5 * R_MERC * math.pi / 180.0
+    y1, y0 = merc_y(40.5), merc_y(47.5)
+    dst_gt = np.array([x0, (x1 - x0) / 128.0, 0.0, y0, 0.0, (y1 - y0) / 128.0])
+
+    # source tiles built on executors from the deterministic pattern
+    grid = spark.range(16).select(
+        (F.col("id") % 4).alias("scx"), (F.col("id") / 4).cast("long").alias("scy")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                gx = np.arange(TS) + int(r.scx) * TS
+                gy = np.arange(TS) + int(r.scy) * TS
+                img = ((gx[None, :] * 3 + gy[:, None] * 5 + 11) % 256).astype(np.uint8)
+                rows.append((int(r.scx), int(r.scy), codecs.encode_raw(img[:, :, None])))
+            yield pd.DataFrame(rows, columns=["scx", "scy", "tile"])
+
+    src = grid.mapInPandas(gen, "scx long, scy long, tile binary")
+    out = warp_tiles(
+        src, src_gt, dst_gt, (128, 128), tile_px=TS, method="nearest",
+        src_srs="EPSG:4326", dst_srs="EPSG:3857",
+    )
+
+    @F.pandas_udf("long")
+    def px_sum(tile: pd.Series) -> pd.Series:
+        return pd.Series(
+            [int(np.frombuffer(bytes(b), np.uint8).sum(dtype=np.int64)) for b in tile]
+        )
+
+    return out.select("ocx", "ocy", px_sum(F.col("tile")).alias("px_sum"), "ts")
+
+
+def _warp_reproject_oracle_sql() -> str:
+    import math
+
+    from gdal_drivers_spark.core.srs import R_MERC
+
+    def merc_y(lat_deg: float) -> float:
+        return R_MERC * math.log(math.tan(math.pi / 4.0 + lat_deg * math.pi / 360.0))
+
+    x0 = 0.5 * R_MERC * math.pi / 180.0
+    x1 = 7.5 * R_MERC * math.pi / 180.0
+    y1, y0 = merc_y(40.5), merc_y(47.5)
+    dx, dy = (x1 - x0) / 128.0, (y1 - y0) / 128.0
+    # inverse source affine (gt_invert of [0,2^-4,0,48,0,-2^-4]) is
+    # exactly scol = lon*16, srow = 768 + lat*(-16)
+    return f"""
+        WITH px AS (
+            SELECT gc.c AS col, gr.r AS row
+            FROM generate_series(0, 127) gc(c), generate_series(0, 127) gr(r)
+        ), w AS (
+            SELECT col, row,
+                   ({x0!r} + (col + 0.5) * {dx!r}) / {R_MERC * math.pi / 180.0!r} AS lon,
+                   (2.0 * atan(exp(({y0!r} + (row + 0.5) * {dy!r}) / {R_MERC!r}))
+                    - {math.pi / 2.0!r}) / {math.pi / 180.0!r} AS lat
+            FROM px
+        ), s AS (
+            SELECT col, row,
+                   CAST(floor(0.0 + lon * 16.0) AS BIGINT) AS scol,
+                   CAST(floor(768.0 + lat * (-16.0)) AS BIGINT) AS srow
+            FROM w
+        )
+        SELECT col // 32 AS ocx, row // 32 AS ocy,
+               CAST(sum((scol * 3 + srow * 5 + 11) % 256) AS BIGINT) AS px_sum,
+               CAST(32 AS INT) AS ts
+        FROM s GROUP BY 1, 2
+    """
+
+
 def q_mbtiles_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 over a REAL SQLite archive (mbtiles.cpp:128-225): a genuine
     ``.mbtiles`` file is written (tiles stored TMS, gzip on even
@@ -703,6 +801,77 @@ def q_maskfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["mask_id", "depth", "n_quads", "n_white"])
 
     return masks.mapInPandas(_read, "mask_id long, depth int, n_quads long, n_white long")
+
+
+def q_maskfile_gdalqm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S4/S8 over the REFERENCE header wire layout: masks serialize
+    with the exact GDALQM header (6-byte magic + 2×u8 reserved +
+    u32-len WKT + 4×f64 extents, mask.cpp:274-303), are magic-probed
+    (mask.cpp:95-108) and parsed back (header per mask.cpp:130-163).
+    SRS and squared-up extents must survive; quad counts as in
+    maskfile_roundtrip."""
+    from gdal_drivers_spark.core import maskfile
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    h = (F.col("p_partkey") * F.lit(2654435761)) % F.lit(256)
+    quads = (
+        p.select(
+            (F.col("p_partkey") % 5).alias("mask_id"),
+            (h % 16).alias("qx"),
+            (h.cast("long") / 16).cast("long").alias("qy"),
+        )
+        .distinct()
+        .select(
+            "mask_id", F.lit(4).alias("level"), "qx", "qy",
+            F.when((F.col("qx") + F.col("qy")) % 2 == 0, "white")
+            .otherwise("gray")
+            .alias("value"),
+        )
+    )
+
+    def _write(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        buf = maskfile.write_mask(
+            pdf, depth=4, extents=(0.0, 0.0, 1.0, 1.0),
+            srs='LOCAL_CS["qm"]', wire="gdalqm",
+        )
+        return pd.DataFrame({"mask_id": [int(key[0])], "buf": [buf]})
+
+    masks = quads.groupBy("mask_id").applyInPandas(_write, "mask_id long, buf binary")
+
+    def _read(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                buf = bytes(r.buf)
+                assert buf[:6] == b"GDALQM" and maskfile.probe(buf)
+                q, depth, ext, srs = maskfile.read_mask(buf)
+                rows.append(
+                    (int(r.mask_id), depth, len(q),
+                     int((q["value"] == "white").sum()), srs, float(ext[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["mask_id", "depth", "n_quads", "n_white", "srs", "ur_x"],
+            )
+
+    return masks.mapInPandas(
+        _read,
+        "mask_id long, depth int, n_quads long, n_white long, srs string, ur_x double",
+    )
+
+
+_MASKFILE_GDALQM_ORACLE_SQL = """
+    WITH cells AS (
+        SELECT DISTINCT p_partkey % 5 AS mask_id,
+               ((p_partkey * 2654435761) % 256) % 16 AS qx,
+               ((p_partkey * 2654435761) % 256) // 16 AS qy
+        FROM part
+    )
+    SELECT mask_id, 4 AS depth, count(*) AS n_quads,
+           CAST(sum(CASE WHEN (qx + qy) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_white,
+           'LOCAL_CS["qm"]' AS srs, CAST(1.0 AS DOUBLE) AS ur_x
+    FROM cells GROUP BY mask_id
+"""
 
 
 _MASKFILE_ORACLE_SQL = """
@@ -2129,7 +2298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mvt_proto_typed": q_mvt_proto_typed,
         "vectorize_roundtrip": q_vectorize_roundtrip,
         "warp_downsample": q_warp_downsample,
+        "warp_reproject": q_warp_reproject,
         "maskfile_roundtrip": q_maskfile_roundtrip,
+        "maskfile_gdalqm": q_maskfile_gdalqm,
         "multimodal_resize": q_multimodal_resize,
         "feather_weights": q_feather_weights,
         "zxy_parse": q_zxy_parse,
@@ -2322,7 +2493,9 @@ def oracle_sql() -> dict[str, str]:
         "mvt_proto_typed": _MVT_PROTO_ORACLE_SQL,
         "vectorize_roundtrip": _VECTORIZE_ORACLE_SQL,
         "warp_downsample": _WARP_ORACLE_SQL,
+        "warp_reproject": _warp_reproject_oracle_sql(),
         "maskfile_roundtrip": _MASKFILE_ORACLE_SQL,
+        "maskfile_gdalqm": _MASKFILE_GDALQM_ORACLE_SQL,
         "multimodal_resize": _MULTIMODAL_ORACLE_SQL,
         "knn": """
             WITH pts AS (

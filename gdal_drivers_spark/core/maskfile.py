@@ -6,9 +6,19 @@ Mirrors the reference mask driver's storage shape
 (``GDALQM`` 6-byte magic, ``mask.cpp:56``; probe ``mask.cpp:95-108``),
 reserved bytes + length-prefixed SRS WKT + 4×f64 extents then the tree
 (header layout read at ``mask.cpp:130-163``), with extents squared up
-to 2^depth cells (``mask.cpp:285-297``). The engine defines its own
-magic (``GQM1``) and a flat node list — semantics, not wire format,
-are the parity target.
+to 2^depth cells (``mask.cpp:285-297``). Two wire dialects:
+
+- ``GQM1`` (engine-native): 4-byte magic + 2 reserved, then the common
+  body below;
+- ``GDALQM`` (reference header layout, ``mask.cpp:274-303``): the
+  exact 6-byte magic + 2×u8 reserved + u32-length WKT + 4×f64 extents
+  header the reference probes and parses (``mask.cpp:95-108``,
+  ``130-163``). The node stream that follows the reference header is
+  ``imgproc::mappedqtree::RasterMask`` — an external library whose
+  serialization is not part of the reference tree — so after the
+  GDALQM header the engine stores its own flat node list (below).
+  Probe + header parse are wire-compatible; the tree payload is
+  engine-defined and documented as such.
 
 Node record: (level:u8, qx:u32, qy:u32, value:u8 ∈ {0=black, 1=white,
 2=gray}); the tree is the maximal-quad decomposition (same invariant
@@ -23,6 +33,7 @@ import numpy as np
 import pandas as pd
 
 MAGIC = b"GQM1"
+MAGIC_REF = b"GDALQM"  # mask.cpp:56
 _VAL_CODE = {"black": 0, "white": 1, "gray": 2}
 _CODE_VAL = {v: k for k, v in _VAL_CODE.items()}
 
@@ -40,13 +51,16 @@ def write_mask(
     depth: int,
     extents: tuple[float, float, float, float],
     srs: str = "LOCAL_CS[\"unit\"]",
+    wire: str = "gqm1",
 ) -> bytes:
-    """Serialize a quads table (level, qx, qy, value) to the mask format."""
+    """Serialize a quads table (level, qx, qy, value) to the mask
+    format. ``wire="gdalqm"`` emits the reference's header layout
+    (6-byte ``GDALQM`` magic + 2×u8 reserved, mask.cpp:274-277)."""
     x0, y0, x1, y1 = square_up(*extents, depth)
     wkt = srs.encode()
     out = [
-        MAGIC,
-        b"\x00\x00",  # reserved (2 bytes, like the reference header)
+        MAGIC_REF if wire == "gdalqm" else MAGIC,
+        b"\x00\x00",  # 2×u8 reserved (mask.cpp:276-277)
         struct.pack("<I", len(wkt)),
         wkt,
         struct.pack("<4d", x0, y0, x1, y1),
@@ -58,15 +72,19 @@ def write_mask(
 
 
 def probe(buf: bytes) -> bool:
-    """Magic-byte probe (mask.cpp:95-108 semantics)."""
-    return buf[:4] == MAGIC
+    """Magic-byte probe (mask.cpp:95-108): accepts both the engine
+    magic and the reference's ``GDALQM``."""
+    return buf[:4] == MAGIC or buf[:6] == MAGIC_REF
 
 
 def read_mask(buf: bytes):
     """Parse → (quads pandas DataFrame, depth, extents, srs)."""
-    if not probe(buf):
-        raise ValueError("not a GQM1 quadtree mask")
-    pos = 6
+    if buf[:6] == MAGIC_REF:
+        pos = 8  # 6-byte magic + 2 reserved (mask.cpp:130-143)
+    elif buf[:4] == MAGIC:
+        pos = 6  # 4-byte magic + 2 reserved
+    else:
+        raise ValueError("not a GQM1/GDALQM quadtree mask")
     (wkt_len,) = struct.unpack_from("<I", buf, pos)
     pos += 4
     srs = buf[pos : pos + wkt_len].decode()

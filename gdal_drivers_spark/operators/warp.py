@@ -40,6 +40,8 @@ def warp_tiles(
     tile_px: int = 256,
     method: str = "nearest",
     nodata: float = 0.0,
+    src_srs: str = "",
+    dst_srs: str = "",
 ) -> DataFrame:
     """Resample source tiles onto the destination grid.
 
@@ -51,12 +53,23 @@ def warp_tiles(
     orthogonal (no rotation) — rejected otherwise, matching the
     reference's compatibility gate.
 
+    ``src_srs``/``dst_srs``: optional SRS names; when they differ, the
+    dst-world→src-world hop goes through ``core.srs.get_transform``
+    (the reference's ``warp(srs=...)`` binding,
+    gdaldriversmodule.cpp:182-204 — here restricted to the registered
+    axis-separable monotone pairs, e.g. EPSG:4326↔3857).
+
     Output: one row per destination tile (ocx, ocy).
     """
+    from ..core.srs import get_transform
+
     if not (gt_orthogonal(src_gt) and gt_orthogonal(dst_gt)):
         raise ValueError("warp requires orthogonal geotransforms (blender.cpp:133-139)")
     if method not in ("nearest", "bilinear"):
         raise ValueError(f"unknown resample method {method!r}")
+    if src_srs != dst_srs and not (src_srs and dst_srs):
+        raise ValueError("cross-SRS warp needs BOTH src_srs and dst_srs")
+    tf = get_transform(dst_srs, src_srs)  # dst world → src world
 
     dst_h, dst_w = dst_shape
     tiles_x = (dst_w + tile_px - 1) // tile_px
@@ -85,10 +98,10 @@ def warp_tiles(
         return F.lit(off) + world_expr * F.lit(scale)
 
     # the two pixel-corner world coords per axis, through the inverse
-    xs0 = F.lit(d0) + F.col("ocx") * F.lit(T * d1)
-    xs1 = F.lit(d0) + (F.col("ocx") + 1) * F.lit(T * d1)
-    ys0 = F.lit(d3) + F.col("ocy") * F.lit(T * d5)
-    ys1 = F.lit(d3) + (F.col("ocy") + 1) * F.lit(T * d5)
+    xs0 = tf.col_x(F.lit(d0) + F.col("ocx") * F.lit(T * d1))
+    xs1 = tf.col_x(F.lit(d0) + (F.col("ocx") + 1) * F.lit(T * d1))
+    ys0 = tf.col_y(F.lit(d3) + F.col("ocy") * F.lit(T * d5))
+    ys1 = tf.col_y(F.lit(d3) + (F.col("ocy") + 1) * F.lit(T * d5))
     sc0, sc1 = _src_px(xs0, i0, i1), _src_px(xs1, i0, i1)
     sr0, sr1 = _src_px(ys0, i3, i5), _src_px(ys1, i3, i5)
     c0 = (F.floor(F.least(sc0, sc1)) - 1).cast("long")
@@ -139,8 +152,8 @@ def warp_tiles(
         # destination pixel centers → world → source pixel coords
         cols = ocx * tile_px + np.arange(tile_px) + 0.5
         rws = ocy * tile_px + np.arange(tile_px) + 0.5
-        wx = dgt[0] + cols * dgt[1]
-        wy = dgt[3] + rws * dgt[5]
+        wx = tf.np_x(dgt[0] + cols * dgt[1])
+        wy = tf.np_y(dgt[3] + rws * dgt[5])
         igt = gt_invert(np.asarray(sgt, np.float64))
         scol = igt[0] + wx * igt[1]
         srow = igt[3] + wy * igt[5]

@@ -288,3 +288,29 @@ def test_proto_tile_equals_array_encoding(gt, parts, tagpairs):
     # and the geometry decodes to the same vertices either way
     dec = mvtcodec.decode_geometry(gt, np.asarray(f["geometry"], np.int64))
     assert (np.vstack(dec) == np.vstack(arrs)).all()
+
+
+# ------------------------------------------------------------- SRS
+
+@given(st.floats(-179.9, 179.9), st.floats(-84.9, 84.9))
+def test_mercator_roundtrip(lon, lat):
+    """4326→3857→4326 is the identity to float64 precision (both
+    directions are the published closed-form spherical formulas)."""
+    from gdal_drivers_spark.core.srs import get_transform
+
+    f = get_transform("EPSG:4326", "EPSG:3857")
+    b = get_transform("EPSG:3857", "EPSG:4326")
+    assert abs(float(b.np_x(f.np_x(np.array([lon]))))- lon) < 1e-9
+    assert abs(float(b.np_y(f.np_y(np.array([lat]))))- lat) < 1e-9
+
+
+def test_srs_unknown_pair_raises():
+    from gdal_drivers_spark.core.srs import get_transform
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no transform"):
+        get_transform("EPSG:4326", "EPSG:32633")
+    # identity for equal names, any name
+    t = get_transform("EPSG:32633", "EPSG:32633")
+    assert float(t.np_x(np.array([5.0]))) == 5.0
