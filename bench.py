@@ -236,6 +236,9 @@ def run(sf_dir: str, cpus: int) -> dict:
     for name in [
         "knn", "dedup_minhash", "ann_topk", "ann_ivf", "phash_near_dup",
         "windowed_events", "tile_assign",
+        # round-2 real-format paths: protobuf decode, SQLite archive
+        # scan, cross-SRS warp
+        "mvt_proto_typed", "mbtiles_scan", "warp_reproject",
     ]:
         q = entry_mod.queries()[name]
         dt, _ = timed_sane(lambda: q(spark, sf_dir).count())
