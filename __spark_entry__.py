@@ -1243,11 +1243,108 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS (the dedup closer at 100 TB): MinHash → LSH
+    candidate pairs → connected components via iterative hash-min
+    label propagation (O(log diameter) rounds, lineage truncated per
+    round) → (doc_id, cluster_rep=min id in component, cluster_size).
+    The oracle computes the same transitive closure with a recursive
+    CTE over the identical SQL-derived pair set."""
+    from gdal_drivers_spark.operators.dedup import dup_clusters
+
+    return dup_clusters(
+        _dup_corpus(spark, sf_dir), "doc_id", n_hashes=16, n_bands=4
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_drivers_spark.operators.dedup import simhash
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash(docs.filter(F.col("doc_id") < 200), "doc_id")
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF tokens (keyword extraction for
+    curation/topic sampling): explode → tf → smoothed idf → windowed
+    top-k, integerized score (round(tf·idf·10⁶)) for engine parity."""
+    from gdal_drivers_spark.operators.text import tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    return tfidf_topk(docs, "doc_id", k=3)
+
+
+_TFIDF_ORACLE_SQL = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents WHERE doc_id < 300
+    ), tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), nd AS (
+        SELECT count(DISTINCT doc_id) AS n FROM documents WHERE doc_id < 300
+    ), dfx AS (
+        SELECT tok, count(*) AS df FROM tf GROUP BY tok
+    ), idf AS (
+        SELECT tok, ln((n + 1.0) / (df + 1.0)) + 1.0 AS idf FROM dfx, nd
+    ), scored AS (
+        SELECT t.doc_id, t.tok,
+               CAST(round(t.tf * i.idf * 1e6) AS BIGINT) AS score_q6
+        FROM tf t JOIN idf i ON t.tok = i.tok
+    ), r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score_q6 DESC, tok
+        ) AS rank FROM scored
+    )
+    SELECT doc_id, tok, score_q6, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum rate sampling (curation primitive):
+    pure codegen filter on a multiplicative key hash — zero shuffle,
+    reproducible across runs and engines."""
+    from gdal_drivers_spark.operators.sample import stratified_sample
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = stratified_sample(
+        c, "c_mktsegment", {"BUILDING": 800, "AUTOMOBILE": 300},
+        key="c_custkey", default_permille=100,
+    )
+    return out.select("c_custkey", "c_mktsegment")
+
+
+_STRATIFIED_ORACLE_SQL = """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE (c_custkey * 2654435761) % 4294967296 % 1000 <
+          CASE c_mktsegment WHEN 'BUILDING' THEN 800
+                            WHEN 'AUTOMOBILE' THEN 300 ELSE 100 END
+"""
+
+
+def q_stratified_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-stratum deterministic sampling (hash-ordered
+    'reservoir'): one window on the stratum key."""
+    from gdal_drivers_spark.operators.sample import stratified_fixed
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return stratified_fixed(c, "c_mktsegment", n=5, key="c_custkey")
+
+
+_STRATIFIED_FIXED_ORACLE_SQL = """
+    WITH r AS (
+        SELECT c_custkey, c_mktsegment,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY (c_custkey * 2654435761) % 4294967296, c_custkey
+               ) AS rk
+        FROM customer
+    )
+    SELECT c_custkey, c_mktsegment FROM r WHERE rk <= 5
+"""
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2317,9 +2414,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mbtiles_scan": q_mbtiles_scan,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_jaccard": q_dedup_jaccard,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
+        "tfidf_topk": q_tfidf_topk,
+        "stratified_sample": q_stratified_sample,
+        "stratified_fixed": q_stratified_fixed,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
@@ -2588,6 +2689,50 @@ def oracle_sql() -> dict[str, str]:
                         i -> CASE WHEN sig1[i] = sig2[i] THEN 1 ELSE 0 END)) AS BIGINT) AS n_equal
             FROM pairs
         """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE tok AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS a
+                FROM ({_DUP_CORPUS_SQL}) c
+            ), sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(0, greatest(len(a) - 3, 0)),
+                    i -> CAST(concat('0x', substr(md5(a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]), 1, 8)) AS BIGINT)
+                )) AS s
+                FROM tok
+            ), sig AS (
+                SELECT doc_id, list_transform(generate_series(0, 15),
+                    j -> list_min(list_transform(s, h -> ((2*j+3)*h + (5*j+1)) % 2147483647))
+                ) AS sg
+                FROM sh
+            ), band AS (
+                SELECT doc_id, sg, b,
+                       array_to_string(sg[b*4+1 : b*4+4], '-') AS bsig
+                FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs
+            ), sized AS (
+                SELECT *, count(*) OVER (PARTITION BY b, bsig) AS bn FROM band
+            ), flt AS (
+                SELECT * FROM sized WHERE bn <= 64
+            ), pairs AS (
+                SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+                FROM flt l JOIN flt r
+                  ON l.b = r.b AND l.bsig = r.bsig AND l.doc_id < r.doc_id
+            ), edges AS (
+                SELECT id1 AS src, id2 AS dst FROM pairs
+                UNION
+                SELECT id2, id1 FROM pairs
+            ), reach(node, comp) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.comp FROM edges e JOIN reach r ON r.node = e.dst
+            ), comps AS (
+                SELECT node, min(comp) AS comp FROM reach GROUP BY node
+            ), sizes AS (
+                SELECT comp, count(*) AS n FROM comps GROUP BY comp
+            )
+            SELECT c.node AS doc_id, c.comp AS cluster_rep,
+                   CAST(s.n AS BIGINT) AS cluster_size
+            FROM comps c JOIN sizes s ON c.comp = s.comp
+        """,
         "dedup_jaccard": f"""
             WITH tok AS (
                 SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS a
@@ -2643,6 +2788,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id
         """,
+        "tfidf_topk": _TFIDF_ORACLE_SQL,
+        "stratified_sample": _STRATIFIED_ORACLE_SQL,
+        "stratified_fixed": _STRATIFIED_FIXED_ORACLE_SQL,
         "text_quality": """
             WITH t AS (
                 SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS a

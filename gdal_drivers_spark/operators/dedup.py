@@ -260,3 +260,94 @@ def phash_near_dup(
         .filter(F.col("dist") <= max_dist)
         .select("id1", "id2", "dist")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate CLUSTERS from candidate pairs: connected components by
+    iterative hash-min label propagation. Returns (node:long,
+    component:long) with component = min node id in the component.
+
+    At 100 TB this is THE dedup closer — LSH/phash/minhash emit PAIRS,
+    but curation needs one representative per duplicate CLUSTER
+    (components of the pair graph). Hash-min converges in
+    O(log diameter) rounds; near-dup graphs are dense small clusters
+    (diameter ≲ 3), so 2-4 rounds in practice. Each round is one
+    groupBy(min) over the undirected edge list joined back to labels —
+    all shuffles on uniformly-hashed node ids. ``localCheckpoint``
+    per round truncates the lineage (the same O(iters²)-recompute
+    guard as operators/knn.py); the driver loop stops on the exact
+    fixed point (changed == 0), with ``max_iter`` as the certified
+    bound for adversarial chains.
+    """
+    spark = edges.sparkSession
+    # undirected: both directions, plus self-loops so isolated label
+    # updates keep every node present
+    e = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # candidate label for each node: min over neighbors' labels
+        cand = (
+            sym.join(labels, sym.dst == labels.node, "inner")
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(cand, labels.node == cand.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("_chg"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text: str = "text",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    k: int = 3,
+    min_jaccard: float | None = None,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering: MinHash → banded LSH
+    candidate pairs → (optional) exact-Jaccard edge filter → connected
+    components → (id, cluster_rep, cluster_size). Docs with no
+    near-dup partner are absent (singletons need no curation action)."""
+    shingled = with_shingles(df, text=text, k=k)
+    sigs = minhash_signature(df, n_hashes=n_hashes, text=text, k=k)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands=n_bands)
+    if min_jaccard is not None:
+        pairs = exact_jaccard(pairs, shingled, id_col).filter(
+            F.col("jaccard") >= min_jaccard
+        )
+    comps = connected_components(pairs)
+    sizes = comps.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comps.join(sizes, "component")
+        .select(
+            F.col("node").alias(id_col),
+            F.col("component").alias("cluster_rep"),
+            "cluster_size",
+        )
+    )

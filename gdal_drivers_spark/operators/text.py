@@ -101,3 +101,36 @@ def fingerprint(df: DataFrame, id_col: str, text: str = "text") -> DataFrame:
         F.array_max(hashes).alias("fp_max"),
         F.size(toks).cast("long").alias("n_tokens"),
     )
+
+
+def tfidf_topk(df: DataFrame, id_col: str, text: str = "text", k: int = 3) -> DataFrame:
+    """Per-document top-k tokens by TF-IDF — the curation primitive for
+    keyword extraction / topic sampling. Fully relational: explode →
+    tf per (doc, token) → df per token → idf = ln((N+1)/(df+1)) + 1
+    (smoothed) → row_number ≤ k (ties by token asc for determinism).
+
+    Scale shape: two groupBys on uniformly-hashed keys (token skew is
+    the only hazard — the idf side is one row per distinct token and
+    broadcast-joins back). Score reported as round(score·10⁶) so the
+    oracle compares exact integers (double ln/division is
+    correctly-rounded IEEE, identical across engines)."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col).alias("_id"), F.explode(tokens_col(text)).alias("tok"))
+    tf = toks.groupBy("_id", "tok").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col)).collect()[0][0]
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = dfreq.select(
+        "tok",
+        (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "tok").select(
+        "_id", "tok",
+        F.round(F.col("tf") * F.col("idf") * 1e6).cast("long").alias("score_q6"),
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("score_q6"), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_id").alias(id_col), "tok", "score_q6", "rank")
+    )

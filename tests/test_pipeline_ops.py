@@ -284,3 +284,72 @@ def test_embedding_set_ivf_non_contiguous_ids(spark):
     )
     got = es.ivf_topk(qs, stride=64, k=3, nprobe=2).collect()
     assert len(got) > 0  # previously: silently empty
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Hash-min label propagation: a 9-node chain (worst-case diameter)
+    and two separate triangles resolve to exact components; fixed point
+    reached (not max_iter exhaustion)."""
+    from gdal_drivers_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(10, 18)]            # 10..18 one component
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(5, 6), (6, 7)]
+    edges = spark.createDataFrame(chain + tri1 + tri2, "id1 long, id2 long")
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert {got[i] for i in range(10, 19)} == {10}
+    assert {got[i] for i in (1, 2, 3)} == {1}
+    assert {got[i] for i in (5, 6, 7)} == {5}
+
+
+def test_dup_clusters_planted(spark):
+    """dup_clusters groups a doc with its exact copy and its truncated
+    variant into one cluster with the original as representative."""
+    from gdal_drivers_spark.operators.dedup import dup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        (1, base), (2, base),                      # exact dup pair
+        (3, " ".join(base.split()[: 30])),          # near dup of 1
+        (4, "totally different words nothing shared here at all " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.cluster_rep, r.cluster_size)
+           for r in dup_clusters(df, "doc_id").collect()}
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+    assert 4 not in got  # singleton absent
+
+
+def test_stratified_sample_is_filter_only(spark):
+    """Rate sampling must compile to a pure filter — no Exchange in the
+    plan (zero shuffle at any scale) and deterministic across runs."""
+    from gdal_drivers_spark.operators.sample import hash_sample, stratified_sample
+
+    df = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") % 3).alias("s"))
+    out = stratified_sample(df, "s", {0: 500, 1: 100}, key="k", default_permille=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    a = sorted(r.k for r in out.collect())
+    b = sorted(r.k for r in out.collect())
+    assert a == b and len(a) > 0
+    # rates land near nominal (hash uniformity): stratum 0 ≈ 50%
+    s0 = df.filter("s = 0").count()
+    got0 = out.filter("s = 0").count()
+    assert abs(got0 / s0 - 0.5) < 0.05
+    # hash_sample bounds check
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_sample(df, 1500, "k")
+
+
+def test_stratified_fixed_exact_counts(spark):
+    from gdal_drivers_spark.operators.sample import stratified_fixed
+
+    df = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 4).alias("s"))
+    out = stratified_fixed(df, "s", n=7, key="k")
+    counts = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 7, 1: 7, 2: 7, 3: 7}
+    # a stratum smaller than n yields all its rows
+    tiny = spark.range(3).select(F.col("id").alias("k"), F.lit(9).alias("s"))
+    assert stratified_fixed(tiny, "s", n=7, key="k").count() == 3
