@@ -925,6 +925,52 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-training patch extraction: 32×32 deterministic images cut
+    into a 2×2 grid of 16-px patches (narrow Arrow fan-out, the ViT
+    prep shape); exact per-patch pixel sums, closed-form oracle."""
+    import numpy as np
+
+    from gdal_drivers_spark.core import codecs
+    from gdal_drivers_spark.operators.multimodal import patch_grid
+    from gdal_drivers_spark.sources.synth import pattern
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for s in pdf["s_suppkey"]:
+                img = pattern(32, 32, 1, int(s) % 256)
+                rows.append((str(int(s)), codecs.encode_raw(img), 32, 32, "raw"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    images = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey").mapInPandas(
+        gen, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    patches = patch_grid(images, patch=16)
+
+    @F.pandas_udf("long")
+    def px_sum(b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [int(codecs.decode(bytes(x)).sum(dtype=np.int64)) for x in b]
+        )
+
+    return patches.select(
+        F.col("image_id").cast("long").alias("sid"),
+        "py", "px", "w", px_sum(F.col("bytes")).alias("px_sum"),
+    )
+
+
+_PATCH_GRID_ORACLE_SQL = """
+    WITH g AS (SELECT unnest(generate_series(0, 15)) AS v),
+    p AS (SELECT unnest(generate_series(0, 1)) AS i)
+    SELECT s_suppkey AS sid, CAST(py.i AS INT) AS py, CAST(px.i AS INT) AS px, 16 AS w,
+           CAST(sum(((px.i * 16 + gx.v) * 3 + (py.i * 16 + gy.v) * 5
+                     + s_suppkey % 256) % 256) AS BIGINT) AS px_sum
+    FROM supplier, p py, p px, g gx, g gy
+    GROUP BY 1, 2, 3
+"""
+
+
 _MULTIMODAL_ORACLE_SQL = """
     WITH g AS (SELECT unnest(generate_series(0, 15)) AS v)
     SELECT s_suppkey AS sid, 16 AS w, 16 AS h,
@@ -1344,6 +1390,68 @@ _STRATIFIED_FIXED_ORACLE_SQL = """
         FROM customer
     )
     SELECT c_custkey, c_mktsegment FROM r WHERE rk <= 5
+"""
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation composition (the LLM-data story in one
+    plan): documents → quality stats filter (n_tokens ≥ 8, stopword
+    ratio ≤ 60%) → language ID join → exact-dedup representatives only
+    → deterministic 50% hash sample → (doc_id, pred_lang, n_tokens).
+    Every stage is an engine operator; the oracle replays the whole
+    composition in SQL. Plan: all joins on doc_id/hash keys, the
+    sample is a filter, nothing wider than the documents scan."""
+    from gdal_drivers_spark.operators.dedup import exact_dedup
+    from gdal_drivers_spark.operators.sample import hash_sample
+    from gdal_drivers_spark.operators.text import lang_id, token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = token_stats(docs, "doc_id").filter(
+        (F.col("n_tokens") >= 8) & (F.col("stop_pct") <= 60)
+    )
+    langs = lang_id(docs, "doc_id")
+    reps = exact_dedup(docs, "doc_id").select(F.col("rep_id").alias("doc_id"))
+    picked = (
+        stats.join(langs, "doc_id")
+        .join(reps, "doc_id")
+    )
+    return hash_sample(picked, 500, "doc_id").select(
+        "doc_id", "pred_lang", "n_tokens"
+    )
+
+
+_CURATION_ORACLE_SQL = """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS a, text
+        FROM documents
+    ), stats AS (
+        SELECT doc_id,
+               CAST(len(a) AS BIGINT) AS n_tokens,
+               (100 * len(list_filter(a, x -> x IN ('the','a','of','to','in'))))
+                   // len(a) AS stop_pct
+        FROM t
+    ), toks AS (
+        SELECT doc_id, unnest(a) AS tok FROM t
+    ), lscore AS (
+        SELECT doc_id, l.lang,
+               CAST(sum(CASE WHEN list_contains(l.markers, tok) THEN 1 ELSE 0 END) AS BIGINT) AS score
+        FROM toks, (VALUES ('lang_a', ['the','a','row','key']),
+                           ('lang_b', ['table','join','query','merge']),
+                           ('lang_c', ['fast','slow','small','big'])) l(lang, markers)
+        GROUP BY doc_id, l.lang
+    ), lwin AS (
+        SELECT doc_id, lang AS pred_lang,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        FROM lscore
+    ), reps AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    )
+    SELECT s.doc_id, w.pred_lang, s.n_tokens
+    FROM stats s
+    JOIN lwin w ON w.doc_id = s.doc_id AND w.rn = 1
+    JOIN reps r ON r.doc_id = s.doc_id
+    WHERE s.n_tokens >= 8 AND s.stop_pct <= 60
+      AND (s.doc_id * 2654435761) % 4294967296 % 1000 < 500
 """
 
 
@@ -2399,6 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maskfile_roundtrip": q_maskfile_roundtrip,
         "maskfile_gdalqm": q_maskfile_gdalqm,
         "multimodal_resize": q_multimodal_resize,
+        "patch_grid": q_patch_grid,
         "feather_weights": q_feather_weights,
         "zxy_parse": q_zxy_parse,
         "gzip_tiles": q_gzip_tiles,
@@ -2419,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "tfidf_topk": q_tfidf_topk,
+        "curation_pipeline": q_curation_pipeline,
         "stratified_sample": q_stratified_sample,
         "stratified_fixed": q_stratified_fixed,
         "lang_id": q_lang_id,
@@ -2598,6 +2708,7 @@ def oracle_sql() -> dict[str, str]:
         "maskfile_roundtrip": _MASKFILE_ORACLE_SQL,
         "maskfile_gdalqm": _MASKFILE_GDALQM_ORACLE_SQL,
         "multimodal_resize": _MULTIMODAL_ORACLE_SQL,
+        "patch_grid": _PATCH_GRID_ORACLE_SQL,
         "knn": """
             WITH pts AS (
                 SELECT c_custkey AS pid, (c_custkey * 48271) % 65536 AS px,
@@ -2789,6 +2900,7 @@ def oracle_sql() -> dict[str, str]:
             FROM bits GROUP BY doc_id
         """,
         "tfidf_topk": _TFIDF_ORACLE_SQL,
+        "curation_pipeline": _CURATION_ORACLE_SQL,
         "stratified_sample": _STRATIFIED_ORACLE_SQL,
         "stratified_fixed": _STRATIFIED_FIXED_ORACLE_SQL,
         "text_quality": """

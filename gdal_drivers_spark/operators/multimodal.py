@@ -163,3 +163,50 @@ def audio_features(audio: DataFrame) -> DataFrame:
         yield  # pragma: no cover
 
     return audio.mapInPandas(_run, "audio_id string, n_samples long, rms double")
+
+
+PATCHES_SCHEMA = (
+    "image_id string, py int, px int, bytes binary, w int, h int, fmt string"
+)
+
+
+def patch_grid(
+    images: DataFrame, patch: int, stride: int | None = None
+) -> DataFrame:
+    """Vision-training prep: cut each image into a grid of
+    ``patch``×``patch`` crops at ``stride`` spacing (default
+    non-overlapping). One input row fans out to its full patch set in
+    one Arrow batch — a narrow map, no shuffle; the patch fan-out is
+    the vision analogue of the tile explode in assign. Partial edge
+    windows are dropped (only full patches are emitted, the standard
+    ViT convention)."""
+    stride = stride or patch
+
+    def _run(batches):
+        import numpy as np
+
+        from ..core import codecs
+
+        for pdf in batches:
+            ids, pys, pxs, outs, ws, hs = [], [], [], [], [], []
+            for r in pdf.itertuples():
+                img = codecs.decode(bytes(r.bytes), r.fmt)
+                H, W = img.shape[0], img.shape[1]
+                for py in range((H - patch) // stride + 1 if H >= patch else 0):
+                    for px in range((W - patch) // stride + 1 if W >= patch else 0):
+                        crop = img[
+                            py * stride : py * stride + patch,
+                            px * stride : px * stride + patch,
+                        ]
+                        ids.append(r.image_id)
+                        pys.append(py)
+                        pxs.append(px)
+                        outs.append(codecs.encode_raw(np.ascontiguousarray(crop)))
+                        ws.append(patch)
+                        hs.append(patch)
+            yield pd.DataFrame(
+                {"image_id": ids, "py": pys, "px": pxs, "bytes": outs,
+                 "w": ws, "h": hs, "fmt": "raw"}
+            )
+
+    return images.mapInPandas(_run, PATCHES_SCHEMA)

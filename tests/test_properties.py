@@ -314,3 +314,19 @@ def test_srs_unknown_pair_raises():
     # identity for equal names, any name
     t = get_transform("EPSG:32633", "EPSG:32633")
     assert float(t.np_x(np.array([5.0]))) == 5.0
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=300)
+def test_proto_decode_never_crashes_outside_caught_set(buf):
+    """Poison-tile guarantee: arbitrary bytes either decode or raise
+    exactly the exception set decode_features_proto catches
+    (ValueError/IndexError/UnicodeDecodeError) — nothing else escapes
+    to kill a stage."""
+    from gdal_drivers_spark.core import mvtproto
+
+    try:
+        layers = mvtproto.decode_tile(bytes(buf))
+        assert isinstance(layers, list)
+    except (ValueError, IndexError, UnicodeDecodeError):
+        pass
