@@ -1393,6 +1393,93 @@ _STRATIFIED_FIXED_ORACLE_SQL = """
 """
 
 
+def q_config_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S7/F14 (config write → probe/parse, solid.cpp:53-88/176-205):
+    per-nation job-spec dicts are rendered to INI text ON EXECUTORS,
+    parsed back by the typed reader, and every typed field must
+    survive (int, float, comma-list, string)."""
+    from gdal_drivers_spark.engine import from_ini, to_ini
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+
+    def rt(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                k = int(r.n_nationkey)
+                cfg = {
+                    "size_x": 256 * (k % 4 + 1),
+                    "nodata": k / 2.0,
+                    "bands": [k % 3 + 1, 2, 7],
+                    "name": str(r.n_name),
+                }
+                parsed = from_ini(to_ini(cfg, section="solid"))["solid"]
+                rows.append(
+                    (
+                        k,
+                        int(parsed["size_x"]),
+                        float(parsed["nodata"]),
+                        int(parsed["bands"][0]),
+                        len(parsed["bands"]),
+                        str(parsed["name"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["nation", "size_x", "nodata", "band0", "n_bands", "name"],
+            )
+
+    return nat.mapInPandas(
+        rt,
+        "nation long, size_x long, nodata double, band0 long, n_bands int, name string",
+    )
+
+
+_CONFIG_ORACLE_SQL = """
+    SELECT CAST(n_nationkey AS BIGINT) AS nation,
+           CAST(256 * (n_nationkey % 4 + 1) AS BIGINT) AS size_x,
+           CAST(n_nationkey AS DOUBLE) / 2.0 AS nodata,
+           CAST(n_nationkey % 3 + 1 AS BIGINT) AS band0,
+           CAST(3 AS INT) AS n_bands,
+           n_name AS name
+    FROM nation
+"""
+
+
+def q_schema_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 (CreateCopy, solid.cpp:276-328): derive a solid config from
+    an existing tile table's schema (bands + dtypes + tile size), then
+    emit the derived spec — band count, dtype and constant value per
+    band must match the source schema exactly."""
+    from gdal_drivers_spark.operators.solid import schema_copy
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    tiles = nat.select(
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("band")
+    ).distinct().select(
+        "band",
+        F.element_at(
+            F.array(F.lit("u8"), F.lit("u16"), F.lit("i32")), F.col("band") + 1
+        ).alias("dtype"),
+        F.lit(64).alias("ts"),
+    )
+    cfg = schema_copy(tiles, value=9.0)
+    rows = [
+        (int(b), str(dt), float(v), int(cfg["tile_px"]))
+        for b, (v, dt) in enumerate(cfg["bands"])
+    ]
+    return spark.createDataFrame(rows, "band int, dtype string, value double, tile_px int")
+
+
+_SCHEMA_COPY_ORACLE_SQL = """
+    SELECT CAST(v.band AS INT) AS band, v.dtype,
+           CAST(9.0 AS DOUBLE) AS value, CAST(64 AS INT) AS tile_px
+    FROM (VALUES (0, 'u8'), (1, 'u16'), (2, 'i32')) v(band, dtype)
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation composition (the LLM-data story in one
     plan): documents → quality stats filter (n_tokens ≥ 8, stopword
@@ -2529,6 +2616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "tfidf_topk": q_tfidf_topk,
         "curation_pipeline": q_curation_pipeline,
+        "config_roundtrip": q_config_roundtrip,
+        "schema_copy": q_schema_copy,
         "stratified_sample": q_stratified_sample,
         "stratified_fixed": q_stratified_fixed,
         "lang_id": q_lang_id,
@@ -2901,6 +2990,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tfidf_topk": _TFIDF_ORACLE_SQL,
         "curation_pipeline": _CURATION_ORACLE_SQL,
+        "config_roundtrip": _CONFIG_ORACLE_SQL,
+        "schema_copy": _SCHEMA_COPY_ORACLE_SQL,
         "stratified_sample": _STRATIFIED_ORACLE_SQL,
         "stratified_fixed": _STRATIFIED_FIXED_ORACLE_SQL,
         "text_quality": """

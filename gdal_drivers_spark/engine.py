@@ -24,13 +24,53 @@ from pyspark.sql import functions as F
 
 
 def to_ini(config: dict, section: str = "job") -> str:
-    """Render a job-spec dict as INI text (writeConfig analogue)."""
+    """Render a job-spec dict as INI text (writeConfig analogue,
+    solid.cpp:53-88)."""
     lines = [f"[{section}]"]
     for k, v in sorted(config.items()):
         if isinstance(v, (list, tuple)):
             v = ",".join(str(x) for x in v)
         lines.append(f"{k} = {v}")
     return "\n".join(lines) + "\n"
+
+
+def from_ini(text: str) -> dict[str, dict]:
+    """Parse INI text back to {section: {key: typed value}} — the
+    config *probe/parse* half (S3; the reference reads its .solid/
+    .blender job specs the same way, solid.cpp:176-205). Typing rule
+    (deterministic): int → float → comma-list of those → string.
+    Unknown lines raise — a malformed config is an error, not a guess
+    (matching the reference's strict option parsing)."""
+
+    def _scalar(s: str):
+        s = s.strip()
+        try:
+            return int(s)
+        except ValueError:
+            pass
+        try:
+            return float(s)
+        except ValueError:
+            return s
+
+    out: dict[str, dict] = {}
+    section = None
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith((";", "#")):
+            continue
+        if line.startswith("[") and line.endswith("]"):
+            section = line[1:-1]
+            out[section] = {}
+            continue
+        if "=" not in line or section is None:
+            raise ValueError(f"malformed INI line {raw!r}")
+        k, v = line.split("=", 1)
+        v = v.strip()
+        out[section][k.strip()] = (
+            [_scalar(p) for p in v.split(",")] if "," in v else _scalar(v)
+        )
+    return out
 
 
 class ImageSet:
