@@ -58,12 +58,21 @@ def read_mbtiles(spark: SparkSession, paths: list[str] | DataFrame) -> DataFrame
         for pdf in batches:
             rows = []
             for p in pdf["archive"]:
-                con = _connect_ro(str(p))
+                # poison-archive guard: a corrupt/missing/foreign SQLite
+                # file yields zero work units for that archive; the scan
+                # stage survives (same philosophy as decode_stats's
+                # poison rows)
+                try:
+                    con = _connect_ro(str(p))
+                except sqlite3.Error:
+                    continue
                 try:
                     for (z,) in con.execute(
                         "SELECT DISTINCT zoom_level FROM tiles"
                     ):
                         rows.append((str(p), int(z)))
+                except sqlite3.Error:
+                    pass
                 finally:
                     con.close()
             yield pd.DataFrame(rows, columns=["archive", "zoom"])
@@ -75,7 +84,12 @@ def read_mbtiles(spark: SparkSession, paths: list[str] | DataFrame) -> DataFrame
     def _scan(batches):
         for pdf in batches:
             for r in pdf.itertuples():
-                con = _connect_ro(str(r.archive))
+                # an archive that turned unreadable between stages
+                # poisons only its own rows
+                try:
+                    con = _connect_ro(str(r.archive))
+                except sqlite3.Error:
+                    continue
                 try:
                     cur = con.execute(
                         "SELECT tile_column, tile_row, tile_data FROM tiles "
@@ -84,7 +98,10 @@ def read_mbtiles(spark: SparkSession, paths: list[str] | DataFrame) -> DataFrame
                     )
                     maxrow = (1 << int(r.zoom)) - 1
                     while True:
-                        chunk = cur.fetchmany(4096)
+                        try:
+                            chunk = cur.fetchmany(4096)
+                        except sqlite3.Error:
+                            break  # corrupt page mid-scan: keep rows so far
                         if not chunk:
                             break
                         yield pd.DataFrame(
@@ -97,6 +114,8 @@ def read_mbtiles(spark: SparkSession, paths: list[str] | DataFrame) -> DataFrame
                                 "tile_data": [bytes(c[2]) for c in chunk],
                             }
                         )
+                except sqlite3.Error:
+                    pass  # missing tiles table etc.: zero rows, no crash
                 finally:
                     con.close()
 

@@ -132,3 +132,25 @@ def test_proto_poison_tile_survives(spark):
     )
     got = decode_features_proto(tiles).collect()
     assert [r.fid for r in got] == [5]
+
+
+def test_poison_archives_survive_scan(spark, tmp_path, archive):
+    """A corrupt file, a missing file, and a SQLite db without a tiles
+    table each yield zero rows; the good archive in the same scan still
+    reads fully (poison-archive guard)."""
+    import sqlite3 as _sq
+
+    corrupt = str(tmp_path / "bad.mbtiles")
+    with open(corrupt, "wb") as f:
+        f.write(b"definitely not sqlite")
+    no_tiles = str(tmp_path / "empty.mbtiles")
+    con = _sq.connect(no_tiles)
+    con.execute("CREATE TABLE other (x INTEGER)")
+    con.commit()
+    con.close()
+    missing = str(tmp_path / "nope.mbtiles")
+
+    df = read_mbtiles(spark, [archive, corrupt, no_tiles, missing])
+    got = df.collect()
+    assert len(got) == 4 * 4 + 8 * 8  # exactly the good archive's tiles
+    assert {r.archive for r in got} == {archive}
