@@ -146,6 +146,48 @@ def _typed(kind: str, v) -> dict:
     return {"t": kind, "s": s, "d": d, "i": i, "b": b}
 
 
+def encode_tiles_proto(layers: DataFrame) -> DataFrame:
+    """The protobuf SINK: encoded array-layer rows (LAYERS_SCHEMA, the
+    output of ``encode_layers``) → real ``.mvt`` protobuf blobs, one
+    row per tile — (z, tx, ty, data:binary). Grouped by tile so a tile
+    with several layers frames them into one blob, ready for an
+    MBTiles archive (``sources.mbtiles.write_mbtiles``) or object
+    storage. Inverse of ``decode_features_proto``'s framing; values
+    are carried as strings (the array encoding's dictionary), matching
+    the engine's canonical string rendering."""
+    from ..core import mvtproto
+
+    def _encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        z, tx, ty = int(key[0]), int(key[1]), int(key[2])
+        lrs = []
+        for r in pdf.sort_values("layer").itertuples():
+            lrs.append(
+                {
+                    "name": str(r.layer),
+                    "extent": int(r.extent),
+                    "version": 2,
+                    "keys": list(r.keys),
+                    "values": [("string", str(v)) for v in r.values],
+                    "features": [
+                        {
+                            "id": int(f["id"]),
+                            "tags": np.asarray(list(f["tags"]), np.uint64),
+                            "geom_type": int(f["geom_type"]),
+                            "geometry": np.asarray(list(f["geometry"]), np.uint64),
+                        }
+                        for f in r.features
+                    ],
+                }
+            )
+        return pd.DataFrame(
+            {"z": [z], "tx": [tx], "ty": [ty], "data": [mvtproto.encode_tile(lrs)]}
+        )
+
+    return layers.groupBy("z", "tx", "ty").applyInPandas(
+        _encode, "z int, tx long, ty long, data binary"
+    )
+
+
 def decode_features_proto(tiles: DataFrame, world=(0.0, 0.0, 1.0, 1.0)) -> DataFrame:
     """Real ``.mvt``/``.pbf`` protobuf tiles → feature rows.
 

@@ -154,3 +154,42 @@ def test_poison_archives_survive_scan(spark, tmp_path, archive):
     got = df.collect()
     assert len(got) == 4 * 4 + 8 * 8  # exactly the good archive's tiles
     assert {r.archive for r in got} == {archive}
+
+
+def test_proto_sink_roundtrip(spark):
+    """Full write/read symmetry: feature rows → encode_layers (array
+    sink) → encode_tiles_proto (real protobuf blobs) →
+    decode_features_proto == decode_features of the array layers."""
+    import json
+
+    from gdal_drivers_spark.operators.mvt import (
+        decode_features,
+        encode_layers,
+        encode_tiles_proto,
+    )
+    from gdal_drivers_spark.operators.mvt import decode_features_proto as dfp
+
+    feats = spark.createDataFrame(
+        [
+            (1, 0, 0, "pts", 7, "point", 1, 0, 1,
+             json.dumps([[[0.25, 0.25]]]), {"name": "a"}),
+            (1, 0, 0, "pts", 8, "point", 1, 0, 1,
+             json.dumps([[[0.125, 0.375]]]), {"name": "b"}),
+            (1, 1, 0, "pts", 9, "point", 1, 0, 1,
+             json.dumps([[[0.75, 0.25]]]), {"name": "c"}),
+        ],
+        "z int, tx long, ty long, layer string, fid long, geom_type string, "
+        "n_parts int, n_rings int, n_vertices int, geom_json string, "
+        "props map<string,string>",
+    )
+    layers = encode_layers(feats, extent=256)
+    expected = sorted(
+        (r.fid, r.geom_type, r.n_vertices, r.props["name"], r.geom_json)
+        for r in decode_features(layers).collect()
+    )
+    blobs = encode_tiles_proto(layers)
+    got = sorted(
+        (r.fid, r.geom_type, r.n_vertices, r.props["name"], r.geom_json)
+        for r in dfp(blobs).collect()
+    )
+    assert got == expected and len(got) == 3
