@@ -19,6 +19,7 @@ renders them for lineage records (writeConfig, solid.cpp:53-88).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -256,3 +257,107 @@ class Engine:
         from .operators.warp import warp_tiles
 
         return warp_tiles(src_tiles, src_gt, dst_gt, dst_shape, **kw)
+
+    def open_mbtiles(self, paths) -> "TileArchive":
+        """The reference user's entry point (``gdal.Open("x.mbtiles/
+        z-x-y")`` family, mbtiles.cpp:128-225 + mvt.cpp:732-770) —
+        whole archives as DataFrames instead of one tile per Open."""
+        if isinstance(paths, str):
+            paths = [paths]
+        return TileArchive(self.spark, paths)
+
+    def documents(self, df: DataFrame, id_col: str = "doc_id") -> "DocumentSet":
+        return DocumentSet(self.spark, df, id_col)
+
+
+class TileArchive:
+    """Fluent surface over real MBTiles archives: the scan, the
+    metadata, and the straight-through protobuf feature decode."""
+
+    def __init__(self, spark: SparkSession, paths: list[str]):
+        self.spark = spark
+        self.paths = paths
+
+    def tiles(self) -> DataFrame:
+        from .sources.mbtiles import read_mbtiles
+
+        return read_mbtiles(self.spark, self.paths)
+
+    def metadata(self) -> DataFrame:
+        from .sources.mbtiles import read_metadata
+
+        return read_metadata(self.spark, self.paths)
+
+    def features(self, world=(0.0, 0.0, 1.0, 1.0), gunzip: bool = True) -> DataFrame:
+        """Archive → decoded MVT features (typed props included): the
+        full reference read pipeline as one verb. Gzip-sniffed per tile
+        (mbtiles.cpp:214-224) before the protobuf parse."""
+        import gzip as _gzip
+
+        from .operators.mvt import decode_features_proto
+
+        t = self.tiles().select(
+            F.col("zoom").cast("int").alias("z"), F.col("x").alias("tx"),
+            F.col("y").alias("ty"), F.col("tile_data").alias("data"),
+        )
+        if gunzip:
+
+            @F.pandas_udf("binary")
+            def _gz(blobs: pd.Series) -> pd.Series:
+                out = []
+                for b in blobs:
+                    bb = bytes(b)
+                    if bb[:1] == b"\x1f":
+                        try:
+                            bb = _gzip.decompress(bb)
+                        except (OSError, EOFError):
+                            bb = b""  # poison payload → proto yields 0 rows
+                    out.append(bb)
+                return pd.Series(out)
+
+            t = t.withColumn("data", _gz(F.col("data")))
+        return decode_features_proto(t, world=world)
+
+
+class DocumentSet:
+    """Fluent surface over the text-curation operators."""
+
+    def __init__(self, spark: SparkSession, df: DataFrame, id_col: str = "doc_id"):
+        self.spark = spark
+        self.df = df
+        self._id = id_col
+
+    def quality(self) -> DataFrame:
+        from .operators.text import token_stats
+
+        return token_stats(self.df, self._id)
+
+    def languages(self) -> DataFrame:
+        from .operators.text import lang_id
+
+        return lang_id(self.df, self._id)
+
+    def keywords(self, k: int = 3) -> DataFrame:
+        from .operators.text import tfidf_topk
+
+        return tfidf_topk(self.df, self._id, k=k)
+
+    def dup_clusters(self, **kw) -> DataFrame:
+        from .operators.dedup import dup_clusters
+
+        return dup_clusters(self.df, self._id, **kw)
+
+    def deduped(self, **kw) -> DataFrame:
+        """The curation ACTION: drop every near-duplicate except its
+        cluster representative (left-anti join against non-rep cluster
+        members — singletons untouched)."""
+        clusters = self.dup_clusters(**kw)
+        losers = clusters.filter(F.col(self._id) != F.col("cluster_rep")).select(
+            self._id
+        )
+        return self.df.join(losers, self._id, "left_anti")
+
+    def sample(self, rate_permille: int) -> DataFrame:
+        from .operators.sample import hash_sample
+
+        return hash_sample(self.df, rate_permille, self._id)

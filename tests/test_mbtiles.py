@@ -193,3 +193,39 @@ def test_proto_sink_roundtrip(spark):
         for r in dfp(blobs).collect()
     )
     assert got == expected and len(got) == 3
+
+
+def test_engine_open_mbtiles_features(spark, tmp_path):
+    """Engine.open_mbtiles(...).features(): the one-verb reference read
+    path — archive → gunzip → protobuf decode → typed features."""
+    from gdal_drivers_spark.engine import Engine
+
+    path = str(tmp_path / "e.mbtiles")
+    blob = mvtproto.encode_tile(
+        [{"name": "l", "extent": 256, "version": 2,
+          "keys": ["n"], "values": [("int", 42)],
+          "features": [{"id": 3, "tags": np.array([0, 0], np.uint64),
+                        "geom_type": 1,
+                        "geometry": np.array([9, 10 << 1, 20 << 1], np.uint64)}]}]
+    )
+    write_mbtiles(path, [(1, 0, 0, gzip.compress(blob, mtime=0))],
+                  metadata={"format": "pbf"})
+    eng = Engine(spark)
+    arch = eng.open_mbtiles(path)
+    assert {r.key: r.value for r in arch.metadata().collect()} == {"format": "pbf"}
+    feats = arch.features().collect()
+    assert len(feats) == 1
+    r = feats[0]
+    assert r.fid == 3 and r.props_typed["n"]["i"] == 42 and r.geom_type == "point"
+
+
+def test_engine_documents_deduped(spark):
+    """DocumentSet.deduped(): keeps cluster representatives and
+    singletons, drops the other near-dup members."""
+    from gdal_drivers_spark.engine import Engine
+
+    base = "one two three four five six seven eight nine ten " * 4
+    rows = [(1, base), (2, base), (3, "unrelated content entirely " * 8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = Engine(spark).documents(df).deduped()
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
