@@ -16,6 +16,7 @@ Usage:  python scripts/check_correctness.py [query ...]
 
 import hashlib
 import math
+import os
 import sys
 
 import duckdb
@@ -24,7 +25,7 @@ import pyarrow as pa
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry_mod  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
