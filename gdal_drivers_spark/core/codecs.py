@@ -246,3 +246,21 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return float(10.0 * np.log10(255.0**2 / mse))
+
+
+def gunzip_sniff(blob: bytes) -> bytes | None:
+    """The mbtiles.cpp:214-224 gzip sniff+gunzip, with ONE poison
+    policy for every caller: non-gzip bytes pass through verbatim,
+    corrupt gzip returns None (callers map None to their sentinel —
+    empty payload, status code, dropped row). Shared by
+    operators/lookup, sources/remote and engine.TileArchive so the
+    behavior can't drift."""
+    import gzip
+
+    bb = bytes(blob)
+    if bb[:1] != b"\x1f":
+        return bb
+    try:
+        return gzip.decompress(bb)
+    except (OSError, EOFError):
+        return None

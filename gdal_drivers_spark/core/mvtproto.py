@@ -56,7 +56,9 @@ def encode_varint(v: int) -> bytes:
 
 
 def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
-    """One varint at ``pos`` → (value, next_pos)."""
+    """One varint at ``pos`` → (value, next_pos). Truncated to 64 bits
+    as the protobuf wire spec mandates (a 10-byte varint's top bits
+    are dropped), matching the numpy packed decoder exactly."""
     result = 0
     shift = 0
     while True:
@@ -64,7 +66,7 @@ def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         result |= (b & 0x7F) << shift
         if not (b & 0x80):
-            return result, pos
+            return result & ((1 << 64) - 1), pos
         shift += 7
         if shift >= 70:
             raise ValueError("varint too long")
@@ -239,6 +241,10 @@ def decode_feature(buf: bytes) -> dict:
     gcat = (
         np.concatenate(geom).astype(np.int64) if geom else np.zeros(0, np.int64)
     )
+    # wire id is uint64; the feature schema carries int64 (GDAL's
+    # GIntBig FID) — two's-complement wrap for the upper half
+    if fid >= (1 << 63):
+        fid -= 1 << 64
     return {"id": int(fid), "tags": cat, "geom_type": int(gtype), "geometry": gcat}
 
 

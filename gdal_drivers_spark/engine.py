@@ -26,11 +26,19 @@ from pyspark.sql import functions as F
 
 def to_ini(config: dict, section: str = "job") -> str:
     """Render a job-spec dict as INI text (writeConfig analogue,
-    solid.cpp:53-88)."""
+    solid.cpp:53-88). Round-trip-exact with ``from_ini``: a
+    single-element list renders with a trailing comma (so it parses
+    back as a list, not a scalar), and a STRING value containing a
+    comma is rejected — it would come back as a list (review r02)."""
     lines = [f"[{section}]"]
     for k, v in sorted(config.items()):
         if isinstance(v, (list, tuple)):
-            v = ",".join(str(x) for x in v)
+            v = ",".join(str(x) for x in v) + ("," if len(v) == 1 else "")
+        elif isinstance(v, str) and "," in v:
+            raise ValueError(
+                f"string value for {k!r} contains a comma — not representable "
+                "(from_ini would parse it as a list)"
+            )
         lines.append(f"{k} = {v}")
     return "\n".join(lines) + "\n"
 
@@ -68,9 +76,13 @@ def from_ini(text: str) -> dict[str, dict]:
             raise ValueError(f"malformed INI line {raw!r}")
         k, v = line.split("=", 1)
         v = v.strip()
-        out[section][k.strip()] = (
-            [_scalar(p) for p in v.split(",")] if "," in v else _scalar(v)
-        )
+        if "," in v:
+            parts = v.split(",")
+            if parts and parts[-1].strip() == "":
+                parts = parts[:-1]  # trailing comma = 1-element list
+            out[section][k.strip()] = [_scalar(p) for p in parts]
+        else:
+            out[section][k.strip()] = _scalar(v)
     return out
 
 
@@ -292,7 +304,6 @@ class TileArchive:
         """Archive → decoded MVT features (typed props included): the
         full reference read pipeline as one verb. Gzip-sniffed per tile
         (mbtiles.cpp:214-224) before the protobuf parse."""
-        import gzip as _gzip
 
         from .operators.mvt import decode_features_proto
 
@@ -304,16 +315,10 @@ class TileArchive:
 
             @F.pandas_udf("binary")
             def _gz(blobs: pd.Series) -> pd.Series:
-                out = []
-                for b in blobs:
-                    bb = bytes(b)
-                    if bb[:1] == b"\x1f":
-                        try:
-                            bb = _gzip.decompress(bb)
-                        except (OSError, EOFError):
-                            bb = b""  # poison payload → proto yields 0 rows
-                    out.append(bb)
-                return pd.Series(out)
+                from .core.codecs import gunzip_sniff
+
+                # poison payload → b"" → proto decode yields 0 rows
+                return pd.Series([gunzip_sniff(b) or b"" for b in blobs])
 
             t = t.withColumn("data", _gz(F.col("data")))
         return decode_features_proto(t, world=world)

@@ -16,7 +16,6 @@ distributed keyed join:
 
 from __future__ import annotations
 
-import gzip
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -63,10 +62,11 @@ def fetch_tiles(requests: DataFrame, store: DataFrame) -> DataFrame:
 
     @F.pandas_udf("binary")
     def _gunzip(blobs: pd.Series) -> pd.Series:
-        out = []
-        for b in blobs:
-            bb = bytes(b)
-            out.append(gzip.decompress(bb) if bb[:1] == b"\x1f" else bb)
+        from ..core.codecs import gunzip_sniff
+
+        # corrupt gzip → empty payload, never a stage failure (one
+        # shared poison policy, core/codecs.gunzip_sniff)
+        out = [gunzip_sniff(b) or b"" for b in blobs]
         return pd.Series(out)
 
     return joined.withColumn("tile_data", _gunzip(F.col("tile_data")))

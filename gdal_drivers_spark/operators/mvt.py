@@ -212,6 +212,8 @@ def decode_features_proto(tiles: DataFrame, world=(0.0, 0.0, 1.0, 1.0)) -> DataF
                     keys = lr["keys"]
                     vals = lr["values"]
                     extent = int(lr["extent"])
+                    if extent <= 0:
+                        continue  # degenerate layer: poison, zero rows
                     for fi, f in enumerate(lr["features"]):
                         gt = int(f["geom_type"])
                         if gt not in _TYPE_NAMES:
@@ -231,21 +233,29 @@ def decode_features_proto(tiles: DataFrame, world=(0.0, 0.0, 1.0, 1.0)) -> DataF
                                 fid = int(props["id"])
                             except ValueError:
                                 fid = fi
-                        stream = np.asarray(f["geometry"], np.int64)
-                        parts = mvtcodec.decode_geometry(gt, stream)
-                        world_parts = mvtcodec.tile_to_world(
-                            parts, int(tr.z), int(tr.tx), int(tr.ty), extent, world
-                        )
-                        if gt == mvtcodec.GEOM_POLYGON:
-                            polys = mvtcodec.assemble_polygons(world_parts)
-                            n_rings = sum(len(p) for p in polys)
-                            geom = [[r.tolist() for r in p] for p in polys]
-                            n_parts = len(polys)
-                        else:
-                            n_rings = 0
-                            geom = [p.tolist() for p in world_parts]
-                            n_parts = len(world_parts)
-                        n_vertices = int(sum(len(p) for p in world_parts))
+                        # the geometry guard must cover the COMMAND
+                        # STREAM decode too: valid protobuf framing can
+                        # still carry a bad opcode / truncated deltas /
+                        # degenerate stream — such a feature poisons
+                        # only itself, never the stage (review r02)
+                        try:
+                            stream = np.asarray(f["geometry"], np.int64)
+                            parts = mvtcodec.decode_geometry(gt, stream)
+                            world_parts = mvtcodec.tile_to_world(
+                                parts, int(tr.z), int(tr.tx), int(tr.ty), extent, world
+                            )
+                            if gt == mvtcodec.GEOM_POLYGON:
+                                polys = mvtcodec.assemble_polygons(world_parts)
+                                n_rings = sum(len(p) for p in polys)
+                                geom = [[r.tolist() for r in p] for p in polys]
+                                n_parts = len(polys)
+                            else:
+                                n_rings = 0
+                                geom = [p.tolist() for p in world_parts]
+                                n_parts = len(world_parts)
+                            n_vertices = int(sum(len(p) for p in world_parts))
+                        except (ValueError, IndexError, ZeroDivisionError, OverflowError):
+                            continue
                         out.append(
                             (
                                 int(tr.z), int(tr.tx), int(tr.ty), lr["name"], fid,

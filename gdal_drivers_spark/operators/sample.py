@@ -26,8 +26,21 @@ _M32 = 1 << 32
 
 
 def _mix(key):
-    """Engine-portable uniform hash of an integer key → [0, 2³²)."""
-    return (F.col(key).cast("long") * F.lit(_KNUTH)) % F.lit(_M32)
+    """Engine-portable uniform hash of an integer key → [0, 2³²).
+
+    Mathematically ``(key · 2654435761) mod 2³²``, but computed in two
+    16-bit halves so no intermediate exceeds 2⁴⁹: the naive product
+    silently wraps int64 for keys ≥ ~3.5·10⁹ (non-ANSI Spark),
+    producing NEGATIVE "hashes" that pass every rate filter — the
+    oracle (DuckDB int128) would not wrap, so engine and oracle would
+    diverge exactly at lake scale (review r02). ``pmod`` keeps the
+    reduction non-negative for negative keys too."""
+    k = F.pmod(F.col(key).cast("long"), F.lit(_M32))
+    lo = k % F.lit(1 << 16)
+    hi = (k - lo) / F.lit(1 << 16)
+    part_lo = (lo * F.lit(_KNUTH)) % F.lit(_M32)
+    part_hi = (((hi.cast("long") * F.lit(_KNUTH)) % F.lit(_M32)) * F.lit(1 << 16)) % F.lit(_M32)
+    return (part_lo + part_hi) % F.lit(_M32)
 
 
 def hash_sample(df: DataFrame, rate_permille: int, key: str) -> DataFrame:

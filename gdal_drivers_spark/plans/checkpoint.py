@@ -121,6 +121,19 @@ class CheckpointedWriter:
             return stats
         seq = len(done)  # single-writer monotone snapshot counter
 
+        # snapshot pre-existing batch dirs + mtimes so discovery below
+        # can tell "written by THIS job" from "stale leftovers of a
+        # previous failed run" — stale dirs must never be committed as
+        # if the current input produced them (review r02)
+        def _dirs():
+            return {
+                int(d.split("=", 1)[1]): os.stat(f"{self.out}/{d}").st_mtime_ns
+                for d in os.listdir(self.out)
+                if d.startswith("batch=")
+            }
+
+        pre_write = _dirs()
+
         # ONE scan of the input: write every pending batch partition.
         # The committed-batch filter only exists on RESUME — on a fresh
         # write it would double-evaluate any Python UDF feeding the
@@ -137,11 +150,14 @@ class CheckpointedWriter:
         )
 
         # batch discovery comes from the WRITTEN partition dirs (a
-        # directory listing), not a second input scan
+        # directory listing), not a second input scan. Only dirs that
+        # are NEW or were REWRITTEN by this job (mtime advanced) are
+        # adopted — an uncommitted leftover dir from a previous run
+        # whose batch is absent from the current input is ignored.
+        post_write = _dirs()
         on_disk = {
-            int(d.split("=", 1)[1])
-            for d in os.listdir(self.out)
-            if d.startswith("batch=")
+            b for b, m in post_write.items()
+            if b not in pre_write or m != pre_write[b] or b in done
         }
         if batch_ids is None:
             batch_ids = sorted(on_disk | done)

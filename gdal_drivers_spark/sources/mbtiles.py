@@ -104,14 +104,24 @@ def read_mbtiles(spark: SparkSession, paths: list[str] | DataFrame) -> DataFrame
                             break  # corrupt page mid-scan: keep rows so far
                         if not chunk:
                             break
+                        # NULL tile_data / non-integer coords are legal
+                        # SQLite (no constraints on the tiles table) but
+                        # poison rows here — skip them, keep the rest
+                        good = [
+                            c for c in chunk
+                            if c[2] is not None
+                            and isinstance(c[0], int) and isinstance(c[1], int)
+                        ]
+                        if not good:
+                            continue
                         yield pd.DataFrame(
                             {
                                 "archive": str(r.archive),
                                 "zoom": int(r.zoom),
-                                "x": [int(c[0]) for c in chunk],
-                                "tms_y": [int(c[1]) for c in chunk],
-                                "y": [maxrow - int(c[1]) for c in chunk],
-                                "tile_data": [bytes(c[2]) for c in chunk],
+                                "x": [int(c[0]) for c in good],
+                                "tms_y": [int(c[1]) for c in good],
+                                "y": [maxrow - int(c[1]) for c in good],
+                                "tile_data": [bytes(c[2]) for c in good],
                             }
                         )
                 except sqlite3.Error:
@@ -130,12 +140,15 @@ def read_metadata(spark: SparkSession, paths: list[str]) -> DataFrame:
         for pdf in batches:
             rows = []
             for p in pdf["archive"]:
-                con = _connect_ro(str(p))
+                try:
+                    con = _connect_ro(str(p))
+                except sqlite3.Error:
+                    continue  # missing/unopenable archive: zero rows
                 try:
                     for k, v in con.execute("SELECT name, value FROM metadata"):
                         rows.append((str(p), str(k), str(v)))
-                except sqlite3.OperationalError:
-                    pass  # metadata table is optional in the wild
+                except sqlite3.Error:
+                    pass  # optional table / not-a-database: zero rows
                 finally:
                     con.close()
             yield pd.DataFrame(rows, columns=["archive", "key", "value"])

@@ -28,7 +28,6 @@ Backoff sleeps are deterministic (no jitter RNG) for replayability.
 
 from __future__ import annotations
 
-import gzip
 import re
 import time
 from collections.abc import Callable
@@ -108,13 +107,16 @@ def fetch_remote_tiles(
                         time.sleep(backoff_s * (2 ** (attempt - 1)))
                 if status != 200:
                     payload = b""
-                elif payload[:1] == b"\x1f":
-                    try:
-                        payload = gzip.decompress(payload)
-                    except (OSError, EOFError):
+                else:
+                    from ..core.codecs import gunzip_sniff
+
+                    decoded = gunzip_sniff(payload)
+                    if decoded is None:
                         # corrupt gzip body: sentinel status, empty
                         # payload — row survives, stage survives
                         status, payload = -2, b""
+                    else:
+                        payload = decoded
                 out.append((url, z, x, y, status, attempt, payload))
             yield pd.DataFrame(
                 out,

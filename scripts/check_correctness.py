@@ -88,12 +88,16 @@ def main(names):
         dcols = sorted(duck_tbl.column_names)
         notes = []
         if dcols != [c.lower() for c in cols]:
-            notes.append(f"COLS spark={cols} duck={dcols}")
-        else:
-            duck_tbl = duck_tbl.select([c.lower() for c in cols])
-            for sc, dc in zip(spark_tbl.schema, duck_tbl.schema):
-                if sc.type != dc.type:
-                    notes.append(f"TYPE {sc.name}: spark={sc.type} duck={dc.type}")
+            # column-set mismatch: report FAIL and move on — indexing
+            # duck rows by spark names would KeyError and abort the
+            # whole gate (review r02)
+            print(f"{name}: FAIL COLS spark={cols} duck={dcols}")
+            bad += 1
+            continue
+        duck_tbl = duck_tbl.select([c.lower() for c in cols])
+        for sc, dc in zip(spark_tbl.schema, duck_tbl.schema):
+            if sc.type != dc.type:
+                notes.append(f"TYPE {sc.name}: spark={sc.type} duck={dc.type}")
         if spark_tbl.num_rows != duck_tbl.num_rows:
             notes.append(f"ROWS spark={spark_tbl.num_rows} duck={duck_tbl.num_rows}")
         sh = _hash_rows(spark_tbl.to_pylist() and [list(r.values()) for r in [

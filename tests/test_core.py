@@ -309,3 +309,22 @@ def test_footprints_in_world():
     assert (x0 >= 0).all() and (y0 >= 0).all()
     assert (x1 <= 1.0 + 1e-12).all() and (y1 <= 1.0 + 1e-12).all()
     assert (x1 > x0).all() and (y1 > y0).all()
+
+
+def test_ini_roundtrip_edge_cases():
+    """Review r02: single-element lists survive the round trip (trailing
+    comma), and comma-containing string values are rejected at render
+    time instead of silently coming back as lists."""
+    import pytest as _pytest
+
+    from gdal_drivers_spark.engine import from_ini, to_ini
+
+    cfg = {"bands": [5], "sizes": [1, 2], "nodata": 0.5, "name": "plain"}
+    parsed = from_ini(to_ini(cfg, section="s"))["s"]
+    assert parsed["bands"] == [5]
+    assert parsed["sizes"] == [1, 2]
+    assert parsed["nodata"] == 0.5 and parsed["name"] == "plain"
+    with _pytest.raises(ValueError, match="comma"):
+        to_ini({"name": "a,b"})
+    with _pytest.raises(ValueError, match="malformed"):
+        from_ini("[s]\nnot an assignment")

@@ -229,3 +229,73 @@ def test_engine_documents_deduped(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = Engine(spark).documents(df).deduped()
     assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+def test_proto_geometry_poison_feature_skipped(spark):
+    """Review r02: valid protobuf framing carrying a BAD COMMAND STREAM
+    (unknown opcode / truncated deltas / extent 0) poisons only that
+    feature, never the stage."""
+    good = {"id": 1, "tags": np.zeros(0, np.uint64), "geom_type": 1,
+            "geometry": np.array([9, 2, 2], np.uint64)}
+    bad_opcode = {"id": 2, "tags": np.zeros(0, np.uint64), "geom_type": 1,
+                  "geometry": np.array([(1 << 3) | 3], np.uint64)}  # opcode 3
+    truncated = {"id": 3, "tags": np.zeros(0, np.uint64), "geom_type": 1,
+                 "geometry": np.array([(5 << 3) | 1, 2, 2], np.uint64)}  # count 5, 1 pt
+    blob = mvtproto.encode_tile(
+        [{"name": "l", "extent": 256, "version": 2, "keys": [], "values": [],
+          "features": [good, bad_opcode, truncated]},
+         {"name": "zero_extent", "extent": 0, "version": 2, "keys": [],
+          "values": [], "features": [dict(good, id=9)]}]
+    )
+    tiles = spark.createDataFrame(
+        [(0, 0, 0, blob)], "z int, tx long, ty long, data binary"
+    )
+    got = decode_features_proto(tiles).collect()
+    assert [r.fid for r in got] == [1]
+
+
+def test_metadata_poison_archives_survive(spark, tmp_path, archive):
+    corrupt = str(tmp_path / "bad.mbtiles")
+    open(corrupt, "wb").write(b"not sqlite at all")
+    missing = str(tmp_path / "gone.mbtiles")
+    meta = read_metadata(spark, [archive, corrupt, missing]).collect()
+    assert {r.key for r in meta} == {"format", "name"}  # only the good one
+
+
+def test_null_tile_data_row_skipped(spark, tmp_path):
+    import sqlite3 as _sq
+
+    path = str(tmp_path / "nulls.mbtiles")
+    write_mbtiles(path, [(1, 0, 0, b"ok")])
+    con = _sq.connect(path)
+    con.execute("INSERT INTO tiles VALUES (1, 1, 1, NULL)")
+    con.commit(); con.close()
+    got = read_mbtiles(spark, [path]).collect()
+    assert len(got) == 1 and bytes(got[0].tile_data) == b"ok"
+
+
+def test_fetch_tiles_corrupt_gzip_yields_empty(spark):
+    """Review r02: the keyed-lookup gunzip path shares the poison
+    policy — corrupt gzip → empty payload, stage survives."""
+    store = spark.createDataFrame(
+        [(1, 0, 1, b"\x1f\x8b corrupt"), (1, 1, 1, b"plain")],
+        "zoom int, x long, y long, tile_data binary",
+    )
+    reqs = spark.createDataFrame([(0, "1-0-0"), (1, "1-1-0")], "req_id long, path string")
+    rows = {r.x: bytes(r.tile_data) for r in fetch_tiles(parse_requests(reqs), store).collect()}
+    assert rows[0] == b"" and rows[1] == b"plain"
+
+
+def test_varint_overlong_truncates_to_64_bits():
+    """Review r02: a hostile 10-byte varint decodes to its low 64 bits
+    (protobuf wire rule), and a uint64 Feature.id lands as the int64
+    two's-complement FID — never an Arrow overflow."""
+    overlong = bytes([0xFF] * 9 + [0x7F])  # 2^70 - 1 unmasked
+    v, pos = mvtproto.decode_varint(overlong, 0)
+    assert v == (1 << 64) - 1 and pos == 10
+    feat = mvtproto.encode_feature(
+        {"id": (1 << 64) - 1, "tags": np.zeros(0, np.uint64),
+         "geom_type": 1, "geometry": np.array([9, 2, 2], np.uint64)}
+    )
+    out = mvtproto.decode_feature(feat)
+    assert out["id"] == -1  # two's-complement wrap, fits int64

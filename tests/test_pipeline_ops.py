@@ -353,3 +353,25 @@ def test_stratified_fixed_exact_counts(spark):
     # a stratum smaller than n yields all its rows
     tiny = spark.range(3).select(F.col("id").alias("k"), F.lit(9).alias("s"))
     assert stratified_fixed(tiny, "s", n=7, key="k").count() == 3
+
+
+def test_hash_sample_large_keys_no_overflow(spark):
+    """Review r02: keys ≥ ~3.5e9 must not wrap the mix hash negative —
+    rate 0 keeps nothing, rate 1000 keeps everything, and the halved
+    hash matches DuckDB's overflow-free int128 arithmetic."""
+    import duckdb
+
+    from gdal_drivers_spark.operators.sample import hash_sample
+
+    keys = [4_000_000_000, 2**33 + 7, 2**40 + 123, 17, 0]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    assert hash_sample(df, 0, "k").count() == 0
+    assert hash_sample(df, 1000, "k").count() == len(keys)
+    kept = sorted(r.k for r in hash_sample(df, 500, "k").collect())
+    expected = sorted(
+        r[0] for r in duckdb.sql(
+            "SELECT k FROM (VALUES " + ",".join(f"({k})" for k in keys) +
+            ") t(k) WHERE (CAST(k AS HUGEINT) * 2654435761) % 4294967296 % 1000 < 500"
+        ).fetchall()
+    )
+    assert kept == expected

@@ -264,3 +264,21 @@ def test_manifest_mixes_pre_seq_commits(spark, tmp_path):
     assert w.committed() == {0, 1, 2, 3}
     snaps = w.snapshots()
     assert [s for s, _, _ in snaps][:1] == [0]  # legacy commit defaults to seq 0
+
+
+def test_checkpoint_ignores_stale_uncommitted_dirs(spark, tmp_path):
+    """Review r02: a batch dir left by a previous failed run, whose
+    batch is ABSENT from the current input, must not be committed as if
+    this input produced it."""
+    import time as _time
+
+    out = str(tmp_path / "out")
+    w = CheckpointedWriter(spark, out)
+    # plant an uncommitted leftover dir (as a previous failed run would)
+    spark.range(7).select(F.col("id").alias("k")).write.parquet(f"{out}/batch=9")
+    _time.sleep(0.05)  # ensure a distinguishable mtime
+    src = spark.range(100).select(F.col("id").alias("k"))
+    stats = w.write_batches(src, F.col("k") % 2, key="k")
+    assert stats["written"] == 2
+    assert w.committed() == {0, 1}  # stale batch 9 never committed
+    assert w.read_committed().count() == 100
