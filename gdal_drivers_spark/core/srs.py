@@ -79,6 +79,15 @@ _REGISTRY: dict[tuple[str, str], Callable[[], AxisTransform]] = {
 }
 
 
+def register_transform(tf: AxisTransform) -> None:
+    """Plug a user-supplied axis-separable monotone SRS pair into the
+    registry (both the numpy and Column forms are required — the warp
+    needs the first for the executor gather and the second for the
+    distributed cover generation). General curvilinear transforms
+    remain unsupported by design (SURVEY §7)."""
+    _REGISTRY[(tf.src, tf.dst)] = lambda: tf
+
+
 def get_transform(src_srs: str, dst_srs: str) -> AxisTransform:
     """Transform src→dst world coords; identity when equal; raises for
     pairs outside the registry (the reference raises through GDAL for

@@ -243,3 +243,31 @@ def test_warp_empty_cover_returns_no_rows(spark):
     sgt = gt_from_extents(0, 0, 1, 1, 8, 8)
     dgt = gt_from_extents(100, 100, 101, 101, 8, 8)
     assert warp_tiles(src, sgt, dgt, (8, 8), tile_px=8).count() == 0
+
+
+def test_warp_user_registered_transform(spark):
+    """core/srs.register_transform: a user-supplied axis-separable pair
+    (here a pure 10× scale 'SRS') drives the full cross-SRS warp —
+    cover generation through the Column form, the gather through the
+    numpy form."""
+    from pyspark.sql import functions as F
+
+    from gdal_drivers_spark.core.srs import AxisTransform, register_transform
+
+    register_transform(AxisTransform(
+        "TEST:10x", "TEST:1x",
+        np_x=lambda x: x / 10.0, np_y=lambda y: y / 10.0,
+        col_x=lambda c: c / F.lit(10.0), col_y=lambda c: c / F.lit(10.0),
+    ))
+    rng = np.random.default_rng(11)
+    full = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    src = _src_tiles_df(spark, full, TS)
+    sgt = gt_from_extents(0, 0, 1, 1, 64, 64)          # TEST:1x world
+    dgt = gt_from_extents(0, 0, 10, 10, 64, 64)        # TEST:10x world
+    out = warp_tiles(src, sgt, dgt, (64, 64), tile_px=TS, method="nearest",
+                     src_srs="TEST:1x", dst_srs="TEST:10x").collect()
+    tile = {(r["ocx"], r["ocy"]): np.frombuffer(r["tile"], np.uint8).reshape(TS, TS)
+            for r in out}
+    got = np.block([[tile[(0, 0)]], ])
+    # 10× world ÷10 transform = identity on pixels
+    assert (got == full[:TS, :TS]).all()
