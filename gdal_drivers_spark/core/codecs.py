@@ -254,13 +254,19 @@ def gunzip_sniff(blob: bytes) -> bytes | None:
     corrupt gzip returns None (callers map None to their sentinel —
     empty payload, status code, dropped row). Shared by
     operators/lookup, sources/remote and engine.TileArchive so the
-    behavior can't drift."""
+    behavior can't drift.
+
+    Sniffs the full TWO-byte gzip magic (1f 8b) — a raw payload that
+    merely starts with 0x1f must pass through, not be destroyed.
+    Catches zlib.error too: a valid gzip header over a corrupt deflate
+    body raises that, not OSError (review r02b)."""
     import gzip
+    import zlib
 
     bb = bytes(blob)
-    if bb[:1] != b"\x1f":
+    if bb[:2] != b"\x1f\x8b":
         return bb
     try:
         return gzip.decompress(bb)
-    except (OSError, EOFError):
+    except (OSError, EOFError, zlib.error):
         return None

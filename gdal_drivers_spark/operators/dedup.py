@@ -296,6 +296,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         # candidate label for each node: min over neighbors' labels
         cand = (
@@ -303,21 +304,51 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(cand, labels.node == cand.src, "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
-                (F.col("nbr_min") < F.col("component")).alias("_chg"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("_chg")).limit(1).count()
-        labels = new_labels.drop("_chg")
+        # pointer jumping (label ← label of my label): halves the
+        # remaining chain length each round, so convergence is
+        # O(log diameter) rounds instead of one hop per round — a
+        # 100-doc template chain converges in ~7 rounds, not 100
+        # (review r02b)
+        ptr = stepped.select(
+            F.col("node").alias("_pn"), F.col("component").alias("_pc")
+        )
+        jumped = (
+            stepped.join(ptr, stepped.component == ptr._pn, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_pc"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently-wrong clusters are worse than a loud failure: an
+        # unconverged component would split into several "clusters",
+        # each keeping a bogus representative
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels
 
 
@@ -336,10 +367,12 @@ def dup_clusters(
     near-dup partner are absent (singletons need no curation action)."""
     shingled = with_shingles(df, text=text, k=k)
     sigs = minhash_signature(df, n_hashes=n_hashes, text=text, k=k)
-    pairs = lsh_candidate_pairs(sigs, id_col, bands=n_bands)
+    pairs = lsh_candidate_pairs(sigs, id_col, n_hashes=n_hashes, bands=n_bands)
     if min_jaccard is not None:
+        # exact_jaccard emits integer jaccard_pct (0-100); min_jaccard
+        # is the usual 0-1 fraction (review r02b)
         pairs = exact_jaccard(pairs, shingled, id_col).filter(
-            F.col("jaccard") >= min_jaccard
+            F.col("jaccard_pct") >= int(round(min_jaccard * 100))
         )
     comps = connected_components(pairs)
     sizes = comps.groupBy("component").agg(F.count("*").alias("cluster_size"))

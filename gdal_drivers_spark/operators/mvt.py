@@ -28,6 +28,7 @@ Output: one row per decoded feature — the union static schema
 from __future__ import annotations
 
 import json
+import struct
 
 import numpy as np
 import pandas as pd
@@ -206,8 +207,10 @@ def decode_features_proto(tiles: DataFrame, world=(0.0, 0.0, 1.0, 1.0)) -> DataF
             for tr in pdf.itertuples():
                 try:
                     layers = mvtproto.decode_tile(bytes(tr.data))
-                except (ValueError, IndexError, UnicodeDecodeError):
-                    continue  # poison tile → zero rows, stage survives
+                except (ValueError, IndexError, UnicodeDecodeError, struct.error):
+                    # poison tile → zero rows, stage survives
+                    # (struct.error: truncated fixed32/fixed64 Value)
+                    continue
                 for lr in layers:
                     keys = lr["keys"]
                     vals = lr["values"]

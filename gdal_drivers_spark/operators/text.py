@@ -118,13 +118,18 @@ def tfidf_topk(df: DataFrame, id_col: str, text: str = "text", k: int = 3) -> Da
 
     toks = df.select(F.col(id_col).alias("_id"), F.explode(tokens_col(text)).alias("tok"))
     tf = toks.groupBy("_id", "tok").agg(F.count("*").alias("tf"))
-    n_docs = df.select(F.countDistinct(id_col)).collect()[0][0]
+    # N as a 1-row broadcast joined into the plan — no driver collect,
+    # no extra eager scan at plan-construction time
+    nd = df.select(F.countDistinct(id_col).cast("double").alias("_n"))
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    idf = dfreq.select(
+    idf = dfreq.crossJoin(F.broadcast(nd)).select(
         "tok",
-        (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)).alias("idf"),
+        (F.log((F.col("_n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)).alias("idf"),
     )
-    scored = tf.join(F.broadcast(idf), "tok").select(
+    # NO broadcast hint on the idf side: the distinct-token dictionary
+    # is unbounded at corpus scale (typos/ids/URLs) — let AQE choose
+    # broadcast vs shuffle join from the actual size (review r02b)
+    scored = tf.join(idf, "tok").select(
         "_id", "tok",
         F.round(F.col("tf") * F.col("idf") * 1e6).cast("long").alias("score_q6"),
     )

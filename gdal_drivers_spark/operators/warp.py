@@ -161,6 +161,12 @@ def warp_tiles(
         scol = scol - c0 * tile_px
         srow = srow - r0 * tile_px
         SC, SR = np.meshgrid(scol, srow)
+        # destination pixels whose source CENTER falls outside the
+        # assembled window are outside source coverage → nodata, not
+        # edge-replicated values (review r02b; the reference warp
+        # writes nodata there). Bilinear TAPS at the boundary still
+        # edge-clamp, the standard in-coverage convention.
+        in_cov = (SC >= 0) & (SC < win_w) & (SR >= 0) & (SR < win_h)
         if bilinear:
             x0 = np.floor(SC - 0.5).astype(np.int64)
             y0 = np.floor(SR - 0.5).astype(np.int64)
@@ -180,7 +186,7 @@ def warp_tiles(
             xi = np.clip(np.floor(SC).astype(np.int64), 0, win_w - 1)
             yi = np.clip(np.floor(SR).astype(np.int64), 0, win_h - 1)
             out = win[yi, xi]
-        out = np.where(np.isnan(out), nodata, out)
+        out = np.where(np.isnan(out) | ~in_cov, nodata, out)
         tile = np.clip(np.rint(out), 0, 255).astype(np.uint8)
         return pd.DataFrame(
             {

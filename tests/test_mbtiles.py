@@ -299,3 +299,39 @@ def test_varint_overlong_truncates_to_64_bits():
     )
     out = mvtproto.decode_feature(feat)
     assert out["id"] == -1  # two's-complement wrap, fits int64
+
+
+def test_truncated_fixed_value_poisons_only_tile(spark):
+    """Review r02b: a Value with a truncated fixed32 payload (valid
+    outer framing, struct.error inside) poisons only its tile."""
+    good = mvtproto.encode_tile(
+        [{"name": "l", "extent": 256, "version": 2, "keys": [], "values": [],
+          "features": [{"id": 5, "tags": np.zeros(0, np.uint64),
+                        "geom_type": 1,
+                        "geometry": np.array([9, 2, 2], np.uint64)}]}]
+    )
+    # layer with one Value: field (2, fixed32) but only 2 payload bytes
+    bad_value = mvtproto._len_field(4, bytes([0x15, 0x00, 0x00]))
+    bad_layer = mvtproto._len_field(3, mvtproto._len_field(1, b"l") + bad_value)
+    tiles = spark.createDataFrame(
+        [(0, 0, 0, good), (0, 1, 0, bad_layer)],
+        "z int, tx long, ty long, data binary",
+    )
+    got = decode_features_proto(tiles).collect()
+    assert [r.fid for r in got] == [5]
+
+
+def test_gunzip_sniff_two_byte_magic_and_zlib_error():
+    from gdal_drivers_spark.core.codecs import gunzip_sniff
+
+    # 0x1f followed by non-8b: raw payload, must pass through verbatim
+    raw = b"\x1f\x00payload"
+    assert gunzip_sniff(raw) == raw
+    # valid gzip header over corrupt deflate body (zlib.error) → None
+    import gzip as _gz
+
+    corrupt = _gz.compress(b"hello world" * 10, mtime=0)
+    corrupt = corrupt[:12] + bytes([corrupt[12] ^ 0xFF]) + corrupt[13:]
+    assert gunzip_sniff(corrupt) is None
+    # healthy gzip round-trips
+    assert gunzip_sniff(_gz.compress(b"x", mtime=0)) == b"x"

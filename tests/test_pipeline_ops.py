@@ -375,3 +375,47 @@ def test_hash_sample_large_keys_no_overflow(spark):
         ).fetchall()
     )
     assert kept == expected
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """Review r02b: a 100-node chain converges via pointer jumping in
+    ≤ the default round budget (one-hop propagation would need 99)."""
+    from gdal_drivers_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 199)], "id1 long, id2 long"
+    )
+    got = {r.node: r.component for r in connected_components(edges, max_iter=12).collect()}
+    assert set(got.values()) == {100} and len(got) == 100
+
+
+def test_connected_components_raises_on_round_exhaustion(spark):
+    from gdal_drivers_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id1 long, id2 long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=1)
+
+
+def test_dup_clusters_min_jaccard_filter(spark):
+    """Review r02b: min_jaccard (0-1 fraction) actually filters via the
+    integer jaccard_pct column and n_hashes forwards to the bander."""
+    from gdal_drivers_spark.operators.dedup import dup_clusters
+
+    base = " ".join(f"word{i}" for i in range(40))  # 40 DISTINCT words
+    rows = [
+        (1, base), (2, base),                       # jaccard 1.0
+        (3, " ".join(base.split()[: 12])),          # jaccard ≈ 0.26
+        (4, "nothing in common with the others " * 6),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    strict = {r.doc_id for r in dup_clusters(df, "doc_id", n_hashes=8,
+                                             min_jaccard=0.9).collect()}
+    assert strict == {1, 2}  # only the exact pair survives 0.9
+    # the filter only ever NARROWS the unfiltered candidate clustering
+    unfiltered = {r.doc_id for r in dup_clusters(df, "doc_id", n_hashes=8).collect()}
+    assert strict <= unfiltered
