@@ -2573,6 +2573,71 @@ def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (point-in-time lookup): every non-error
+    event picks up the latest error event at or before its timestamp
+    for the same user, or nulls if none. The engine plan is the
+    union+ordered-window merge (operators/asof.py) — ONE shuffle on
+    the key, no per-key cross product; the oracle is DuckDB's native
+    ASOF LEFT JOIN, an independent implementation of the same
+    semantics (ties at equal ts match, per the shared r.ts <= l.ts
+    convention)."""
+    from gdal_drivers_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter("event_type <> 'error'").select("event_id", "user_id", "ts")
+    right = ev.filter("event_type = 'error'").select(
+        "user_id", "ts", F.col("event_id").alias("marker_id")
+    )
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                    payload=["marker_id"])
+    # null-free projection for the strict Arrow gate: unmatched → -1,
+    # matched ts → epoch seconds (NTZ → UTC session timestamp → long)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("marker_id"), F.lit(-1)).cast("long").alias("marker_id"),
+        F.coalesce(
+            F.col("matched_ts").cast("timestamp").cast("long"), F.lit(-1)
+        ).alias("matched_s"),
+    )
+
+
+_ASOF_ORACLE_SQL = """
+    SELECT e.event_id, e.user_id,
+           CAST(COALESCE(m.event_id, -1) AS BIGINT) AS marker_id,
+           CAST(COALESCE(CAST(floor(epoch(m.ts)) AS BIGINT), -1) AS BIGINT) AS matched_s
+    FROM (SELECT * FROM events WHERE event_type <> 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') m
+      ON e.user_id = m.user_id AND e.ts >= m.ts
+"""
+
+
+def q_lineage_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable per-partition lineage (north rule: every
+    partition emits lineage records): orders rows fall into 64
+    deterministic key-hash buckets; each bucket emits count, an
+    order-insensitive checksum (sum of 32-bit key mixes), and its key
+    envelope. Because the bucket function is pure arithmetic, any
+    engine over the same rows reproduces the table bit-for-bit — which
+    is exactly what this oracle demonstrates."""
+    from gdal_drivers_spark.plans.lineage import bucket_lineage_records
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return bucket_lineage_records(o, key="o_orderkey", n_buckets=64)
+
+
+_LINEAGE_ORACLE_SQL = """
+    SELECT CAST((o_orderkey * 2654435761) % 4294967296 % 64 AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           CAST(sum((o_orderkey * 2654435761) % 4294967296) AS BIGINT) AS checksum,
+           CAST(min(o_orderkey) AS BIGINT) AS key_min,
+           CAST(max(o_orderkey) AS BIGINT) AS key_max
+    FROM orders
+    GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -2636,6 +2701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "running_sum": q_running_sum,
         "windowed_events": q_windowed_events,
+        "asof_join": q_asof_join,
+        "lineage_records": q_lineage_records,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
         "blend_cells": q_blend_cells,
@@ -2645,6 +2712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "asof_join": _ASOF_ORACLE_SQL,
+        "lineage_records": _LINEAGE_ORACLE_SQL,
         "tile_assign": f"""
             SELECT cell, count(*) AS n_assign, count(DISTINCT k) AS n_images
             FROM ({_ASSIGNED_SQL}) a GROUP BY cell

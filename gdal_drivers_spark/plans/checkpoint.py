@@ -95,6 +95,7 @@ class CheckpointedWriter:
         key: str,
         batch_ids: list[int] | None = None,
         fail_after: int | None = None,
+        lineage_buckets: int = 16,
     ) -> dict[str, int]:
         """Write df split by ``batch_col`` (a Column → int batch id),
         committing batches to the manifest after their data lands.
@@ -112,7 +113,18 @@ class CheckpointedWriter:
         committed stats describe the bytes on disk, not the plan).
         Commits append in batch order; a kill mid-commit leaves later
         batches written-but-uncommitted — exactly the state resume
-        handles (write-then-commit ordering preserved)."""
+        handles (write-then-commit ordering preserved).
+
+        LINEAGE + COUNTERS (north rule: "every partition emits lineage
+        records and counters"): the write action carries an
+        ``Observation`` (rows/null-key counters, zero extra scan →
+        ``observed_rows``/``observed_null_keys`` in the returned
+        stats), and the single post-write agg is grouped by
+        (batch, deterministic key-hash bucket) so each batch commits
+        alongside per-bucket lineage records (count, order-insensitive
+        checksum, key envelope) under ``_lineage/batch=<id>`` —
+        written BEFORE the manifest row, so a committed batch always
+        has its lineage on disk."""
         tagged = df.withColumn("batch", batch_col)
         done = self.committed()
         stats = {"written": 0, "skipped": 0, "rows": 0}
@@ -142,12 +154,23 @@ class CheckpointedWriter:
         to_write = tagged if not done else tagged.filter(
             ~F.col("batch").isin([int(b) for b in done])
         )
+        from pyspark.sql import Observation
+
+        obs = Observation(f"ckpt-{uuid.uuid4().hex[:8]}")
+        to_write = to_write.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col(key).isNull().cast("long")).alias("null_keys"),
+        )
         (
             to_write.write.partitionBy("batch")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .parquet(self.out)
         )
+        counters = obs.get  # collected by the write action itself
+        stats["observed_rows"] = int(counters["rows"] or 0)
+        stats["observed_null_keys"] = int(counters["null_keys"] or 0)
 
         # batch discovery comes from the WRITTEN partition dirs (a
         # directory listing), not a second input scan. Only dirs that
@@ -174,26 +197,54 @@ class CheckpointedWriter:
                 f"{self.out}/batch={b}"
             )
 
-        # ONE agg over the written output: per-batch count + checksum
+        # ONE agg over the written output: per-(batch, lineage-bucket)
+        # count/checksum/envelope. Batch-level stats fold from the
+        # bucket records driver-side (≤ batches × buckets tiny rows) —
+        # xor of per-bucket xors == batch xor, so no second pass.
+        from gdal_drivers_spark.plans.lineage import lineage_bucket
+
         nonempty = [b for b in pending if b not in set(empty)]
         per_batch = {b: (0, 0) for b in pending}
+        lin_rows: dict[int, list] = {b: [] for b in pending}
         if nonempty:
             written = self.spark.read.option("basePath", self.out).parquet(
                 *[f"{self.out}/batch={b}" for b in nonempty]
             )
-            per_batch.update(
-                {
-                    int(r["batch"]): (int(r["n"]), int(r["ck"] or 0))
-                    for r in written.groupBy("batch")
-                    .agg(
-                        F.count("*").alias("n"),
-                        F.expr(f"bit_xor(xxhash64({key}))").alias("ck"),
-                    )
-                    .collect()
-                }
+            recs = (
+                written.groupBy(
+                    "batch", lineage_bucket(key, lineage_buckets).alias("bucket")
+                )
+                .agg(
+                    F.count("*").alias("n"),
+                    F.expr(f"bit_xor(xxhash64({key}))").alias("ck"),
+                    F.min(F.col(key)).cast("long").alias("key_min"),
+                    F.max(F.col(key)).cast("long").alias("key_max"),
+                )
+                .collect()
             )
+            for r in recs:
+                b = int(r["batch"])
+                lin_rows.setdefault(b, []).append(
+                    (int(r["bucket"]), int(r["n"]), int(r["ck"] or 0),
+                     int(r["key_min"] or 0), int(r["key_max"] or 0))
+                )
+            for b, rows in lin_rows.items():
+                n = sum(x[1] for x in rows)
+                ck = 0
+                for x in rows:
+                    ck ^= x[2]
+                per_batch[b] = (n, ck)
         for b in pending:
             n, ck = per_batch.get(b, (0, 0))
+            # lineage records land BEFORE the commit row: a committed
+            # batch is guaranteed to have its per-bucket evidence
+            if lin_rows.get(b):
+                self.spark.createDataFrame(
+                    lin_rows[b],
+                    "bucket long, n_rows long, checksum long, key_min long, key_max long",
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    f"{self.out}/_lineage/batch={b}"
+                )
             seq += 1
             self._commit(b, n, ck, seq)
             stats["written"] += 1
@@ -201,6 +252,17 @@ class CheckpointedWriter:
             if fail_after is not None and stats["written"] >= fail_after:
                 raise RuntimeError(f"injected failure after {fail_after} batches")
         return stats
+
+    def lineage(self, batch_id: int | None = None) -> DataFrame:
+        """Per-bucket lineage records committed alongside batches:
+        (batch, bucket, n_rows, checksum, key_min, key_max). With
+        ``batch_id`` restricts to one batch."""
+        path = (
+            f"{self.out}/_lineage"
+            if batch_id is None
+            else f"{self.out}/_lineage/batch={batch_id}"
+        )
+        return self.spark.read.option("basePath", f"{self.out}/_lineage").parquet(path)
 
     # -------------------------------------------------------------- read
 

@@ -41,6 +41,59 @@ def lineage_records(df: DataFrame, key: str) -> DataFrame:
     )
 
 
+def lineage_bucket(key: str, n_buckets: int):
+    """Deterministic lineage bucket of a row: engine-portable
+    multiplicative key hash (``operators.sample._mix``) mod
+    ``n_buckets``. Unlike ``spark_partition_id()`` this is pure
+    arithmetic on the key — the bucketing is replayable bit-for-bit by
+    any engine over the same rows, so bucket-level lineage doubles as
+    cross-run/cross-engine evidence (and the contract oracle can check
+    it in SQL). Pure codegen; also usable as the checkpoint batch
+    column so batches and lineage share one definition."""
+    from gdal_drivers_spark.operators.sample import _mix
+
+    return (_mix(key) % F.lit(int(n_buckets))).cast("long")
+
+
+def bucket_lineage_records(df: DataFrame, key: str, n_buckets: int = 64) -> DataFrame:
+    """Engine-portable lineage: one record per deterministic key-hash
+    bucket — (bucket, n_rows, checksum, key_min, key_max). The
+    checksum is the sum of 32-bit key mixes: commutative (partial
+    aggregation and row order cannot change it) and bounded by
+    n_rows·2³², inside int64 up to ~2·10⁹ rows per bucket. All four
+    aggregates map-side combine, so the shuffle carries ≤ n_buckets
+    rows per task regardless of data size."""
+    from gdal_drivers_spark.operators.sample import _mix
+
+    return (
+        df.groupBy(lineage_bucket(key, n_buckets).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_mix(key)).cast("long").alias("checksum"),
+            F.min(F.col(key)).cast("long").alias("key_min"),
+            F.max(F.col(key)).cast("long").alias("key_max"),
+        )
+    )
+
+
+def observed(df: DataFrame, key: str, name: str = "lineage"):
+    """Attach row/null-key counters to ``df`` via
+    ``pyspark.sql.Observation`` — collected by the FIRST action on the
+    returned frame itself, zero extra scans (the exactly-once
+    complement to the at-least-once accumulator ``Counters``).
+    Returns ``(df_with_observation, observation)``;
+    ``observation.get`` then yields ``{"rows": n, "null_keys": n}``."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col(key).isNull().cast("long")).alias("null_keys"),
+    )
+    return out, obs
+
+
 class Counters:
     """Named accumulator bundle for pipeline metrics (rows decoded,
     rows rejected, tiles painted, …)."""

@@ -103,6 +103,74 @@ def test_counters(spark):
     assert c.snapshot()["rejected"] == 0
 
 
+def test_bucket_lineage_engine_portable(spark):
+    """Deterministic bucket lineage: bit-identical regardless of
+    physical partitioning, and replayable outside Spark (pandas
+    recomputes the same records from the same rows)."""
+    import pandas as pd
+
+    from gdal_drivers_spark.plans.lineage import bucket_lineage_records
+
+    df = spark.range(1, 2001).select(F.col("id").alias("k"))
+    a = bucket_lineage_records(df.repartition(16, "k"), "k", n_buckets=8)
+    b = bucket_lineage_records(df.sort(F.desc("k")).coalesce(1), "k", n_buckets=8)
+    ra = sorted(tuple(r) for r in a.collect())
+    assert ra == sorted(tuple(r) for r in b.collect())
+
+    ks = np.arange(1, 2001, dtype=np.int64)
+    mix = (ks * 2654435761) % (1 << 32)
+    pdf = pd.DataFrame({"bucket": mix % 8, "k": ks, "mix": mix})
+    expect = sorted(
+        (int(g), int(len(s)), int(s["mix"].sum()), int(s["k"].min()), int(s["k"].max()))
+        for g, s in pdf.groupby("bucket")
+    )
+    assert ra == expect
+
+
+def test_observed_counters(spark):
+    from gdal_drivers_spark.plans.lineage import observed
+
+    df = spark.range(500).select(
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id")).alias("k")
+    )
+    out, obs = observed(df, "k")
+    assert out.count() == 500  # the counting action feeds the observation
+    assert obs.get == {"rows": 500, "null_keys": 100}
+
+
+def test_checkpoint_lineage_and_counters(spark, tmp_path):
+    """north rule: every partition emits lineage records and counters.
+    write_batches commits per-bucket lineage before each manifest row,
+    the bucket records fold to the manifest checksum, and the write
+    action's observation counts land in stats."""
+    n = 4096
+    data = spark.range(n).select(F.col("id").alias("k"), (F.col("id") % 5).alias("batch"))
+    w = CheckpointedWriter(spark, str(tmp_path / "out"))
+    stats = w.write_batches(data, F.col("batch"), key="k", lineage_buckets=8)
+    assert stats["observed_rows"] == n and stats["observed_null_keys"] == 0
+
+    lin = w.lineage()
+    assert lin.agg(F.sum("n_rows")).collect()[0][0] == n
+    # per-batch: xor of bucket checksums == manifest checksum
+    folded = {
+        int(r["batch"]): (int(r["n"]), int(r["ck"]))
+        for r in lin.groupBy("batch")
+        .agg(F.sum("n_rows").alias("n"), F.expr("bit_xor(checksum)").alias("ck"))
+        .collect()
+    }
+    man = {
+        int(r["batch_id"]): (int(r["n_rows"]), int(r["checksum"]))
+        for r in w._read_manifest().collect()
+    }
+    assert folded == man
+    # resume skips committed batches but their lineage stays readable
+    stats2 = CheckpointedWriter(spark, str(tmp_path / "out")).write_batches(
+        data, F.col("batch"), key="k", lineage_buckets=8
+    )
+    assert stats2["written"] == 0 and stats2["skipped"] == 5
+    assert w.lineage(batch_id=2).count() > 0
+
+
 def test_checkpoint_resume_identical_output(spark, tmp_path):
     """Kill mid-job, resume, final output identical to a clean run."""
     data = spark.range(10_000).select(
