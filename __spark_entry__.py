@@ -2613,6 +2613,39 @@ _ASOF_ORACLE_SQL = """
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-bucketed 1-D range join (operators/intervals.py): event
+    cent-values land in overlapping supplier price bands [k·500,
+    k·500+750) — a point can match two bands. The engine plan is
+    explode-to-bins + equi-join + exact re-check (ONE hash join, never
+    a nested loop); the oracle is the plain inequality join DuckDB can
+    afford at this scale."""
+    from gdal_drivers_spark.operators.intervals import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey",
+        (F.col("s_suppkey") * 500).alias("lo"),
+        (F.col("s_suppkey") * 500 + 750).alias("hi"),
+    )
+    j = interval_join(ev, sup, "v", "lo", "hi", bin_width=512)
+    return j.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_pts"), F.sum("v").alias("sum_cents")
+    )
+
+
+_INTERVAL_ORACLE_SQL = """
+    WITH p AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         iv AS (SELECT s_suppkey, s_suppkey * 500 AS lo, s_suppkey * 500 + 750 AS hi
+                FROM supplier)
+    SELECT s_suppkey, count(*) AS n_pts, CAST(sum(v) AS BIGINT) AS sum_cents
+    FROM iv JOIN p ON p.v >= iv.lo AND p.v < iv.hi
+    GROUP BY s_suppkey
+"""
+
+
 def q_lineage_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable per-partition lineage (north rule: every
     partition emits lineage records): orders rows fall into 64
@@ -2702,6 +2735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_sum": q_running_sum,
         "windowed_events": q_windowed_events,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "lineage_records": q_lineage_records,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
@@ -2713,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "asof_join": _ASOF_ORACLE_SQL,
+        "interval_join": _INTERVAL_ORACLE_SQL,
         "lineage_records": _LINEAGE_ORACLE_SQL,
         "tile_assign": f"""
             SELECT cell, count(*) AS n_assign, count(DISTINCT k) AS n_images

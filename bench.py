@@ -239,6 +239,9 @@ def run(sf_dir: str, cpus: int) -> dict:
         # round-2 real-format paths: protobuf decode, SQLite archive
         # scan, cross-SRS warp
         "mvt_proto_typed", "mbtiles_scan", "warp_reproject",
+        # round-2 temporal/range joins (shuffle-lean plans, cheap but
+        # tracked so a plan regression shows up as wall time)
+        "asof_join", "interval_join",
     ]:
         q = entry_mod.queries()[name]
         dt, _ = timed_sane(lambda: q(spark, sf_dir).count())

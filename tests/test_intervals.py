@@ -1,0 +1,62 @@
+"""Bin-bucketed interval join: boundary semantics, overlap
+multiplicity, fan-out guard, plan shape (hash join, no nested loop)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_drivers_spark.operators.intervals import interval_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    points = spark.createDataFrame(
+        [(1, 10), (2, 19), (3, 20), (4, 25), (5, 999)],
+        "pid long, v long",
+    )
+    intervals = spark.createDataFrame(
+        [(100, 10, 20),    # [10,20) — catches v=10 (inclusive lo), not v=20
+         (200, 15, 30),    # overlaps the first: v=19 matches both
+         (300, 50, 50),    # empty — matches nothing
+         (400, 60, 40)],   # inverted — dropped, must not crash sequence()
+        "iid long, lo long, hi long",
+    )
+    return points, intervals
+
+
+def test_semantics(frames):
+    points, intervals = frames
+    out = interval_join(points, intervals, "v", "lo", "hi", bin_width=8)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == [(1, 100), (2, 100), (2, 200), (3, 200), (4, 200)]
+
+
+def test_bin_width_invariance(frames):
+    points, intervals = frames
+    base = sorted(map(tuple, interval_join(
+        points, intervals, "v", "lo", "hi", bin_width=8).collect()))
+    for bw in (1, 3, 64, 1000):
+        assert sorted(map(tuple, interval_join(
+            points, intervals, "v", "lo", "hi", bin_width=bw).collect())) == base
+
+
+def test_fanout_guard(spark, frames):
+    points, _ = frames
+    wide = spark.createDataFrame([(1, 0, 10_000_000)], "iid long, lo long, hi long")
+    with pytest.raises(ValueError, match="bins"):
+        interval_join(points, wide, "v", "lo", "hi", bin_width=2,
+                      max_bins_per_interval=1024)
+
+
+def test_collision_guard(frames):
+    points, intervals = frames
+    with pytest.raises(ValueError, match="collision"):
+        interval_join(points, intervals.withColumnRenamed("iid", "pid"),
+                      "v", "lo", "hi", bin_width=8)
+
+
+def test_plan_no_nested_loop(frames):
+    points, intervals = frames
+    out = interval_join(points, intervals, "v", "lo", "hi", bin_width=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
