@@ -281,6 +281,10 @@ class Engine:
     def documents(self, df: DataFrame, id_col: str = "doc_id") -> "DocumentSet":
         return DocumentSet(self.spark, df, id_col)
 
+    def events(self, df: DataFrame, ts_col: str = "ts",
+               key_col: str = "user_id") -> "EventSet":
+        return EventSet(self.spark, df, ts_col, key_col)
+
 
 class TileArchive:
     """Fluent surface over real MBTiles archives: the scan, the
@@ -366,3 +370,43 @@ class DocumentSet:
         from .operators.sample import hash_sample
 
         return hash_sample(self.df, rate_permille, self._id)
+
+
+class EventSet:
+    """Fluent surface over the temporal operators: windowed rollups,
+    sessionization, as-of enrichment, interval tagging — the event/
+    telemetry half of a training-data pipeline (click streams, error
+    markers, quality windows)."""
+
+    def __init__(self, spark: SparkSession, df: DataFrame,
+                 ts_col: str = "ts", key_col: str = "user_id"):
+        self.spark = spark
+        self.df = df
+        self._ts, self._key = ts_col, key_col
+
+    def windowed(self, window_s: int = 300) -> DataFrame:
+        from .streaming.events import windowed_event_counts
+
+        return windowed_event_counts(self.df, window_s=window_s)
+
+    def sessions(self, gap_s: int = 1800) -> DataFrame:
+        from .streaming.sessionize import sessionize_batch
+
+        return sessionize_batch(self.df, gap_s=gap_s)
+
+    def asof(self, right: DataFrame, right_ts: str, payload: list[str],
+             tolerance=None) -> DataFrame:
+        """Each event gains the latest ``right`` row at or before its
+        timestamp for the same key (point-in-time enrichment)."""
+        from .operators.asof import asof_join
+
+        return asof_join(self.df, right, on=self._key, left_ts=self._ts,
+                         right_ts=right_ts, payload=payload,
+                         tolerance=tolerance)
+
+    def in_intervals(self, intervals: DataFrame, point_col: str,
+                     start_col: str, end_col: str, bin_width: int) -> DataFrame:
+        from .operators.intervals import interval_join
+
+        return interval_join(self.df, intervals, point_col, start_col,
+                             end_col, bin_width)

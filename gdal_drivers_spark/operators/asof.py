@@ -48,14 +48,24 @@ def asof_join(
     columns of the latest ``right`` row with the same ``on`` key and
     ``right_ts <= left_ts`` (ties included), or nulls if none exists.
 
-    ``tolerance`` (a Column interval or seconds literal, compared as
-    ``left_ts - matched_ts <= tolerance``) nulls out matches that are
-    too stale while keeping the left row. All left columns pass
-    through unchanged; payload columns must not collide with them.
+    ``tolerance`` (numeric seconds, compared as ``left_ts -
+    matched_ts <= tolerance`` on epoch seconds) nulls out matches
+    that are too stale while keeping the left row. All left columns
+    pass through unchanged; payload columns must not collide with
+    them. NULL keys never match (SQL equality-join semantics — the
+    same convention as DuckDB ASOF ``ON l.k = r.k``). The matched
+    payload and ``matched_ts`` always come from ONE right row (the
+    latest at-or-before row), even when that row carries NULL payload
+    values.
     """
     clash = set(payload) & set(left.columns)
     if clash:
         raise ValueError(f"payload columns collide with left: {sorted(clash)}")
+    reserved = {"_ts", "_side", "_m", "matched_ts"} & (
+        set(left.columns) | set(payload)
+    )
+    if reserved:
+        raise ValueError(f"reserved column names in use: {sorted(reserved)}")
 
     # right rows sort BEFORE left rows at equal ts so ties match
     l_tag = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
@@ -79,14 +89,26 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.withColumn("_m_ts", F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True).over(w))
-    for p in payload:
-        filled = filled.withColumn(p, F.last(F.when(F.col("_side") == 0, F.col(p)), ignorenulls=True).over(w))
+    # the match is ATOMIC: one struct per right row (non-null even when
+    # its payload fields are null), so last(..., ignorenulls) picks the
+    # latest right ROW and payload + matched_ts can never come from
+    # different rows
+    match = F.last(
+        F.when(
+            F.col("_side") == 0,
+            F.struct(F.col("_ts").alias("mts"), *[F.col(p) for p in payload]),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    out = u.withColumn("_m", match).filter(F.col("_side") == 1)
 
-    out = filled.filter(F.col("_side") == 1)
+    valid = F.col(on).isNotNull() & F.col("_m").isNotNull()
     if tolerance is not None:
-        fresh = (F.col("_ts").cast("double") - F.col("_m_ts").cast("double")) <= tolerance
-        for p in payload:
-            out = out.withColumn(p, F.when(fresh, F.col(p)))
-        out = out.withColumn("_m_ts", F.when(fresh, F.col("_m_ts")))
-    return out.withColumnRenamed("_m_ts", "matched_ts").drop("_ts", "_side")
+        valid = valid & (
+            (F.col("_ts").cast("double") - F.col("_m.mts").cast("double"))
+            <= tolerance
+        )
+    for p in payload:
+        out = out.withColumn(p, F.when(valid, F.col(f"_m.{p}")))
+    out = out.withColumn("matched_ts", F.when(valid, F.col("_m.mts")))
+    return out.drop("_m", "_ts", "_side")

@@ -57,6 +57,8 @@ def interval_join(
     clash = set(points.columns) & set(intervals.columns)
     if clash:
         raise ValueError(f"column collision between sides: {sorted(clash)}")
+    if "_bin" in points.columns or "_bin" in intervals.columns:
+        raise ValueError("'_bin' is reserved by interval_join")
 
     live = intervals.filter(F.col(end_col) > F.col(start_col))
     # the interval side is the dimension side — one tiny agg validates

@@ -154,14 +154,9 @@ class CheckpointedWriter:
         to_write = tagged if not done else tagged.filter(
             ~F.col("batch").isin([int(b) for b in done])
         )
-        from pyspark.sql import Observation
+        from gdal_drivers_spark.plans.lineage import observed
 
-        obs = Observation(f"ckpt-{uuid.uuid4().hex[:8]}")
-        to_write = to_write.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(F.col(key).isNull().cast("long")).alias("null_keys"),
-        )
+        to_write, obs = observed(to_write, key, name=f"ckpt-{uuid.uuid4().hex[:8]}")
         (
             to_write.write.partitionBy("batch")
             .option("partitionOverwriteMode", "dynamic")
@@ -210,15 +205,22 @@ class CheckpointedWriter:
             written = self.spark.read.option("basePath", self.out).parquet(
                 *[f"{self.out}/batch={b}" for b in nonempty]
             )
+            # portable=False bucket: the checkpoint key may be any type
+            # (string image_id, nullable) — xxhash64 buckets never
+            # throw and never come back NULL. Key envelope via
+            # try_cast: NULL (hence 0) for non-numeric keys instead of
+            # an ANSI cast error killing the commit after the data
+            # already landed.
             recs = (
                 written.groupBy(
-                    "batch", lineage_bucket(key, lineage_buckets).alias("bucket")
+                    "batch",
+                    lineage_bucket(key, lineage_buckets, portable=False).alias("bucket"),
                 )
                 .agg(
                     F.count("*").alias("n"),
                     F.expr(f"bit_xor(xxhash64({key}))").alias("ck"),
-                    F.min(F.col(key)).cast("long").alias("key_min"),
-                    F.max(F.col(key)).cast("long").alias("key_max"),
+                    F.min(F.expr(f"try_cast({key} AS BIGINT)")).alias("key_min"),
+                    F.max(F.expr(f"try_cast({key} AS BIGINT)")).alias("key_max"),
                 )
                 .collect()
             )
@@ -234,23 +236,87 @@ class CheckpointedWriter:
                 for x in rows:
                     ck ^= x[2]
                 per_batch[b] = (n, ck)
+        lin_schema = "bucket long, n_rows long, checksum long, key_min long, key_max long"
         for b in pending:
             n, ck = per_batch.get(b, (0, 0))
             # lineage records land BEFORE the commit row: a committed
-            # batch is guaranteed to have its per-bucket evidence
-            if lin_rows.get(b):
-                self.spark.createDataFrame(
-                    lin_rows[b],
-                    "bucket long, n_rows long, checksum long, key_min long, key_max long",
-                ).coalesce(1).write.mode("overwrite").parquet(
-                    f"{self.out}/_lineage/batch={b}"
-                )
+            # batch is guaranteed to have its per-bucket evidence on
+            # disk — including EMPTY batches (0-row lineage file), so
+            # audits never find a manifest row without evidence
+            self.spark.createDataFrame(
+                lin_rows.get(b) or [], lin_schema
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{self.out}/_lineage/batch={b}"
+            )
             seq += 1
             self._commit(b, n, ck, seq)
             stats["written"] += 1
             stats["rows"] += n
             if fail_after is not None and stats["written"] >= fail_after:
                 raise RuntimeError(f"injected failure after {fail_after} batches")
+        return stats
+
+    def compact(self, key: str, target_bytes: int = 128 << 20) -> dict[str, int]:
+        """Small-file compaction over COMMITTED batches — the Iceberg
+        ``rewrite_data_files`` analogue for this minimal snapshot log.
+        A long-running checkpointed job accretes one file set per
+        commit; at lake scale the resulting small files dominate scan
+        cost (every file is an open + a footer read + a scheduler
+        task). For each committed batch whose files average under
+        ``target_bytes/2``, rewrite to ``ceil(total/target_bytes)``
+        files (coalesce — no shuffle), recompute count + checksum from
+        the REWRITTEN bytes, and only if they match the manifest swap
+        the directory in (rename, then drop the old one). A mismatch
+        aborts that batch's swap and raises — compaction can never
+        corrupt committed data, and the manifest needs no update
+        because content (hence checksum) is unchanged. Uncommitted
+        batches are never touched."""
+        import math
+        import shutil
+
+        man = {
+            int(r["batch_id"]): (int(r["n_rows"]), int(r["checksum"]))
+            for r in self._read_manifest().collect()
+        }
+        stats = {"compacted": 0, "skipped": 0, "files_before": 0, "files_after": 0}
+        for b in sorted(man):
+            d = f"{self.out}/batch={b}"
+            if not os.path.isdir(d):
+                continue
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            total = sum(os.path.getsize(f"{d}/{f}") for f in files)
+            n_out = max(1, math.ceil(total / target_bytes))
+            if len(files) <= n_out:
+                stats["skipped"] += 1
+                continue
+            stats["files_before"] += len(files)
+            run = uuid.uuid4().hex[:8]
+            tmp = f"{self.out}/_compact-{b}-{run}"
+            self.spark.read.parquet(d).coalesce(n_out).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            agg = (
+                self.spark.read.parquet(tmp)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.expr(f"bit_xor(xxhash64({key}))").alias("ck"),
+                )
+                .collect()[0]
+            )
+            if (int(agg["n"]), int(agg["ck"] or 0)) != man[b]:
+                shutil.rmtree(tmp)
+                raise RuntimeError(
+                    f"compaction of batch {b} changed its content "
+                    "checksum; aborted before swap"
+                )
+            old = f"{self.out}/_precompact-{b}-{run}"
+            os.rename(d, old)
+            os.rename(tmp, d)
+            shutil.rmtree(old)
+            stats["compacted"] += 1
+            stats["files_after"] += len(
+                [f for f in os.listdir(d) if f.endswith(".parquet")]
+            )
         return stats
 
     def lineage(self, batch_id: int | None = None) -> DataFrame:

@@ -41,18 +41,27 @@ def lineage_records(df: DataFrame, key: str) -> DataFrame:
     )
 
 
-def lineage_bucket(key: str, n_buckets: int):
-    """Deterministic lineage bucket of a row: engine-portable
-    multiplicative key hash (``operators.sample._mix``) mod
-    ``n_buckets``. Unlike ``spark_partition_id()`` this is pure
-    arithmetic on the key — the bucketing is replayable bit-for-bit by
-    any engine over the same rows, so bucket-level lineage doubles as
-    cross-run/cross-engine evidence (and the contract oracle can check
-    it in SQL). Pure codegen; also usable as the checkpoint batch
-    column so batches and lineage share one definition."""
-    from gdal_drivers_spark.operators.sample import _mix
+def lineage_bucket(key: str, n_buckets: int, portable: bool = True):
+    """Deterministic lineage bucket of a row.
 
-    return (_mix(key) % F.lit(int(n_buckets))).cast("long")
+    ``portable=True`` (default): engine-portable multiplicative key
+    hash (``operators.sample._mix``) mod ``n_buckets`` — pure
+    arithmetic on an INTEGER key, replayable bit-for-bit by any engine
+    over the same rows, so bucket-level lineage doubles as
+    cross-run/cross-engine evidence (and the contract oracle can check
+    it in SQL). Requires an integer-castable key (ANSI cast throws on
+    arbitrary strings).
+
+    ``portable=False``: ``pmod(xxhash64(key), n)`` — Spark-only but
+    accepts ANY key type, and never yields NULL (a NULL key hashes to
+    the xxhash64 seed), so string/NULL keys bucket safely. This is
+    what the checkpoint writer uses, since its key may be e.g. a
+    string image_id."""
+    if portable:
+        from gdal_drivers_spark.operators.sample import _mix
+
+        return (_mix(key) % F.lit(int(n_buckets))).cast("long")
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(int(n_buckets))).cast("long")
 
 
 def bucket_lineage_records(df: DataFrame, key: str, n_buckets: int = 64) -> DataFrame:

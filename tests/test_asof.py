@@ -75,6 +75,63 @@ def test_plan_no_cross_product(frames):
     assert "Window" in plan
 
 
+def test_null_payload_row_is_still_the_match(spark):
+    """The latest right ROW wins even when its payload is NULL —
+    payload and matched_ts must come from the same row (DuckDB ASOF
+    matches the row, then reads its columns)."""
+    left = spark.createDataFrame([(1, 5, _ts(30))], "event_id long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(5, _ts(10), 7), (5, _ts(20), None)],
+        "k long, ts timestamp, payload long",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                    payload=["payload"])
+    r = out.collect()[0]
+    assert r["payload"] is None and r["matched_ts"] == _ts(20)
+
+
+def test_null_keys_never_match(spark):
+    """SQL equality semantics: NULL = NULL is not a match."""
+    left = spark.createDataFrame([(1, None, _ts(30))], "event_id long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(None, _ts(5), 99)], "k long, ts timestamp, payload long"
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                    payload=["payload"])
+    r = out.collect()[0]
+    assert r["payload"] is None and r["matched_ts"] is None
+
+
+def test_reserved_names_rejected(frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left.withColumn("matched_ts", F.lit(1)), right,
+                  on="k", left_ts="ts", right_ts="ts", payload=["payload"])
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left.withColumn("_side", F.lit(1)), right,
+                  on="k", left_ts="ts", right_ts="ts", payload=["payload"])
+
+
+def test_engine_events_facade(spark):
+    """EventSet: windows / sessions / asof / in_intervals off one
+    handle, consistent with the bare operators."""
+    from gdal_drivers_spark.engine import Engine
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    es = Engine(spark).events(ev)
+    assert es.windowed().count() > 0
+    assert es.sessions().count() > 0
+    right = ev.filter("event_type = 'error'").select(
+        "user_id", "ts", F.col("event_id").alias("marker_id")
+    )
+    joined = es.asof(right, right_ts="ts", payload=["marker_id"])
+    assert joined.count() == ev.count()
+    iv = spark.createDataFrame([(1, 0, 100)], "iid long, lo long, hi long")
+    pts = es.df.select("event_id", F.round(F.col("value") * 100).cast("long").alias("v"))
+    tagged = Engine(spark).events(pts).in_intervals(iv, "v", "lo", "hi", bin_width=64)
+    assert tagged.count() > 0
+
+
 def test_duplicate_right_latest_wins(spark):
     left = spark.createDataFrame([(1, 7, _ts(100))], "event_id long, k long, ts timestamp")
     right = spark.createDataFrame(

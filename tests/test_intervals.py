@@ -54,6 +54,13 @@ def test_collision_guard(frames):
                       "v", "lo", "hi", bin_width=8)
 
 
+def test_reserved_bin_rejected(frames):
+    points, intervals = frames
+    with pytest.raises(ValueError, match="_bin"):
+        interval_join(points.withColumn("_bin", F.lit(0)), intervals,
+                      "v", "lo", "hi", bin_width=8)
+
+
 def test_plan_no_nested_loop(frames):
     points, intervals = frames
     out = interval_join(points, intervals, "v", "lo", "hi", bin_width=8)

@@ -171,6 +171,47 @@ def test_checkpoint_lineage_and_counters(spark, tmp_path):
     assert w.lineage(batch_id=2).count() > 0
 
 
+def test_checkpoint_string_and_null_keys(spark, tmp_path):
+    """The checkpoint lineage path must survive ANY key type: string
+    keys (the e2e image_id case — ANSI cast would throw) and NULL keys
+    (a portable-hash bucket would come back NULL). Empty committed
+    batches still get a (0-row) lineage file."""
+    data = spark.range(200).select(
+        F.when(F.col("id") % 50 == 0, None)
+        .otherwise(F.concat(F.lit("img"), F.col("id")))
+        .alias("k"),
+        (F.col("id") % 3).alias("batch"),
+    )
+    w = CheckpointedWriter(spark, str(tmp_path / "out"))
+    stats = w.write_batches(data, F.col("batch"), key="k", lineage_buckets=4,
+                            batch_ids=[0, 1, 2, 9])  # 9 = empty batch
+    assert stats["written"] == 4
+    assert stats["observed_rows"] == 200 and stats["observed_null_keys"] == 4
+    assert w.lineage().agg(F.sum("n_rows")).collect()[0][0] == 200
+    assert w.lineage(batch_id=9).count() == 0  # evidence exists, empty
+    assert w.validate("k")
+
+
+def test_checkpoint_compaction(spark, tmp_path):
+    """Snapshot-safe small-file compaction: committed batches with
+    many small files collapse to few, content + manifest validation
+    unchanged, read_committed byte-identical."""
+    data = spark.range(5000).repartition(16).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("batch")
+    )
+    w = CheckpointedWriter(spark, str(tmp_path / "out"))
+    w.write_batches(data, F.col("batch"), key="k")
+    before = sorted(r["k"] for r in w.read_committed().collect())
+
+    stats = w.compact("k", target_bytes=1 << 30)  # everything → 1 file
+    assert stats["compacted"] == 3
+    assert stats["files_after"] == 3 and stats["files_before"] > 3
+    assert sorted(r["k"] for r in w.read_committed().collect()) == before
+    assert w.validate("k")
+    # idempotent: a second pass finds nothing to do
+    assert w.compact("k", target_bytes=1 << 30)["compacted"] == 0
+
+
 def test_checkpoint_resume_identical_output(spark, tmp_path):
     """Kill mid-job, resume, final output identical to a clean run."""
     data = spark.range(10_000).select(
