@@ -2646,6 +2646,52 @@ _INTERVAL_ORACLE_SQL = """
 """
 
 
+def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (morton) interleave — the clustering key behind
+    ``plans.layout.write_zordered`` (file pruning on both dimensions)
+    and ``core.qcell`` cell ids. The Column bit-spread ladder must
+    agree bit-for-bit with an independent SQL rendering of the same
+    ladder in DuckDB."""
+    from gdal_drivers_spark.plans.layout import zorder_col
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey",
+        ((F.col("p_partkey") * 2654435761) % 1024).alias("zx"),
+        ((F.col("p_partkey") * 48271) % 1024).alias("zy"),
+    )
+    return p.select(
+        "p_partkey", "zx", "zy",
+        zorder_col(F.col("zx"), F.col("zy")).alias("zval"),
+    )
+
+
+def _spread_sql(v: str) -> str:
+    """DuckDB rendering of the 26-bit morton spread ladder."""
+    e = f"({v} & 67108863)"
+    for shift, mask in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
+        e = f"(({e} | ({e} << {shift})) & {mask})"
+    return e
+
+
+_ZORDER_ORACLE_SQL = f"""
+    WITH k AS (
+        SELECT p_partkey,
+               (p_partkey * 2654435761) % 1024 AS zx,
+               (p_partkey * 48271) % 1024 AS zy
+        FROM part
+    )
+    SELECT p_partkey, zx, zy,
+           ({_spread_sql('zx')} | ({_spread_sql('zy')} << 1)) AS zval
+    FROM k
+"""
+
+
 def q_lineage_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable per-partition lineage (north rule: every
     partition emits lineage records): orders rows fall into 64
@@ -2737,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "lineage_records": q_lineage_records,
+        "zorder_curve": q_zorder_curve,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
         "blend_cells": q_blend_cells,
@@ -2749,6 +2796,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _ASOF_ORACLE_SQL,
         "interval_join": _INTERVAL_ORACLE_SQL,
         "lineage_records": _LINEAGE_ORACLE_SQL,
+        "zorder_curve": _ZORDER_ORACLE_SQL,
         "tile_assign": f"""
             SELECT cell, count(*) AS n_assign, count(DISTINCT k) AS n_images
             FROM ({_ASSIGNED_SQL}) a GROUP BY cell

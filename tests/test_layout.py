@@ -95,3 +95,57 @@ def test_bucketed_blend_has_no_exchange(spark):
     ctrl.count()
     assert _n_exchanges(ctrl) >= 1, "control: unbucketed blend shuffles"
     spark.sql("DROP TABLE IF EXISTS blend_bkt")
+
+
+def test_zorder_col_matches_numpy_morton(spark):
+    """Column-form interleave is bit-identical to core.qcell.morton."""
+    import numpy as np
+
+    from gdal_drivers_spark.core import qcell
+    from gdal_drivers_spark.plans.layout import zorder_col
+
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 1 << 26, 500)
+    ys = rng.integers(0, 1 << 26, 500)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(xs, ys)], "x long, y long"
+    )
+    got = [r["z"] for r in df.select(
+        zorder_col(F.col("x"), F.col("y")).alias("z")).collect()]
+    assert got == [int(v) for v in qcell.morton(xs, ys)]
+
+
+def test_zorder_write_prunes_both_dims(spark, tmp_path):
+    """The measurable Z-order payoff: a predicate on the NON-leading
+    key prunes most files under Z-order clustering, while a linear
+    sort on x must open every file. Content identical either way."""
+    import numpy as np
+
+    from gdal_drivers_spark.plans.layout import (
+        overlap_fraction,
+        write_zordered,
+    )
+
+    n = 1 << 14
+    rng = np.random.default_rng(11)
+    xs = rng.integers(0, 1 << 10, n)
+    ys = rng.integers(0, 1 << 10, n)
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(a + b)) for a, b in zip(xs, ys)],
+        "x long, y long, payload long",
+    )
+    zdir, ldir = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    write_zordered(df, zdir, "x", "y", n_files=32)
+    df.repartitionByRange(32, "x").sortWithinPartitions("x").write.parquet(ldir)
+
+    box = {"y": (100, 163)}  # 1/16 of the y domain, no x constraint
+    z_frac = overlap_fraction(zdir, box)
+    l_frac = overlap_fraction(ldir, box)
+    assert l_frac == 1.0, "x-sorted layout cannot prune a y predicate"
+    assert z_frac <= 0.5, f"z-order should prune most files, got {z_frac}"
+
+    got_z = sorted(map(tuple, spark.read.parquet(zdir)
+                       .filter("y between 100 and 163").collect()))
+    got_l = sorted(map(tuple, spark.read.parquet(ldir)
+                       .filter("y between 100 and 163").collect()))
+    assert got_z == got_l and len(got_z) > 0
