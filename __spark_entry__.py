@@ -2646,6 +2646,43 @@ _INTERVAL_ORACLE_SQL = """
 """
 
 
+def q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles + quantile-threshold filter (the
+    adaptive curation gate): per event_type p50/p95 of value
+    (linear-interpolation percentile — bit-identical to DuckDB
+    quantile_cont, proven here) and the count of rows at or above
+    their group's p95 (broadcast threshold join, no fact shuffle)."""
+    from gdal_drivers_spark.operators.stats import group_quantiles, threshold_filter
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = group_quantiles(ev, ["event_type"], "value", [0.5, 0.95])
+    kept = (
+        threshold_filter(ev, ["event_type"], "value", 0.95)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_ge_p95"))
+    )
+    return q.join(kept, "event_type").select(
+        "event_type", "n", "q0_5", "q0_95", "n_ge_p95"
+    )
+
+
+_QUANTILES_ORACLE_SQL = """
+    WITH q AS (
+        SELECT event_type, count(*) AS n,
+               quantile_cont(value, 0.5) AS q0_5,
+               quantile_cont(value, 0.95) AS q0_95
+        FROM events GROUP BY event_type
+    ), kept AS (
+        SELECT e.event_type, count(*) AS n_ge_p95
+        FROM events e JOIN q USING (event_type)
+        WHERE e.value >= q.q0_95
+        GROUP BY e.event_type
+    )
+    SELECT event_type, n, q0_5, q0_95, n_ge_p95
+    FROM q JOIN kept USING (event_type)
+"""
+
+
 def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (morton) interleave — the clustering key behind
     ``plans.layout.write_zordered`` (file pruning on both dimensions)
@@ -2784,6 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "lineage_records": q_lineage_records,
         "zorder_curve": q_zorder_curve,
+        "event_quantiles": q_event_quantiles,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
         "blend_cells": q_blend_cells,
@@ -2797,6 +2835,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": _INTERVAL_ORACLE_SQL,
         "lineage_records": _LINEAGE_ORACLE_SQL,
         "zorder_curve": _ZORDER_ORACLE_SQL,
+        "event_quantiles": _QUANTILES_ORACLE_SQL,
         "tile_assign": f"""
             SELECT cell, count(*) AS n_assign, count(DISTINCT k) AS n_images
             FROM ({_ASSIGNED_SQL}) a GROUP BY cell
