@@ -8,8 +8,9 @@ prefix and decoded by a vectorized numpy routine. Formats:
 ``raw``    GRW1 header + uncompressed uint8 pixels (lossless).
 ``png``    real PNG (spec-minimal: 8-bit gray / RGB, zlib, filters 0-4
            on decode, filter 0 on encode) — lossless.
-``thumb``  lossy: 2×2 mean-pooled half-resolution + zlib, decoded by
-           bilinear upsample. Exercises the PSNR≥40dB gate.
+``thumb``  lossy: 6-bit quantization (2 LSBs dropped) + zlib, decoded
+           with mid-rise bin-center reconstruction — ≈46 dB worst
+           case. Exercises the PSNR≥40dB gate.
 ``jpeg``   STUB — no JPEG library in this environment; decode raises
            NotImplementedError with a clear message (plumbing — schema,
            batching, dispatch — is real and tested via the other fmts).
