@@ -2646,6 +2646,66 @@ _INTERVAL_ORACLE_SQL = """
 """
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (the classic GDAL raster workflow): per-zone
+    count/sum/min/max/mean of tile pixels, with pixels reduced to
+    per-tile stats in one narrow Arrow hop and only stat rows ever
+    shuffling. Tiles are deterministic patterns on part keys (FIXTURES
+    §1), zones partition the 16×16 cell grid by anti-diagonal band —
+    the oracle reproduces every pixel in SQL via generate_series."""
+    from gdal_drivers_spark.core import codecs
+    from gdal_drivers_spark.operators.zonal import zonal_stats
+    from gdal_drivers_spark.sources.synth import pattern
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["p_partkey"]:
+                k = int(k)
+                h = (k * 2654435761) % 256
+                cell = (4 << 52) + ((h % 16) << 26) + (h // 16)
+                rows.append((cell, codecs.encode_raw(pattern(32, 32, 1, k * 7919))))
+            yield pd.DataFrame(rows, columns=["cell", "tile"])
+
+    tiles = part.mapInPandas(gen, "cell long, tile binary")
+    zones = spark.range(256).select(
+        (
+            F.lit(4 << 52)
+            + F.shiftleft(F.col("id") % 16, 26)
+            + (F.col("id") / 16).cast("long")
+        ).alias("cell"),
+        F.concat(
+            F.lit("r"),
+            ((F.col("id") % 16 + (F.col("id") / 16).cast("long")) % 8),
+        ).alias("zone"),
+    )
+    return zonal_stats(tiles, zones)
+
+
+_ZONAL_ORACLE_SQL = """
+    WITH t AS (
+        SELECT p_partkey AS k, (p_partkey * 2654435761) % 256 AS h FROM part
+    ), px AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(0, 31) gx(x), generate_series(0, 31) gy(y)
+    ), pixels AS (
+        SELECT 'r' || CAST(((h % 16) + (h // 16)) % 8 AS VARCHAR) AS zone,
+               k, (x * 3 + y * 5 + k * 7919) % 256 AS v
+        FROM t, px
+    )
+    SELECT zone,
+           CAST(count(*) // 1024 AS BIGINT) AS n_tiles,
+           count(*) AS n_px,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(min(v) AS BIGINT) AS px_min,
+           CAST(max(v) AS BIGINT) AS px_max,
+           CAST(sum(v) AS DOUBLE) / count(*) AS mean
+    FROM pixels GROUP BY zone
+"""
+
+
 def q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group exact quantiles + quantile-threshold filter (the
     adaptive curation gate): per event_type p50/p95 of value
@@ -2822,6 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_records": q_lineage_records,
         "zorder_curve": q_zorder_curve,
         "event_quantiles": q_event_quantiles,
+        "zonal_stats": q_zonal_stats,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
         "blend_cells": q_blend_cells,
@@ -2836,6 +2897,7 @@ def oracle_sql() -> dict[str, str]:
         "lineage_records": _LINEAGE_ORACLE_SQL,
         "zorder_curve": _ZORDER_ORACLE_SQL,
         "event_quantiles": _QUANTILES_ORACLE_SQL,
+        "zonal_stats": _ZONAL_ORACLE_SQL,
         "tile_assign": f"""
             SELECT cell, count(*) AS n_assign, count(DISTINCT k) AS n_images
             FROM ({_ASSIGNED_SQL}) a GROUP BY cell
