@@ -242,6 +242,8 @@ def run(sf_dir: str, cpus: int) -> dict:
         # round-2 temporal/range joins (shuffle-lean plans, cheap but
         # tracked so a plan regression shows up as wall time)
         "asof_join", "interval_join",
+        # round-2 raster rollup (pixels reduced before any shuffle)
+        "zonal_stats",
     ]:
         q = entry_mod.queries()[name]
         dt, _ = timed_sane(lambda: q(spark, sf_dir).count())
