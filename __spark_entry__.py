@@ -2697,6 +2697,7 @@ _ZONAL_ORACLE_SQL = """
     )
     SELECT zone,
            CAST(count(*) // 1024 AS BIGINT) AS n_tiles,
+           CAST(0 AS BIGINT) AS n_bad_tiles,
            count(*) AS n_px,
            CAST(sum(v) AS BIGINT) AS px_sum,
            CAST(min(v) AS BIGINT) AS px_min,

@@ -37,7 +37,7 @@ def group_quantiles(
     ``q_<pct>`` columns (linear interpolation, the quantile_cont
     definition). Bounded-group path — see module docstring."""
     aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.expr(f"percentile({col}, {p})").alias(_qname(p)) for p in probs
+        F.expr(f"percentile(`{col}`, {p})").alias(_qname(p)) for p in probs
     ]
     return df.groupBy(*keys).agg(*aggs)
 
@@ -49,7 +49,7 @@ def approx_group_quantiles(
     """Sketch-based per-group quantiles (rank error ≤ 1/accuracy):
     the unbounded-group scale path; partial-aggregates map-side."""
     aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.expr(f"approx_percentile({col}, {p}, {accuracy})").alias(_qname(p))
+        F.expr(f"approx_percentile(`{col}`, {p}, {accuracy})").alias(_qname(p))
         for p in probs
     ]
     return df.groupBy(*keys).agg(*aggs)
@@ -60,14 +60,22 @@ def threshold_filter(
     exact: bool = True,
 ) -> DataFrame:
     """Keep rows whose ``col`` is at or above their group's ``prob``
-    quantile. Thresholds are one row per group — broadcast back onto
-    the fact table, so the filter pass adds no shuffle."""
+    quantile. On the exact path (bounded group counts) the thresholds
+    are one row per group and are broadcast, so the fact side never
+    shuffles. On the approx path group cardinality is unbounded by
+    design, so the broadcast hint is OMITTED — AQE still broadcasts
+    small threshold sides at runtime, but a billion-group threshold
+    table falls back to a hash join instead of melting the driver."""
+    if "_thr" in df.columns:
+        raise ValueError("'_thr' is reserved by threshold_filter")
     fn = group_quantiles if exact else approx_group_quantiles
     thr = fn(df, keys, col, [prob]).select(
         *keys, F.col(_qname(prob)).alias("_thr")
     )
+    if exact:
+        thr = F.broadcast(thr)
     return (
-        df.join(F.broadcast(thr), keys)
+        df.join(thr, keys)
         .filter(F.col(col) >= F.col("_thr"))
         .drop("_thr")
     )

@@ -102,22 +102,32 @@ def file_envelopes(path: str, cols: list[str]) -> list[dict]:
     import pyarrow.parquet as pq
 
     out = []
+    if not os.path.isdir(path):
+        return out
     for name in sorted(os.listdir(path)):
         if not name.endswith(".parquet"):
             continue
         md = pq.ParquetFile(f"{path}/{name}").metadata
         env: dict = {"file": name}
         for c in cols:
-            lo, hi = None, None
+            lo, hi, missing = None, None, False
             for rg in range(md.num_row_groups):
                 row_group = md.row_group(rg)
                 for ci in range(row_group.num_columns):
                     col = row_group.column(ci)
-                    if col.path_in_schema == c and col.statistics is not None:
-                        s = col.statistics
-                        lo = s.min if lo is None else min(lo, s.min)
-                        hi = s.max if hi is None else max(hi, s.max)
-            env[c] = (lo, hi)
+                    if col.path_in_schema != c:
+                        continue
+                    s = col.statistics
+                    # a row group without usable min/max (stats
+                    # disabled, or an all-null chunk: pyarrow returns
+                    # a Statistics object with has_min_max=False)
+                    # makes the whole file UNPRUNABLE on this column
+                    if s is None or not s.has_min_max:
+                        missing = True
+                        continue
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+            env[c] = (None, None) if missing else (lo, hi)
         out.append(env)
     return out
 
@@ -126,16 +136,21 @@ def overlap_fraction(path: str, predicates: dict) -> float:
     """Fraction of files whose footer envelope intersects the query
     box ``predicates = {col: (lo, hi)}`` — i.e. the files a min/max-
     pruning scan must actually open. The Z-order payoff is this number
-    staying ≪ 1 for a predicate on either key column."""
+    staying ≪ 1 for a predicate on either key column. A file WITHOUT
+    usable stats on a predicate column counts as opened (a real engine
+    cannot prune what it cannot bound) — the metric errs against the
+    layout, never for it."""
     envs = file_envelopes(path, list(predicates))
     if not envs:
-        return 0.0
+        raise ValueError(f"no parquet files under {path}")
     hit = 0
     for env in envs:
         ok = True
         for c, (qlo, qhi) in predicates.items():
             lo, hi = env[c]
-            if lo is None or hi < qlo or lo > qhi:
+            if lo is None:
+                continue  # unprunable on this column → stays a hit
+            if hi < qlo or lo > qhi:
                 ok = False
                 break
         hit += ok

@@ -149,3 +149,18 @@ def test_zorder_write_prunes_both_dims(spark, tmp_path):
     got_l = sorted(map(tuple, spark.read.parquet(ldir)
                        .filter("y between 100 and 163").collect()))
     assert got_z == got_l and len(got_z) > 0
+
+
+def test_overlap_fraction_missing_stats_counts_as_opened(spark, tmp_path):
+    """A file without usable footer stats cannot be pruned — the
+    measurement must count it as opened; an empty path raises."""
+    import pytest as _pytest
+
+    from gdal_drivers_spark.plans.layout import overlap_fraction
+
+    d = str(tmp_path / "nostats")
+    spark.createDataFrame([(None,), (None,)], "y long").coalesce(1).write.parquet(d)
+    # all-null column → has_min_max False → unprunable → fraction 1.0
+    assert overlap_fraction(d, {"y": (0, 10)}) == 1.0
+    with _pytest.raises(ValueError, match="no parquet files"):
+        overlap_fraction(str(tmp_path / "missing"), {"y": (0, 1)})

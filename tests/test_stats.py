@@ -50,3 +50,16 @@ def test_threshold_plan_broadcasts(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_reserved_thr_and_backtick_names(spark):
+    import pytest as _pytest
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    with _pytest.raises(ValueError, match="_thr"):
+        threshold_filter(ev.withColumn("_thr", F.lit(1)), ["event_type"],
+                         "value", 0.5)
+    # a column name with a space parses via backtick quoting
+    spaced = ev.withColumnRenamed("value", "quality score")
+    q = group_quantiles(spaced, ["event_type"], "quality score", [0.5])
+    assert q.count() > 0

@@ -66,10 +66,30 @@ def test_nodata_excluded(spark):
                      columns=["cell", "tile"])
     )
     r2 = tile_stats(df2, nodata=7).collect()[0]
-    assert (r2["n_px"], r2["px_sum"]) == (0, 0)
+    assert (r2["n_px"], r2["px_sum"], r2["px_ok"]) == (0, 0, True)
     z = zonal_stats(df2, spark.createDataFrame([(1, "a")], "cell long, zone string"),
                     nodata=7).collect()[0]
+    # zero countable pixels → NULL extrema, never a fabricated 255/0
     assert z["n_px"] == 0 and z["mean"] is None
+    assert z["px_min"] is None and z["px_max"] is None
+
+
+def test_poison_tiles_marked_not_fatal(spark):
+    """decode_stats policy: NULL/corrupt payloads flag their row and
+    are counted per zone, the stage survives."""
+    img = codecs.encode_raw(pattern(8, 8, 1, 5))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, img), (1, b"\x00garbage"), (1, None)],
+            columns=["cell", "tile"],
+        )
+    )
+    s = {bool(r["px_ok"]): r for r in tile_stats(df).collect()}
+    assert s[True]["n_px"] == 64 and s[False]["n_px"] == 0
+    z = zonal_stats(df, spark.createDataFrame([(1, "a")], "cell long, zone string")
+                    ).collect()[0]
+    assert z["n_tiles"] == 1 and z["n_bad_tiles"] == 2
+    assert z["n_px"] == 64
 
 
 def test_pixels_never_shuffle(spark):
