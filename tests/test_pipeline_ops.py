@@ -69,26 +69,30 @@ def test_audio_stub_raises(spark):
 
 
 def test_lsh_topk_recall(spark):
-    """LSH-bucketed ANN must reach ≥0.5 recall@5 vs brute force on the
-    real embeddings table (8 sign planes, single probe — recall is the
-    test property; exactness is brute_topk's contract)."""
+    """LSH-bucketed ANN vs brute force on the real embeddings table:
+    the default 4-table OR-amplified path must reach ≥0.75 recall@5,
+    and recall must RESPOND to the table count (the degenerate-family
+    regression guard: the old parity planes collapsed every table to
+    one hyperplane, so more tables changed nothing)."""
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     qs = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
     exact = {(r["qid"], r["cid"]) for r in brute_topk(qs, corpus, k=5).collect()}
-    approx = {(r["qid"], r["cid"]) for r in lsh_topk(qs, corpus, dim=64, k=5).collect()}
-    recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"recall {recall}"
+
+    def recall(**kw):
+        got = {(r["qid"], r["cid"]) for r in lsh_topk(qs, corpus, dim=64, k=5, **kw).collect()}
+        return len(exact & got) / len(exact)
+
+    r1 = recall(n_tables=1)
+    r4 = recall()  # default n_tables=4
+    assert r4 >= 0.75, f"recall {r4}"
+    assert r4 > r1, (r1, r4)  # OR-amplification must actually amplify
     # radius-1 multiprobe must not lose recall (probes a superset of
-    # buckets) and in practice gains it
-    multi = {
-        (r["qid"], r["cid"])
-        for r in lsh_topk(qs, corpus, dim=64, k=5, probe_bits=1).collect()
-    }
-    recall_mp = len(exact & multi) / len(exact)
-    assert recall_mp >= recall, (recall_mp, recall)
+    # buckets per table)
+    r1_mp = recall(n_tables=1, probe_bits=1)
+    assert r1_mp >= r1, (r1_mp, r1)
 
 
 def test_ivf_topk_recall_and_probe_discipline(spark):
