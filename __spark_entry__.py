@@ -2754,6 +2754,85 @@ _QUANTILES_ORACLE_SQL = """
 """
 
 
+def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd) IVF training, 16 lists × 2 rounds
+    over the embeddings corpus — deterministic end to end (hash-spread
+    init, exact integer component sums, one double division), so the
+    trained centroids themselves hash-match an oracle that unrolls
+    both rounds in SQL. Flattened to (list_id, pos, c) rows."""
+    from gdal_drivers_spark.operators.similarity import ivf_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    cents = ivf_train(corpus, n_lists=16, iters=2)
+    return cents.select(
+        F.col("list_id").cast("long").alias("list_id"),
+        F.posexplode("center").alias("pos", "c"),
+    ).select("list_id", F.col("pos").cast("long").alias("pos"), "c")
+
+
+_IVF_TRAIN_ORACLE_SQL = """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cd,
+               (vec_id * 2654435761) % 4294967296 AS hh
+        FROM embeddings
+    ), init AS (
+        SELECT CAST(row_number() OVER (ORDER BY hh, vec_id) - 1 AS BIGINT) AS list_id,
+               q AS qc, cd
+        FROM e ORDER BY hh, vec_id LIMIT 16
+    ), a1 AS (
+        SELECT vec_id, q, list_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, list_id) AS rk
+        FROM (
+            SELECT e.vec_id, e.q, i.list_id,
+                   list_sum(list_transform(generate_series(1, 64), k -> e.q[k] * i.qc[k])) AS dot
+            FROM e, init i
+        )
+    ), m1 AS (
+        SELECT list_id, gp.p AS pos,
+               sum(q[gp.p + 1]) AS s, count(*) AS n
+        FROM a1, generate_series(0, 63) gp(p) WHERE rk = 1 GROUP BY 1, 2
+    ), c1pt AS (
+        SELECT list_id, pos,
+               CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0) AS c
+        FROM m1
+    ), c1 AS (
+        SELECT i.list_id,
+               COALESCE(n.qc, i.qc) AS qc,
+               COALESCE(n.cd, i.cd) AS cd
+        FROM init i LEFT JOIN (
+            SELECT list_id,
+                   list(CAST(round(c * 10000) AS BIGINT) ORDER BY pos) AS qc,
+                   list(c ORDER BY pos) AS cd
+            FROM c1pt GROUP BY list_id
+        ) n USING (list_id)
+    ), a2 AS (
+        SELECT vec_id, q, list_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, list_id) AS rk
+        FROM (
+            SELECT e.vec_id, e.q, c.list_id,
+                   list_sum(list_transform(generate_series(1, 64), k -> e.q[k] * c.qc[k])) AS dot
+            FROM e, c1 c
+        )
+    ), m2 AS (
+        SELECT list_id, gp.p AS pos,
+               sum(q[gp.p + 1]) AS s, count(*) AS n
+        FROM a2, generate_series(0, 63) gp(p) WHERE rk = 1 GROUP BY 1, 2
+    ), c2pt AS (
+        SELECT list_id, pos,
+               CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0) AS c
+        FROM m2
+    )
+    SELECT c.list_id, CAST(gp.p AS BIGINT) AS pos,
+           COALESCE(p.c, c.cd[gp.p + 1]) AS c
+    FROM c1 c
+    CROSS JOIN generate_series(0, 63) gp(p)
+    LEFT JOIN c2pt p ON p.list_id = c.list_id AND p.pos = gp.p
+"""
+
+
 def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (morton) interleave — the clustering key behind
     ``plans.layout.write_zordered`` (file pruning on both dimensions)
@@ -2894,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_curve": q_zorder_curve,
         "event_quantiles": q_event_quantiles,
         "zonal_stats": q_zonal_stats,
+        "ivf_train": q_ivf_train,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
         "blend_cells": q_blend_cells,
@@ -2909,6 +2989,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_curve": _ZORDER_ORACLE_SQL,
         "event_quantiles": _QUANTILES_ORACLE_SQL,
         "zonal_stats": _ZONAL_ORACLE_SQL,
+        "ivf_train": _IVF_TRAIN_ORACLE_SQL,
         "tile_assign": f"""
             SELECT cell, count(*) AS n_assign, count(DISTINCT k) AS n_images
             FROM ({_ASSIGNED_SQL}) a GROUP BY cell

@@ -233,6 +233,15 @@ class EmbeddingSet:
         )
         return ivf_topk(queries, self._corpus(), cents, k=k, nprobe=nprobe)
 
+    def train_ivf(self, n_lists: int = 16, iters: int = 2) -> DataFrame:
+        """Lloyd-trained IVF centroids (deterministic distributed
+        k-means, similarity.ivf_train) — feed the result to
+        ``operators.similarity.ivf_topk`` for better list balance than
+        the hash-sampled default."""
+        from .operators.similarity import ivf_train
+
+        return ivf_train(self._corpus(), n_lists=n_lists, iters=iters)
+
     def near_dups(self, threshold: int, **kw) -> DataFrame:
         from .operators.similarity import near_dup_pairs
 

@@ -182,6 +182,77 @@ def lsh_topk(
     )
 
 
+def ivf_train(
+    corpus: DataFrame,
+    n_lists: int,
+    iters: int = 2,
+    cid: str = "cid",
+    cvec: str = "cvec",
+) -> DataFrame:
+    """Deterministic distributed k-means (Lloyd) for IVF coarse
+    centroids. Init: the ``n_lists`` corpus vectors with the smallest
+    multiplicative key hash (a deterministic spread sample — no RNG).
+    Each round: assign every vector to its nearest centroid by
+    quantized dot (the ``ivf_assign`` argmax shape — broadcast
+    centroids, map-side ``max_by``, one shuffled row per vector), then
+    recompute each centroid as the per-component mean of its members.
+
+    DETERMINISM (what makes this oracle-able, unlike RNG-seeded
+    k-means): the mean is computed as exact integer arithmetic —
+    per-component SUM of quantized int64 components (order-free) and
+    the member count — and only then one double division
+    ``sum/(n·10⁴)``, identical in any engine. Empty lists keep their
+    previous centroid. Returns (list_id, center:array<double>).
+
+    Cost per round at scale: one broadcast-join pass over the corpus +
+    one groupBy(list) of dim-component partial sums — both map-side
+    combined; nothing quadratic, nothing driver-side except the
+    n_lists×dim centroid table itself."""
+    from gdal_drivers_spark.operators.sample import _mix
+
+    dimc = F.size(F.col(cvec))
+    init = (
+        corpus.select(
+            F.col(cid).alias("_cid"),
+            F.col(cvec).alias("_vec"),
+            _mix(cid).alias("_h"),
+        )
+        .orderBy("_h", "_cid")
+        .limit(n_lists)
+    )
+    w0 = Window.orderBy("_h", "_cid")
+    cents = init.select(
+        (F.row_number().over(w0) - 1).alias("list_id"),
+        F.transform(F.col("_vec"), lambda v: v.cast("double")).alias("center"),
+    )
+    for _ in range(max(0, iters)):
+        assigned = ivf_assign(corpus, cents, cid=cid, cvec=cvec)
+        sums = (
+            assigned.select(
+                "list_id", F.posexplode(F.col("_cv")).alias("pos", "val")
+            )
+            .groupBy("list_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("s"), F.col("n")))
+                    ),
+                    lambda x: x["s"].cast("double")
+                    / (x["n"].cast("double") * 10000.0),
+                ).alias("_new")
+            )
+        )
+        cents = cents.join(sums, "list_id", "left").select(
+            "list_id", F.coalesce(F.col("_new"), F.col("center")).alias("center")
+        )
+        # truncate lineage: each round's plan would otherwise nest the
+        # previous round's join; centroids are tiny (n_lists × dim)
+        cents = cents.localCheckpoint(eager=True)
+    return cents
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -423,3 +423,34 @@ def test_dup_clusters_min_jaccard_filter(spark):
     # the filter only ever NARROWS the unfiltered candidate clustering
     unfiltered = {r.doc_id for r in dup_clusters(df, "doc_id", n_hashes=8).collect()}
     assert strict <= unfiltered
+
+
+def test_ivf_train_improves_recall_and_is_deterministic(spark):
+    """Lloyd-trained centroids must (a) reproduce bit-identically
+    regardless of input partitioning (integer sums are order-free) and
+    (b) not lose recall vs the untrained stride-sampled centroids at
+    the same nprobe."""
+    from gdal_drivers_spark.operators.similarity import ivf_topk, ivf_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    a = ivf_train(corpus, n_lists=8, iters=2)
+    b = ivf_train(corpus.repartition(16), n_lists=8, iters=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = {(r["qid"], r["cid"]) for r in brute_topk(qs, corpus, k=5).collect()}
+    stride = emb.filter(F.col("vec_id") % 64 == 0).select(
+        (F.col("vec_id") / 64).cast("long").alias("list_id"),
+        F.col("embedding").alias("center"),
+    )
+
+    def recall(cents):
+        got = {(r["qid"], r["cid"]) for r in ivf_topk(qs, corpus, cents, k=5, nprobe=2).collect()}
+        return len(exact & got) / len(exact)
+
+    r_stride, r_trained = recall(stride), recall(a)
+    assert r_trained >= r_stride - 0.05, (r_trained, r_stride)
+    assert r_trained >= 0.5
