@@ -2754,6 +2754,33 @@ _QUANTILES_ORACLE_SQL = """
 """
 
 
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixels → real DCT perceptual hash → per-format rollup. No SQL
+    oracle (a 32×32 DCT-II + median threshold is not reasonably
+    SQL-expressible) — registered rows-only by design; bit-level
+    correctness is pinned by tests/test_pipeline_ops.py
+    (identical-image equality, perturbation Hamming bound, poison
+    flags, near-dup composition)."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.multimodal import phash_images
+    from gdal_drivers_spark.sources.synth import IMAGES_SCHEMA, gen_images_pdf
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+
+    def gen(batches):
+        for pdf in batches:
+            yield gen_images_pdf(pdf["o_orderkey"].to_numpy(np.int64))
+
+    images = orders.limit(2000).repartition(16).mapInPandas(gen, IMAGES_SCHEMA)
+    ph = phash_images(images).join(images.select("image_id", "fmt"), "image_id")
+    return ph.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("ph_ok").cast("long")).alias("n_ok"),
+        F.countDistinct("phash").alias("n_distinct"),
+    )
+
+
 def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means (Lloyd) IVF training, 16 lists × 2 rounds
     over the embeddings corpus — deterministic end to end (hash-spread
@@ -2974,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_quantiles": q_event_quantiles,
         "zonal_stats": q_zonal_stats,
         "ivf_train": q_ivf_train,
+        "image_phash": q_image_phash,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
         "blend_cells": q_blend_cells,

@@ -113,6 +113,14 @@ class ImageSet:
 
         return phash_near_dup(self.df, max_dist=max_dist, n_bands=n_bands)
 
+    def phashes(self) -> DataFrame:
+        """REAL perceptual hashes from pixels (DCT pHash,
+        multimodal.phash_images) — feed to phash_near_dup when the
+        table's phash column is absent or untrusted."""
+        from .operators.multimodal import phash_images
+
+        return phash_images(self.df)
+
     def resize(self, out_w: int, out_h: int) -> "ImageSet":
         from .operators.multimodal import resize_images
 

@@ -210,3 +210,61 @@ def patch_grid(
             )
 
     return images.mapInPandas(_run, PATCHES_SCHEMA)
+
+
+def _dct_basis_n(n: int) -> np.ndarray:
+    """Orthonormal n×n DCT-II basis (general-size sibling of
+    ``core.codecs._dct_basis``)."""
+    j = np.arange(n)
+    k = j.reshape(-1, 1)
+    b = np.cos(np.pi * (2 * j + 1) * k / (2.0 * n))
+    b[0] *= np.sqrt(1.0 / n)
+    b[1:] *= np.sqrt(2.0 / n)
+    return b
+
+
+_PHASH_D32 = _dct_basis_n(32)
+
+
+def phash64_np(img: np.ndarray) -> int:
+    """Classic 64-bit DCT perceptual hash of one image: gray 32×32
+    (nearest-neighbor, channel mean), 2-D DCT-II, top-left 8×8
+    low-frequency block minus DC, bit b set iff coef > median. Pure
+    numpy, deterministic — the single-image reference the distributed
+    column version must agree with."""
+    g = img.astype(np.float64).mean(axis=2, keepdims=True)
+    small = nn_resize(g.astype(np.uint8)[:, :, :1], 32, 32)[:, :, 0].astype(np.float64)
+    coef = _PHASH_D32 @ small @ _PHASH_D32.T
+    block = coef[:8, :8].ravel()[1:]  # drop DC
+    med = np.median(block)
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << i
+    # 63 significant bits → always fits a signed int64
+    return int(bits)
+
+
+def phash_images(
+    images: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """pixels → 64-bit perceptual hash, one Arrow hop (the real-image
+    replacement for the synthesized ``phash`` column of the input-hint
+    schema). Output: (id_col, phash, ph_ok). Poison policy as
+    everywhere: a corrupt/NULL payload flags its row, never the stage.
+    Compose with ``dedup.phash_near_dup`` for banded Hamming near-dup
+    pairs — decode → hash → band join, pixels never shuffle."""
+
+    @F.pandas_udf("struct<phash: long, ph_ok: boolean>")
+    def _ph(col: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in col:
+            try:
+                rows.append((phash64_np(codecs.decode(bytes(b))), True))
+            except Exception:
+                rows.append((0, False))
+        return pd.DataFrame(rows, columns=["phash", "ph_ok"])
+
+    return images.withColumn("_p", _ph(F.col(bytes_col))).select(
+        F.col(id_col), F.col("_p.phash").alias("phash"), F.col("_p.ph_ok").alias("ph_ok")
+    )

@@ -454,3 +454,46 @@ def test_ivf_train_improves_recall_and_is_deterministic(spark):
     r_stride, r_trained = recall(stride), recall(a)
     assert r_trained >= r_stride - 0.05, (r_trained, r_stride)
     assert r_trained >= 0.5
+
+
+def test_phash_from_pixels(spark):
+    """Real DCT pHash: identical images hash identically, a mild
+    brightness shift stays within Hamming ≤ 6, a different pattern is
+    far; composition decode → phash → banded near-dup finds exactly
+    the planted near-identical pairs; corrupt rows flagged."""
+    from gdal_drivers_spark.operators.dedup import phash_near_dup
+    from gdal_drivers_spark.operators.multimodal import phash64_np, phash_images
+    from gdal_drivers_spark.sources.synth import pattern
+
+    base = pattern(40, 40, 3, 17)
+    bright = np.clip(base.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+    other = pattern(40, 40, 3, 171)[::-1, :, :].copy()  # different layout
+    h_base, h_bright, h_other = (phash64_np(x) for x in (base, bright, other))
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(h_base, h_bright) <= 6
+    assert ham(h_base, h_other) > 10
+
+    rows = [
+        ("a", codecs.encode_raw(base)),
+        ("b", codecs.encode_raw(bright)),
+        ("c", codecs.encode_raw(other)),
+        ("d", codecs.encode_raw(base)),   # exact dup of a
+        ("x", b"\x00broken"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "bytes"]))
+    ph = phash_images(df)
+    got = {r["image_id"]: (r["phash"], r["ph_ok"]) for r in ph.collect()}
+    assert got["a"] == (h_base, True) and got["d"] == (h_base, True)
+    assert got["x"][1] is False
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in phash_near_dup(
+            ph.filter("ph_ok").withColumnRenamed("image_id", "iid"),
+            id_col="iid", max_dist=6, n_bands=7,
+        ).collect()
+    }
+    assert ("a", "d") in pairs and ("a", "b") in pairs
+    assert not any("c" in p for p in pairs)
