@@ -2772,7 +2772,15 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             yield gen_images_pdf(pdf["o_orderkey"].to_numpy(np.int64))
 
-    images = orders.limit(2000).repartition(16).mapInPandas(gen, IMAGES_SCHEMA)
+    # deterministic subset (a bare limit() may pick different rows per
+    # evaluation of this twice-referenced subtree) + persist so the
+    # image synthesis runs once, not once per join side
+    images = (
+        orders.filter("o_orderkey <= 3000")
+        .repartition(16)
+        .mapInPandas(gen, IMAGES_SCHEMA)
+        .persist()
+    )
     ph = phash_images(images).join(images.select("image_id", "fmt"), "image_id")
     return ph.groupBy("fmt").agg(
         F.count(F.lit(1)).alias("n_images"),

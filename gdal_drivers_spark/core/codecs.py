@@ -159,17 +159,19 @@ def decode_thumb(buf: bytes) -> np.ndarray:
 _DCT_MAGIC = b"GDC1"
 
 
-def _dct_basis() -> np.ndarray:
-    """Orthonormal 8×8 DCT-II basis: B[k,n] = a_k·cos(π(2n+1)k/16)."""
-    n = np.arange(8)
-    k = n.reshape(-1, 1)
-    b = np.cos(np.pi * (2 * n + 1) * k / 16.0)
-    b[0] *= np.sqrt(1.0 / 8.0)
-    b[1:] *= np.sqrt(2.0 / 8.0)
+def dct_basis(n: int = 8) -> np.ndarray:
+    """Orthonormal n×n DCT-II basis: B[k,j] = a_k·cos(π(2j+1)k/2n).
+    One definition for both the 8×8 transform codec and the 32×32
+    perceptual hash (operators/multimodal.phash64_np)."""
+    j = np.arange(n)
+    k = j.reshape(-1, 1)
+    b = np.cos(np.pi * (2 * j + 1) * k / (2.0 * n))
+    b[0] *= np.sqrt(1.0 / n)
+    b[1:] *= np.sqrt(2.0 / n)
     return b
 
 
-_DCT_B = _dct_basis()
+_DCT_B = dct_basis(8)
 
 
 def encode_dct(img: np.ndarray, q: int = 3) -> bytes:

@@ -212,18 +212,7 @@ def patch_grid(
     return images.mapInPandas(_run, PATCHES_SCHEMA)
 
 
-def _dct_basis_n(n: int) -> np.ndarray:
-    """Orthonormal n×n DCT-II basis (general-size sibling of
-    ``core.codecs._dct_basis``)."""
-    j = np.arange(n)
-    k = j.reshape(-1, 1)
-    b = np.cos(np.pi * (2 * j + 1) * k / (2.0 * n))
-    b[0] *= np.sqrt(1.0 / n)
-    b[1:] *= np.sqrt(2.0 / n)
-    return b
-
-
-_PHASH_D32 = _dct_basis_n(32)
+_PHASH_D32 = codecs.dct_basis(32)
 
 
 def phash64_np(img: np.ndarray) -> int:
@@ -253,7 +242,11 @@ def phash_images(
     schema). Output: (id_col, phash, ph_ok). Poison policy as
     everywhere: a corrupt/NULL payload flags its row, never the stage.
     Compose with ``dedup.phash_near_dup`` for banded Hamming near-dup
-    pairs — decode → hash → band join, pixels never shuffle."""
+    pairs — decode → hash → band join, pixels never shuffle. Poison
+    rows carry phash=NULL (not a sentinel value): a NULL key
+    self-excludes from every band equi-join, so forgetting to filter
+    ``ph_ok`` can never fabricate duplicate pairs out of corrupt
+    payloads."""
 
     @F.pandas_udf("struct<phash: long, ph_ok: boolean>")
     def _ph(col: pd.Series) -> pd.DataFrame:
@@ -262,7 +255,7 @@ def phash_images(
             try:
                 rows.append((phash64_np(codecs.decode(bytes(b))), True))
             except Exception:
-                rows.append((0, False))
+                rows.append((None, False))
         return pd.DataFrame(rows, columns=["phash", "ph_ok"])
 
     return images.withColumn("_p", _ph(F.col(bytes_col))).select(

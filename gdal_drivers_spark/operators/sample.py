@@ -27,6 +27,7 @@ _M32 = 1 << 32
 
 def _mix(key):
     """Engine-portable uniform hash of an integer key → [0, 2³²).
+    ``key`` may be a column name or a Column expression.
 
     Mathematically ``(key · 2654435761) mod 2³²``, but computed in two
     16-bit halves so no intermediate exceeds 2⁴⁹: the naive product
@@ -35,7 +36,8 @@ def _mix(key):
     oracle (DuckDB int128) would not wrap, so engine and oracle would
     diverge exactly at lake scale (review r02). ``pmod`` keeps the
     reduction non-negative for negative keys too."""
-    k = F.pmod(F.col(key).cast("long"), F.lit(_M32))
+    col = F.col(key) if isinstance(key, str) else key
+    k = F.pmod(col.cast("long"), F.lit(_M32))
     lo = k % F.lit(1 << 16)
     hi = (k - lo) / F.lit(1 << 16)
     part_lo = (lo * F.lit(_KNUTH)) % F.lit(_M32)

@@ -210,12 +210,20 @@ def ivf_train(
     n_lists×dim centroid table itself."""
     from gdal_drivers_spark.operators.sample import _mix
 
-    dimc = F.size(F.col(cvec))
+    # integer-castable ids use the engine-portable mix (what the SQL
+    # oracle replays); non-numeric string ids would try_cast to NULL
+    # and silently collapse the "spread sample" to the lexicographic
+    # head — fall back to xxhash64 for them (same spread property,
+    # Spark-only)
+    key_long = F.expr(f"try_cast({cid} AS BIGINT)")
+    spread = F.when(key_long.isNotNull(), _mix(key_long)).otherwise(
+        F.pmod(F.xxhash64(F.col(cid)), F.lit(1 << 32))
+    )
     init = (
         corpus.select(
             F.col(cid).alias("_cid"),
             F.col(cvec).alias("_vec"),
-            _mix(cid).alias("_h"),
+            spread.alias("_h"),
         )
         .orderBy("_h", "_cid")
         .limit(n_lists)

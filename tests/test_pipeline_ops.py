@@ -487,7 +487,16 @@ def test_phash_from_pixels(spark):
     ph = phash_images(df)
     got = {r["image_id"]: (r["phash"], r["ph_ok"]) for r in ph.collect()}
     assert got["a"] == (h_base, True) and got["d"] == (h_base, True)
-    assert got["x"][1] is False
+    # poison rows: NULL phash (self-excluding from band joins), flagged
+    assert got["x"] == (None, False)
+    unfiltered = {
+        (r["id1"], r["id2"])
+        for r in phash_near_dup(
+            ph.withColumnRenamed("image_id", "iid"),
+            id_col="iid", max_dist=6, n_bands=7,
+        ).collect()
+    }
+    assert not any("x" in p for p in unfiltered)
     pairs = {
         (r["id1"], r["id2"])
         for r in phash_near_dup(
