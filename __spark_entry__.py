@@ -2754,6 +2754,68 @@ _QUANTILES_ORACLE_SQL = """
 """
 
 
+def _dem_e(xs: str, ys: str) -> str:
+    """Closed-form elevation field of the DEM fixture with the
+    clamped-edge indexing the operator's replication implements."""
+    return (
+        f"((3 * greatest(0, least(127, {xs})) "
+        f"+ 5 * greatest(0, least(127, {ys}))) % 256)"
+    )
+
+
+def q_horn_gradients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem-analogue DEM pipeline, exact part: per-tile integer
+    Horn gradient sums over a 4×4 tile grid (128² raster) whose
+    elevation has the closed form e(X,Y) = (3X+5Y) mod 256. The halo
+    assembly (neighbor strips, corner clamp chain, domain-edge
+    replication) is exactly what the oracle's clamped global-field
+    arithmetic checks; the trig half (hillshade) is pytest-pinned
+    (vectorized numpy is ~1 ulp off libm, not hashable)."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.dem import horn_gradients
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                tx, ty = int(i) // 4, int(i) % 4
+                x = np.arange(32)[None, :] + tx * 32
+                y = np.arange(32)[:, None] + ty * 32
+                tile = ((3 * x + 5 * y) % 256).astype(np.uint8)
+                rows.append(((2 << 52) + (tx << 26) + ty, tile.tobytes()))
+            yield pd.DataFrame(rows, columns=["cell", "tile"])
+
+    tiles = spark.range(16).mapInPandas(gen, "cell long, tile binary")
+    return horn_gradients(tiles, tile_px=32)
+
+
+def _dem_nbr(dx: int, dy: int) -> str:
+    return _dem_e(f"x + {dx}", f"y + {dy}")
+
+
+_HORN_ORACLE_SQL = f"""
+    WITH px AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(0, 127) gx(x), generate_series(0, 127) gy(y)
+    ), grad AS (
+        SELECT x // 32 AS tx, y // 32 AS ty,
+               ({_dem_nbr(1, -1)} + 2 * {_dem_nbr(1, 0)} + {_dem_nbr(1, 1)})
+             - ({_dem_nbr(-1, -1)} + 2 * {_dem_nbr(-1, 0)} + {_dem_nbr(-1, 1)}) AS p8,
+               ({_dem_nbr(-1, 1)} + 2 * {_dem_nbr(0, 1)} + {_dem_nbr(1, 1)})
+             - ({_dem_nbr(-1, -1)} + 2 * {_dem_nbr(0, -1)} + {_dem_nbr(1, -1)}) AS q8
+        FROM px
+    )
+    SELECT (CAST(2 AS BIGINT) << 52) + (CAST(tx AS BIGINT) << 26) + ty AS cell,
+           count(*) AS n_px,
+           CAST(sum(p8) AS BIGINT) AS p8_sum,
+           CAST(sum(q8) AS BIGINT) AS q8_sum,
+           CAST(sum(abs(p8)) AS BIGINT) AS p8_abs_sum,
+           CAST(sum(abs(q8)) AS BIGINT) AS q8_abs_sum
+    FROM grad GROUP BY tx, ty
+"""
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixels → real DCT perceptual hash → per-format rollup. No SQL
     oracle (a 32×32 DCT-II + median threshold is not reasonably
@@ -3010,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "ivf_train": q_ivf_train,
         "image_phash": q_image_phash,
+        "horn_gradients": q_horn_gradients,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
         "blend_cells": q_blend_cells,
@@ -3026,6 +3089,7 @@ def oracle_sql() -> dict[str, str]:
         "event_quantiles": _QUANTILES_ORACLE_SQL,
         "zonal_stats": _ZONAL_ORACLE_SQL,
         "ivf_train": _IVF_TRAIN_ORACLE_SQL,
+        "horn_gradients": _HORN_ORACLE_SQL,
         "tile_assign": f"""
             SELECT cell, count(*) AS n_assign, count(DISTINCT k) AS n_images
             FROM ({_ASSIGNED_SQL}) a GROUP BY cell

@@ -1,0 +1,192 @@
+"""DEM analytics — Horn slope / aspect / hillshade over tiled rasters
+(the ``gdaldem`` workflow, distributed).
+
+The 3×3 Horn (1981) kernel needs each pixel's 8 neighbors, so tile
+edges need neighbor-tile pixels: the halo self-join
+(``operators/halo.with_halo``) re-keys every tile to its ≤8 neighbors
+and one grouped Arrow UDF per target tile assembles the (t+2)² padded
+window — cross-tile seams are then EXACT (identical to running the
+kernel on the stitched full raster, proven in tests). Domain edges
+(and missing interior neighbors) use edge replication, gdaldem's
+boundary convention.
+
+Plan shape: one shuffle (the ≤9× halo fan-out re-key), one Arrow hop,
+then pure relational rollups — pixels cross the wire only as the 1-px
+halo strips their neighbors actually need... (the full-tile re-key is
+the simple-and-correct v1; strip-projection is the documented
+optimization if halo traffic ever dominates).
+
+Determinism note: the integer Horn gradients (8·∂z/∂x, 8·∂z/∂y) are
+EXACT int64 — they power the contract oracle. The trig chain
+(slope/aspect/hillshade) uses vectorized numpy, which is within 1 ulp
+of scalar libm but not bit-identical — so hillshade parity is pinned
+by pytest (float allclose + u8-output tolerance 1), not by the SQL
+hash gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gdal_drivers_spark.operators.halo import with_halo
+
+
+def _assemble_padded(pdf: pd.DataFrame, t: int) -> np.ndarray | None:
+    """(t+2)² padded elevation window for one target cell from its
+    halo group: center tile edge-replicated first (covers domain
+    edges / absent neighbors), then actual neighbor strips overwrite."""
+    tiles = {}
+    for r in pdf.itertuples():
+        tiles[(int(r.dx), int(r.dy))] = np.frombuffer(
+            bytes(r.tile), np.uint8
+        ).reshape(t, t)
+    center = tiles.get((0, 0))
+    if center is None:
+        return None
+    P = np.pad(center.astype(np.int64), 1, mode="edge")
+    # dx,dy = offset of the CONTRIBUTING tile relative to the target
+    side = {
+        (-1, 0): lambda n: P.__setitem__((slice(1, t + 1), 0), n[:, t - 1]),
+        (1, 0): lambda n: P.__setitem__((slice(1, t + 1), t + 1), n[:, 0]),
+        (0, -1): lambda n: P.__setitem__((0, slice(1, t + 1)), n[t - 1, :]),
+        (0, 1): lambda n: P.__setitem__((t + 1, slice(1, t + 1)), n[0, :]),
+    }
+    for off, setter in side.items():
+        if off in tiles:
+            setter(tiles[off].astype(np.int64))
+    # corners replicate the stitched raster's CLAMPED indexing: the
+    # diagonal neighbor if present, else the clamp lands inside a side
+    # neighbor's strip (a domain-edge tile that still has a west/north
+    # neighbor), else the center's own corner (true domain corner —
+    # already set by np.pad)
+    def corner(py, px, diag, first, first_px, second, second_px):
+        if diag[0] in tiles:
+            P[py, px] = tiles[diag[0]][diag[1]]
+        elif first in tiles:
+            P[py, px] = tiles[first][first_px]
+        elif second in tiles:
+            P[py, px] = tiles[second][second_px]
+
+    corner(0, 0, ((-1, -1), (t - 1, t - 1)), (0, -1), (t - 1, 0), (-1, 0), (0, t - 1))
+    corner(0, t + 1, ((1, -1), (t - 1, 0)), (0, -1), (t - 1, t - 1), (1, 0), (0, 0))
+    corner(t + 1, 0, ((-1, 1), (0, t - 1)), (0, 1), (0, 0), (-1, 0), (t - 1, t - 1))
+    corner(t + 1, t + 1, ((1, 1), (0, 0)), (0, 1), (0, t - 1), (1, 0), (t - 1, 0))
+    return P
+
+
+def _horn_pq8(P: np.ndarray, t: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact integer Horn gradients ×8 for every interior pixel:
+    p8 = (c+2f+i) − (a+2d+g)   [east − west]
+    q8 = (g+2h+i) − (a+2b+c)   [south − north]"""
+    a = P[0:t, 0:t]
+    b = P[0:t, 1:t + 1]
+    c = P[0:t, 2:t + 2]
+    d = P[1:t + 1, 0:t]
+    f = P[1:t + 1, 2:t + 2]
+    g = P[2:t + 2, 0:t]
+    h = P[2:t + 2, 1:t + 1]
+    i = P[2:t + 2, 2:t + 2]
+    return (c + 2 * f + i) - (a + 2 * d + g), (g + 2 * h + i) - (a + 2 * b + c)
+
+
+def horn_gradients(tiles: DataFrame, tile_px: int, cell: str = "cell") -> DataFrame:
+    """Per-tile EXACT integer Horn gradient summary:
+    (cell, n_px, p8_sum, q8_sum, p8_abs_sum, q8_abs_sum). The seam- and
+    clamp-sensitive part of the DEM pipeline, fully oracle-checkable.
+    Input rows: (cell, tile: raw u8 elevations, t×t)."""
+    h = with_halo(tiles, cell=cell, ring=1)
+
+    def _grad(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t = tile_px
+        P = _assemble_padded(pdf, t)
+        if P is None:
+            return pd.DataFrame(
+                columns=["cell", "n_px", "p8_sum", "q8_sum", "p8_abs_sum", "q8_abs_sum"]
+            )
+        p8, q8 = _horn_pq8(P, t)
+        return pd.DataFrame(
+            {
+                "cell": [int(key[0])],
+                "n_px": [t * t],
+                "p8_sum": [int(p8.sum())],
+                "q8_sum": [int(q8.sum())],
+                "p8_abs_sum": [int(np.abs(p8).sum())],
+                "q8_abs_sum": [int(np.abs(q8).sum())],
+            }
+        )
+
+    return h.groupBy("target_cell").applyInPandas(
+        _grad,
+        "cell long, n_px long, p8_sum long, q8_sum long, p8_abs_sum long, q8_abs_sum long",
+    )
+
+
+def hillshade(
+    tiles: DataFrame,
+    tile_px: int,
+    cell: str = "cell",
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    z_factor: float = 1.0,
+) -> DataFrame:
+    """gdaldem-style hillshade: per-pixel
+    ``255·(cos z·cos s + sin z·sin s·cos(az − aspect))`` with
+    s = atan(z_factor·√(p²+q²)), aspect = atan2(q, −p), p = p8/8,
+    q = q8/8; negative illumination clamps to 0, output u8 tiles.
+    Output rows: (cell, tile, hs_sum) — hs_sum is the tile's integer
+    pixel sum for cheap downstream auditing."""
+    h = with_halo(tiles, cell=cell, ring=1)
+    zen = np.deg2rad(90.0 - altitude_deg)
+    az = np.deg2rad(azimuth_deg)
+
+    def _hs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t = tile_px
+        P = _assemble_padded(pdf, t)
+        if P is None:
+            return pd.DataFrame(columns=["cell", "tile", "hs_sum"])
+        p8, q8 = _horn_pq8(P, t)
+        p = z_factor * p8 / 8.0
+        q = z_factor * q8 / 8.0
+        slope = np.arctan(np.sqrt(p * p + q * q))
+        aspect = np.arctan2(q, -p)
+        hs = 255.0 * (
+            np.cos(zen) * np.cos(slope)
+            + np.sin(zen) * np.sin(slope) * np.cos(az - aspect)
+        )
+        out = np.rint(np.clip(hs, 0.0, 255.0)).astype(np.uint8)
+        return pd.DataFrame(
+            {
+                "cell": [int(key[0])],
+                "tile": [out.tobytes()],
+                "hs_sum": [int(out.sum(dtype=np.int64))],
+            }
+        )
+
+    return h.groupBy("target_cell").applyInPandas(
+        _hs, "cell long, tile binary, hs_sum long"
+    )
+
+
+def hillshade_np(elev: np.ndarray, azimuth_deg=315.0, altitude_deg=45.0, z_factor=1.0) -> np.ndarray:
+    """Single-array reference: hillshade of a full (edge-replicated)
+    raster — what the tiled operator must reproduce seam-exactly."""
+    if elev.shape[0] != elev.shape[1]:
+        raise ValueError("reference path expects a square raster")
+    t = elev.shape[0]
+    P = np.pad(elev.astype(np.int64), 1, mode="edge")
+    p8, q8 = _horn_pq8(P, t)
+    zen = np.deg2rad(90.0 - altitude_deg)
+    az = np.deg2rad(azimuth_deg)
+    p = z_factor * p8 / 8.0
+    q = z_factor * q8 / 8.0
+    slope = np.arctan(np.sqrt(p * p + q * q))
+    aspect = np.arctan2(q, -p)
+    hs = 255.0 * (
+        np.cos(zen) * np.cos(slope)
+        + np.sin(zen) * np.sin(slope) * np.cos(az - aspect)
+    )
+    return np.rint(np.clip(hs, 0.0, 255.0)).astype(np.uint8)
