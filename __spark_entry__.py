@@ -2811,7 +2811,8 @@ _HORN_ORACLE_SQL = f"""
            CAST(sum(p8) AS BIGINT) AS p8_sum,
            CAST(sum(q8) AS BIGINT) AS q8_sum,
            CAST(sum(abs(p8)) AS BIGINT) AS p8_abs_sum,
-           CAST(sum(abs(q8)) AS BIGINT) AS q8_abs_sum
+           CAST(sum(abs(q8)) AS BIGINT) AS q8_abs_sum,
+           CAST(0 AS BIGINT) AS n_bad
     FROM grad GROUP BY tx, ty
 """
 

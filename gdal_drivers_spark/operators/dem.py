@@ -10,11 +10,12 @@ kernel on the stitched full raster, proven in tests). Domain edges
 (and missing interior neighbors) use edge replication, gdaldem's
 boundary convention.
 
-Plan shape: one shuffle (the ≤9× halo fan-out re-key), one Arrow hop,
-then pure relational rollups — pixels cross the wire only as the 1-px
-halo strips their neighbors actually need... (the full-tile re-key is
-the simple-and-correct v1; strip-projection is the documented
-optimization if halo traffic ever dominates).
+Plan shape: one shuffle (the ≤9× halo fan-out re-key of FULL tiles),
+one Arrow hop, then pure relational rollups. The full-tile re-key is
+the simple-and-correct v1 — halo traffic is ≤9× the raster bytes;
+projecting each contribution down to the 1-px strip the target
+actually reads (×~t/4 less traffic) is the documented optimization if
+that shuffle ever dominates.
 
 Determinism note: the integer Horn gradients (8·∂z/∂x, 8·∂z/∂y) are
 EXACT int64 — they power the contract oracle. The trig chain
@@ -35,18 +36,42 @@ from pyspark.sql import functions as F
 from gdal_drivers_spark.operators.halo import with_halo
 
 
-def _assemble_padded(pdf: pd.DataFrame, t: int) -> np.ndarray | None:
+def _assemble_padded(pdf: pd.DataFrame, t: int) -> tuple[np.ndarray | None, int]:
     """(t+2)² padded elevation window for one target cell from its
     halo group: center tile edge-replicated first (covers domain
-    edges / absent neighbors), then actual neighbor strips overwrite."""
-    tiles = {}
+    edges / absent neighbors), then actual neighbor strips overwrite.
+
+    Poison policy (house rule): a NULL / corrupt / wrong-length
+    contribution is counted in ``n_bad`` and treated as absent —
+    never a stage kill. A duplicate (dx, dy) contribution (malformed
+    upstream union) keeps the lexicographically-smaller payload
+    (deterministic across shuffle orders) and also counts as bad.
+    Returns (padded-or-None, n_bad, center_row_present): a target
+    with NO center row at all is a normal sparse-raster neighbor
+    group (callers drop it silently); a target whose center row
+    exists but is corrupt is poison (callers emit a flagged row)."""
+    tiles: dict = {}
+    n_bad = 0
+    center_row = False
     for r in pdf.itertuples():
-        tiles[(int(r.dx), int(r.dy))] = np.frombuffer(
-            bytes(r.tile), np.uint8
-        ).reshape(t, t)
+        off = (int(r.dx), int(r.dy))
+        if off == (0, 0):
+            center_row = True
+        try:
+            raw = bytes(r.tile)
+            arr = np.frombuffer(raw, np.uint8).reshape(t, t)
+        except Exception:
+            n_bad += 1
+            continue
+        if off in tiles:
+            n_bad += 1
+            if raw >= tiles[off][0]:
+                continue
+        tiles[off] = (raw, arr)
+    tiles = {k: v[1] for k, v in tiles.items()}
     center = tiles.get((0, 0))
     if center is None:
-        return None
+        return None, n_bad, center_row
     P = np.pad(center.astype(np.int64), 1, mode="edge")
     # dx,dy = offset of the CONTRIBUTING tile relative to the target
     side = {
@@ -75,7 +100,7 @@ def _assemble_padded(pdf: pd.DataFrame, t: int) -> np.ndarray | None:
     corner(0, t + 1, ((1, -1), (t - 1, 0)), (0, -1), (t - 1, t - 1), (1, 0), (0, 0))
     corner(t + 1, 0, ((-1, 1), (0, t - 1)), (0, 1), (0, 0), (-1, 0), (t - 1, t - 1))
     corner(t + 1, t + 1, ((1, 1), (0, 0)), (0, 1), (0, t - 1), (1, 0), (t - 1, 0))
-    return P
+    return P, n_bad, True
 
 
 def _horn_pq8(P: np.ndarray, t: int) -> tuple[np.ndarray, np.ndarray]:
@@ -102,10 +127,18 @@ def horn_gradients(tiles: DataFrame, tile_px: int, cell: str = "cell") -> DataFr
 
     def _grad(key, pdf: pd.DataFrame) -> pd.DataFrame:
         t = tile_px
-        P = _assemble_padded(pdf, t)
+        P, n_bad, center_row = _assemble_padded(pdf, t)
         if P is None:
+            if not center_row:  # sparse neighbor group — not a tile
+                return pd.DataFrame(
+                    columns=["cell", "n_px", "p8_sum", "q8_sum",
+                             "p8_abs_sum", "q8_abs_sum", "n_bad"]
+                )
+            # poison center: flagged row, zero stats — never a stage kill
             return pd.DataFrame(
-                columns=["cell", "n_px", "p8_sum", "q8_sum", "p8_abs_sum", "q8_abs_sum"]
+                {"cell": [int(key[0])], "n_px": [0], "p8_sum": [0],
+                 "q8_sum": [0], "p8_abs_sum": [0], "q8_abs_sum": [0],
+                 "n_bad": [n_bad]}
             )
         p8, q8 = _horn_pq8(P, t)
         return pd.DataFrame(
@@ -116,13 +149,40 @@ def horn_gradients(tiles: DataFrame, tile_px: int, cell: str = "cell") -> DataFr
                 "q8_sum": [int(q8.sum())],
                 "p8_abs_sum": [int(np.abs(p8).sum())],
                 "q8_abs_sum": [int(np.abs(q8).sum())],
+                "n_bad": [n_bad],
             }
         )
 
     return h.groupBy("target_cell").applyInPandas(
         _grad,
-        "cell long, n_px long, p8_sum long, q8_sum long, p8_abs_sum long, q8_abs_sum long",
+        "cell long, n_px long, p8_sum long, q8_sum long, "
+        "p8_abs_sum long, q8_abs_sum long, n_bad long",
     )
+
+
+def _shade(p8: np.ndarray, q8: np.ndarray, azimuth_deg: float,
+           altitude_deg: float, z_factor: float) -> np.ndarray:
+    """u8 hillshade from integer Horn gradients — ONE definition
+    shared by the tiled operator and the whole-raster reference (so a
+    convention fix can never diverge between them).
+
+    Esri/gdaldem convention: the compass azimuth (degrees clockwise
+    from north, 315 = sun in the NORTHWEST) converts to math angle
+    ``(360 − az + 90) mod 360`` before entering
+    ``cos(az_math − aspect)`` with ``aspect = atan2(q, −p)``
+    (y grows south / row-downward). Without that conversion the sun
+    is mirrored — the default 315 would light the southeast."""
+    zen = np.deg2rad(90.0 - altitude_deg)
+    az = np.deg2rad((360.0 - azimuth_deg + 90.0) % 360.0)
+    p = z_factor * p8 / 8.0
+    q = z_factor * q8 / 8.0
+    slope = np.arctan(np.sqrt(p * p + q * q))
+    aspect = np.arctan2(q, -p)
+    hs = 255.0 * (
+        np.cos(zen) * np.cos(slope)
+        + np.sin(zen) * np.sin(slope) * np.cos(az - aspect)
+    )
+    return np.rint(np.clip(hs, 0.0, 255.0)).astype(np.uint8)
 
 
 def hillshade(
@@ -133,41 +193,37 @@ def hillshade(
     altitude_deg: float = 45.0,
     z_factor: float = 1.0,
 ) -> DataFrame:
-    """gdaldem-style hillshade: per-pixel
-    ``255·(cos z·cos s + sin z·sin s·cos(az − aspect))`` with
-    s = atan(z_factor·√(p²+q²)), aspect = atan2(q, −p), p = p8/8,
-    q = q8/8; negative illumination clamps to 0, output u8 tiles.
-    Output rows: (cell, tile, hs_sum) — hs_sum is the tile's integer
-    pixel sum for cheap downstream auditing."""
+    """gdaldem-style hillshade over tiles (``_shade`` for the exact
+    formula and azimuth convention). Output rows: (cell, tile,
+    hs_sum, n_bad) — hs_sum is the tile's integer pixel sum for cheap
+    downstream auditing; a poison CENTER yields an empty tile with
+    hs_sum = −1 and its bad-contribution count (house poison policy:
+    flag, never kill)."""
     h = with_halo(tiles, cell=cell, ring=1)
-    zen = np.deg2rad(90.0 - altitude_deg)
-    az = np.deg2rad(azimuth_deg)
 
     def _hs(key, pdf: pd.DataFrame) -> pd.DataFrame:
         t = tile_px
-        P = _assemble_padded(pdf, t)
+        P, n_bad, center_row = _assemble_padded(pdf, t)
         if P is None:
-            return pd.DataFrame(columns=["cell", "tile", "hs_sum"])
+            if not center_row:  # sparse neighbor group — not a tile
+                return pd.DataFrame(columns=["cell", "tile", "hs_sum", "n_bad"])
+            return pd.DataFrame(
+                {"cell": [int(key[0])], "tile": [b""], "hs_sum": [-1],
+                 "n_bad": [n_bad]}
+            )
         p8, q8 = _horn_pq8(P, t)
-        p = z_factor * p8 / 8.0
-        q = z_factor * q8 / 8.0
-        slope = np.arctan(np.sqrt(p * p + q * q))
-        aspect = np.arctan2(q, -p)
-        hs = 255.0 * (
-            np.cos(zen) * np.cos(slope)
-            + np.sin(zen) * np.sin(slope) * np.cos(az - aspect)
-        )
-        out = np.rint(np.clip(hs, 0.0, 255.0)).astype(np.uint8)
+        out = _shade(p8, q8, azimuth_deg, altitude_deg, z_factor)
         return pd.DataFrame(
             {
                 "cell": [int(key[0])],
                 "tile": [out.tobytes()],
                 "hs_sum": [int(out.sum(dtype=np.int64))],
+                "n_bad": [n_bad],
             }
         )
 
     return h.groupBy("target_cell").applyInPandas(
-        _hs, "cell long, tile binary, hs_sum long"
+        _hs, "cell long, tile binary, hs_sum long, n_bad long"
     )
 
 
@@ -179,14 +235,4 @@ def hillshade_np(elev: np.ndarray, azimuth_deg=315.0, altitude_deg=45.0, z_facto
     t = elev.shape[0]
     P = np.pad(elev.astype(np.int64), 1, mode="edge")
     p8, q8 = _horn_pq8(P, t)
-    zen = np.deg2rad(90.0 - altitude_deg)
-    az = np.deg2rad(azimuth_deg)
-    p = z_factor * p8 / 8.0
-    q = z_factor * q8 / 8.0
-    slope = np.arctan(np.sqrt(p * p + q * q))
-    aspect = np.arctan2(q, -p)
-    hs = 255.0 * (
-        np.cos(zen) * np.cos(slope)
-        + np.sin(zen) * np.sin(slope) * np.cos(az - aspect)
-    )
-    return np.rint(np.clip(hs, 0.0, 255.0)).astype(np.uint8)
+    return _shade(p8, q8, azimuth_deg, altitude_deg, z_factor)

@@ -66,7 +66,21 @@ def test_gradients_exact_vs_numpy(raster):
             r = got[_cell(tx, ty)]
             assert r["p8_sum"] == int(p8[sl].sum()) and r["q8_sum"] == int(q8[sl].sum())
             assert r["p8_abs_sum"] == int(np.abs(p8[sl]).sum())
-            assert r["n_px"] == T * T
+            assert r["n_px"] == T * T and r["n_bad"] == 0
+
+
+def test_sun_direction_convention():
+    """Esri/gdaldem compass semantics: with the default NW sun
+    (azimuth 315), a NW-facing slope is fully lit and its SE-facing
+    mirror is dark; flat ground sits at 255·cos(zenith) ≈ 180."""
+    y, x = np.mgrid[0:16, 0:16]
+    nw_facing = (x + y).astype(np.uint8)          # rises to the SE
+    se_facing = (255 - (x + y)).astype(np.uint8)  # rises to the NW
+    flat = np.full((16, 16), 7, np.uint8)
+    interior = np.s_[4:12, 4:12]
+    assert hillshade_np(nw_facing)[interior].min() >= 250
+    assert hillshade_np(se_facing)[interior].max() == 0
+    assert abs(int(hillshade_np(flat)[interior].mean()) - 180) <= 1
 
 
 def test_trig_within_rounding_of_libm():
@@ -76,7 +90,7 @@ def test_trig_within_rounding_of_libm():
     elev = rng.integers(0, 256, (16, 16), dtype=np.uint8)
     got = hillshade_np(elev).astype(np.int16)
     P = np.pad(elev.astype(np.int64), 1, mode="edge")
-    zen = math.radians(45.0); az = math.radians(315.0)
+    zen = math.radians(45.0); az = math.radians((360.0 - 315.0 + 90.0) % 360.0)
     for y in range(16):
         for x in range(16):
             aa, bb, cc = P[y, x], P[y, x + 1], P[y, x + 2]
@@ -90,6 +104,33 @@ def test_trig_within_rounding_of_libm():
                           + math.sin(zen) * math.sin(s) * math.cos(az - asp))
             ref = int(round(min(max(hs, 0.0), 255.0)))
             assert abs(int(got[y, x]) - ref) <= 1
+
+
+def test_poison_tiles_flagged_not_fatal(spark):
+    """House poison policy: a corrupt neighbor is treated as absent
+    and counted; a corrupt CENTER yields a flagged empty row; the
+    stage always survives."""
+    rng = np.random.default_rng(3)
+    good = rng.integers(0, 256, (T, T), dtype=np.uint8)
+    rows = [
+        (_cell(0, 0), good.tobytes()),
+        (_cell(1, 0), b"\x01short"),  # corrupt tile
+        (_cell(0, 1), None),          # NULL payload
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cell", "tile"]).astype({"cell": "int64"})
+    )
+    got = {r["cell"]: r for r in horn_gradients(df, T).collect()}
+    # the good tile saw 2 bad contributions (its east + south neighbors)
+    assert got[_cell(0, 0)]["n_px"] == T * T and got[_cell(0, 0)]["n_bad"] == 2
+    # the corrupt centers produce flagged zero rows, not failures
+    assert got[_cell(1, 0)]["n_px"] == 0 and got[_cell(1, 0)]["n_bad"] >= 1
+    hs = {r["cell"]: r for r in hillshade(df, T).collect()}
+    assert hs[_cell(1, 0)]["hs_sum"] == -1 and bytes(hs[_cell(1, 0)]["tile"]) == b""
+    # the good tile's interior equals pure edge replication (bad
+    # neighbors contributed nothing)
+    tile = np.frombuffer(bytes(hs[_cell(0, 0)]["tile"]), np.uint8).reshape(T, T)
+    assert (tile == hillshade_np(good)).all()
 
 
 def test_single_tile_domain(spark):
