@@ -141,3 +141,40 @@ def test_duplicate_right_latest_wins(spark):
     out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
                     payload=["payload"])
     assert out.collect()[0]["payload"] == 3
+
+
+def test_asof_matches_pandas_merge_asof_randomized(spark):
+    """Third-party cross-check: pandas.merge_asof (backward,
+    allow_exact_matches=True) is an independent implementation of the
+    same semantics — 200 random events over 8 keys with duplicate-free
+    (key, ts) must match exactly, including never-matched rows."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    n_l, n_r = 200, 60
+    base = pd.Timestamp("2024-01-01")
+    lts = base + pd.to_timedelta(rng.choice(10_000, n_l, replace=False), unit="s")
+    rts = base + pd.to_timedelta(rng.choice(10_000, n_r, replace=False), unit="s")
+    lpd = pd.DataFrame({
+        "event_id": np.arange(n_l), "k": rng.integers(0, 8, n_l), "ts": lts,
+    })
+    rpd = pd.DataFrame({
+        "k": rng.integers(0, 8, n_r), "ts": rts, "payload": rng.integers(0, 1000, n_r),
+    })
+    expect = pd.merge_asof(
+        lpd.sort_values("ts"), rpd.sort_values("ts"),
+        on="ts", by="k", direction="backward", allow_exact_matches=True,
+    ).sort_values("event_id")
+    exp = {
+        int(r.event_id): (None if pd.isna(r.payload) else int(r.payload))
+        for r in expect.itertuples()
+    }
+
+    left = spark.createDataFrame(lpd)
+    right = spark.createDataFrame(rpd)
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                    payload=["payload"])
+    got = {int(r["event_id"]): (None if r["payload"] is None else int(r["payload"]))
+           for r in out.collect()}
+    assert got == exp
