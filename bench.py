@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -25,6 +26,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# End-of-round-2 quiet-window reference line (BENCH.md "End-of-round-2-
+# continuation full-bench reference line", sf0.1 local[32]). Used only
+# for the self-diagnosing `quiet_check`/`vs_reference` fields so a
+# throttled VM window is machine-detectable in the emitted JSON — a
+# reading >1.5x its reference while quiet_check.quiet is false is a
+# hypervisor artifact, not a plan regression (diagnosis in BENCH.md).
+REFERENCE_LINE = {
+    "flagship_assign_join": 1.919, "flagship_steady": 0.136,
+    "decode_20k": 0.877, "blend_512c4s_256px": 1.553, "knn": 2.309,
+    "dedup_minhash": 1.17, "ann_topk": 0.781, "ann_ivf": 1.521,
+    "phash_near_dup": 1.28, "windowed_events": 0.36, "tile_assign": 0.386,
+    "mvt_proto_typed": 1.623, "mbtiles_scan": 1.502, "warp_reproject": 1.044,
+    "asof_join": 0.395, "interval_join": 0.694, "zonal_stats": 1.969,
+}
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 Z_BENCH = 8  # 256x256 grid: heavier explode than the correctness queries
 # replicate input rows (JVM-side explode) so fixed costs amortize when
@@ -100,55 +116,67 @@ def run(sf_dir: str, cpus: int) -> dict:
     # warm the JVM/session so fixed startup cost isn't billed to q1
     spark.range(1000).count()
 
-    def best_of(fn, reps=2):
-        """min wall time over reps — the noise floor of this shared VM
-        fluctuates under full parallel load; min estimates capability"""
-        best, result = float("inf"), None
+    queries_min: dict[str, float] = {}
+
+    def timed_reps(fn, reps=3, sane_s=4.0, cooldowns=(15, 45)):
+        """reps timed runs; reported number is the MEDIAN (robust to a
+        single throttled rep on this burstable VM — diagnosed in
+        BENCH.md: the hypervisor degrades identical jobs 5-15×). If ALL
+        reps are implausible (min > sane_s) the whole window is
+        credit-drained: cool down with escalating pauses and append
+        retries, so at least one post-recovery reading enters the
+        sample. Returns (median, min, result)."""
+        times, result = [], None
         for _ in range(reps):
             t0 = time.time()
             result = fn()
-            best = min(best, time.time() - t0)
-        return best, result
-
-    def timed_sane(fn, sane_s=4.0, cooldowns=(15, 45)):
-        """One timed run; if the wall time is implausible (this VM's
-        burstable hypervisor degrades sustained wide loads 5-15×,
-        diagnosed in BENCH.md), cool down and retry with escalating
-        pauses, keep the min — deep credit drain needs more than one
-        15 s pause to recover (observed: a 40 s reading for a 1.4 s
-        query whose single retry was still throttled)."""
-        t0 = time.time()
-        result = fn()
-        dt = time.time() - t0
+            times.append(time.time() - t0)
         for cd in cooldowns:
-            if dt <= sane_s:
+            if min(times) <= sane_s:
                 break
             time.sleep(cd)
             t0 = time.time()
             result = fn()
-            dt = min(dt, time.time() - t0)
-        return dt, result
+            times.append(time.time() - t0)
+        return statistics.median(times), min(times), result
 
-    flagship_s, (n_assign, n_join, _, agg_df) = best_of(lambda: _flagship(spark, sf_dir, MULT))
-    queries["flagship_assign_join"] = round(flagship_s, 3)
-    derived["tile_assignments_per_sec"] = round(n_assign / flagship_s)
-    derived["join_rows_per_sec"] = round(n_join / flagship_s)
+    def record(name, med, best):
+        queries[name] = round(med, 3)
+        queries_min[name] = round(best, 3)
+
+    flag_med, flag_min, (n_assign, n_join, _, agg_df) = timed_reps(
+        lambda: _flagship(spark, sf_dir, MULT), sane_s=5.0
+    )
+    record("flagship_assign_join", flag_med, flag_min)
+    derived["tile_assignments_per_sec"] = round(n_assign / flag_med)
+    derived["join_rows_per_sec"] = round(n_join / flag_med)
     derived["n_assignments"] = n_assign
     derived["n_join_rows"] = n_join
     # steady-state: re-execute the SAME physical plan (codegen compiled,
     # broadcast built) — the amortized per-batch cost a long-running
     # cluster job sees; robust to this VM's burstable-credit noise
-    steady_s, _ = best_of(lambda: agg_df.collect(), reps=3)
-    queries["flagship_steady"] = round(steady_s, 3)
-    derived["steady_assignments_per_sec"] = round(n_assign / max(steady_s, 1e-9))
+    steady_med, steady_min, _ = timed_reps(lambda: agg_df.collect(), sane_s=2.0)
+    record("flagship_steady", steady_med, steady_min)
+    derived["steady_assignments_per_sec"] = round(n_assign / max(steady_med, 1e-9))
 
     if FLAGSHIP_ONLY:
         # marginal-throughput protocol: time the same job at MULT and
         # 4×MULT; Δwork/Δtime cancels fixed costs (session, codegen
         # compile, broadcast build) that would otherwise mask scaling
-        t_small, (w_small, _, _, _) = best_of(lambda: _flagship(spark, sf_dir, MULT), reps=2)
-        t_large, (w_large, _, _, _) = best_of(lambda: _flagship(spark, sf_dir, MULT * 4), reps=2)
-        marginal = (w_large - w_small) / max(t_large - t_small, 1e-9)
+        _, t_small, (w_small, _, _, _) = timed_reps(
+            lambda: _flagship(spark, sf_dir, MULT), reps=2, sane_s=float("inf")
+        )
+        _, t_large, (w_large, _, _, _) = timed_reps(
+            lambda: _flagship(spark, sf_dir, MULT * 4), reps=2, sane_s=float("inf")
+        )
+        # Guarded division: 4× the work finishing in <= the small run's
+        # time + noise floor means the small run was throttled (observed
+        # once: Δt ≈ 0 printed a nonsense 1.4e15 marginal). Emit null +
+        # throttled flag instead of garbage — scaling() skips nulls.
+        dt_delta = t_large - t_small
+        noise_floor = max(0.15, 0.05 * t_small)
+        throttled = dt_delta < noise_floor
+        marginal = None if throttled else round((w_large - w_small) / dt_delta)
         spark.stop()
         return {
             "metric": f"flagship marginal throughput (local[{cpus}], mult={MULT}/{MULT*4})",
@@ -157,8 +185,9 @@ def run(sf_dir: str, cpus: int) -> dict:
             "queries": {"flagship_small": round(t_small, 3), "flagship_large": round(t_large, 3)},
             "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
             "cpus": cpus,
+            "throttled": throttled,
             "derived": {
-                "marginal_assignments_per_sec": round(marginal),
+                "marginal_assignments_per_sec": marginal,
                 "w_small": w_small,
                 "w_large": w_large,
             },
@@ -182,13 +211,13 @@ def run(sf_dir: str, cpus: int) -> dict:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 20))
     spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 19))
     decode_stats(spark.read.parquet(img_dir)).filter("dec_ok").count()  # warm
-    dt, ok = timed_sane(
+    dt, dt_min, ok = timed_reps(
         lambda: decode_stats(spark.read.parquet(img_dir)).filter("dec_ok").count(),
         sane_s=6.0,
     )
     spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
     spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
-    queries["decode_20k"] = round(dt, 3)
+    record("decode_20k", dt, dt_min)
     derived["images_decoded_per_sec"] = round(ok / dt)
 
     # blend benchmark (the reference Blender driver's core op): N cells
@@ -225,11 +254,11 @@ def run(sf_dir: str, cpus: int) -> dict:
 
     from gdal_drivers_spark.operators.blend import blend_tiles
 
-    dt, nb = timed_sane(
+    dt, dt_min, nb = timed_reps(
         lambda: blend_tiles(spark.read.parquet(blend_dir), tile_px=ts, overlap=0.05).count(),
         sane_s=8.0,
     )
-    queries["blend_512c4s_256px"] = round(dt, 3)
+    record("blend_512c4s_256px", dt, dt_min)
     derived["blend_mpix_per_sec"] = round(n_cells * n_src * ts * ts / dt / 1e6, 1)
 
     time.sleep(10)  # let burst credits recover from the pixel sections
@@ -246,18 +275,42 @@ def run(sf_dir: str, cpus: int) -> dict:
         "zonal_stats",
     ]:
         q = entry_mod.queries()[name]
-        dt, _ = timed_sane(lambda: q(spark, sf_dir).count())
-        queries[name] = round(dt, 3)
+        dt, dt_min, _ = timed_reps(lambda: q(spark, sf_dir).count())
+        record(name, dt, dt_min)
 
     spark.stop()
+    # Self-diagnosing throttle fields: flagship_steady is the canonical
+    # quiet-window probe (pure re-execution of a compiled plan — any
+    # inflation is the hypervisor, never the engine). A query reading
+    # >1.5x its reference while quiet=false is a throttle artifact;
+    # >1.5x while quiet=true needs a plan diff in PLANS.md.
+    steady_ref = REFERENCE_LINE["flagship_steady"]
+    vs_ref = {
+        q: round(queries[q] / REFERENCE_LINE[q], 2)
+        for q in queries
+        if q in REFERENCE_LINE
+    }
+    quiet = queries["flagship_steady"] <= 2.0 * steady_ref
+    derived["vs_reference"] = vs_ref
+    derived["throttle_suspect"] = sorted(
+        q for q, r in vs_ref.items() if r > 1.5 and not quiet
+    )
     return {
         "metric": "flagship tile-assign + broadcast cell-join + rollup wall time "
-        f"(local[{cpus}]); per-query secs in 'queries'; throughputs in 'derived'",
+        f"(local[{cpus}]); per-query MEDIAN secs in 'queries' (min-of-reps in "
+        "'queries_min'); throughputs in 'derived'",
         "value": queries["flagship_assign_join"],
         "unit": "sec",
         "queries": queries,
+        "queries_min": queries_min,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": cpus,
+        "quiet_check": {
+            "flagship_steady_s": queries["flagship_steady"],
+            "flagship_steady_ref_s": steady_ref,
+            "ratio": round(queries["flagship_steady"] / steady_ref, 2),
+            "quiet": quiet,
+        },
         "derived": derived,
     }
 
@@ -295,21 +348,30 @@ def scaling() -> dict:
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             results[cpus].append(json.loads(line))
             _time.sleep(8)  # let hypervisor burst credits recover
-    import statistics
 
+    # runs whose marginal division was guarded off (Δt below the noise
+    # floor → "throttled": true, marginal null) carry no information —
+    # drop them from every estimator rather than poisoning it
+    valid = {
+        c: [r["derived"]["marginal_assignments_per_sec"] for r in runs
+            if r["derived"]["marginal_assignments_per_sec"] is not None]
+        for c, runs in results.items()
+    }
+    n_dropped = sum(len(results[c]) - len(valid[c]) for c in results)
+    if not valid[lo] or not valid[hi]:
+        return {
+            "metric": f"flagship marginal-throughput scaling local[{lo}]→local[{hi}] (N→4N)",
+            "value": None, "unit": "ratio", "throttled": True,
+            "dropped_throttled_runs": n_dropped,
+            "full": {str(k): v for k, v in results.items()},
+        }
     # two pairings, both reported: "best" takes the least-throttled
     # observation per level (the min-of-reps convention for timing on a
     # noisy machine — this VM's hypervisor degrades identical jobs
     # 5-15×, diagnosed in BENCH.md) and estimates the engine's true
     # scaling; "median" is the conservative noise-floor view.
-    best = {
-        c: max(r["derived"]["marginal_assignments_per_sec"] for r in runs)
-        for c, runs in results.items()
-    }
-    med = {
-        c: statistics.median(r["derived"]["marginal_assignments_per_sec"] for r in runs)
-        for c, runs in results.items()
-    }
+    best = {c: max(v) for c, v in valid.items()}
+    med = {c: statistics.median(v) for c, v in valid.items()}
     eff_best = best[hi] / (best[lo] * (hi / lo))
     eff_med = med[hi] / (med[lo] * (hi / lo))
     # third estimator: per-rep ADJACENT pairing — each rep's lo and hi
@@ -320,7 +382,9 @@ def scaling() -> dict:
     paired = [
         results[hi][i]["derived"]["marginal_assignments_per_sec"]
         / (results[lo][i]["derived"]["marginal_assignments_per_sec"] * (hi / lo))
-        for i in range(len(results[lo]))
+        for i in range(min(len(results[lo]), len(results[hi])))
+        if results[hi][i]["derived"]["marginal_assignments_per_sec"] is not None
+        and results[lo][i]["derived"]["marginal_assignments_per_sec"] is not None
     ]
     return {
         "metric": f"flagship marginal-throughput scaling local[{lo}]→local[{hi}] (N→4N)",
@@ -328,7 +392,8 @@ def scaling() -> dict:
         "unit": "ratio",
         "efficiency_median_pairing": round(eff_med, 3),
         "efficiency_adjacent_pairs": [round(p, 3) for p in paired],
-        "efficiency_adjacent_best": round(max(paired), 3),
+        "efficiency_adjacent_best": round(max(paired), 3) if paired else None,
+        "dropped_throttled_runs": n_dropped,
         f"assignments_per_sec_local{lo}": best[lo],
         f"assignments_per_sec_local{hi}": best[hi],
         "full": {str(k): v for k, v in results.items()},

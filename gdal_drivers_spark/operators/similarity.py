@@ -81,13 +81,22 @@ def _plane_sign(vec_q, plane: int, dim: int):
     (each query scanned half the corpus), recall stuck at 0.58-0.60
     regardless of probing. The multiplicative family gives 62 distinct
     buckets on the same data and recall that actually responds to
-    planes/tables (0.42 @ 1 table → 0.88 @ 4 tables)."""
+    planes/tables (0.42 @ 1 table → 0.88 @ 4 tables).
+
+    The hash runs in LONG arithmetic: in int32, ``(j+1)·69·48271``
+    exceeds 2³¹ once dim ≳ 585 (e.g. 768/1024-dim embeddings), which
+    silently wraps under non-ANSI Spark (buckets diverge from the
+    documented formula) or throws ARITHMETIC_OVERFLOW under ANSI. The
+    long path is bit-identical for small dims (no wrap ever occurred
+    there) and exact to dim ~2.6e12."""
     s = F.aggregate(
         F.zip_with(
             vec_q,
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda v, j: F.when(
-                ((j + 1) * 69 + F.lit(plane * 131)) * 48271 % 65536 < 32768, v
+                ((j + 1).cast("long") * 69 + F.lit(plane * 131))
+                * F.lit(48271).cast("long") % 65536 < 32768,
+                v,
             ).otherwise(-v),
         ),
         F.lit(0).cast("long"),

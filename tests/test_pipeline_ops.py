@@ -95,6 +95,54 @@ def test_lsh_topk_recall(spark):
     assert r1_mp >= r1, (r1_mp, r1)
 
 
+def test_lsh_bucket_dim768_no_int32_overflow(spark):
+    """Regression: the plane-sign hash ((j+1)·69 + plane·131)·48271 ran
+    in int32, which exceeds 2³¹ for j ≳ 585 — so 768/1024-dim
+    embeddings silently wrapped (non-ANSI) or threw ARITHMETIC_OVERFLOW
+    (ANSI). Verify at dim=768 with n_tables-style high plane indices:
+    (a) buckets are bit-identical to a pure-Python evaluation of the
+    documented formula, (b) execution survives ANSI mode, (c) the
+    plane family is non-degenerate (>2 distinct buckets)."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.similarity import lsh_bucket
+
+    dim, n_planes, table = 768, 8, 3  # global plane index reaches 31
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((24, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(len(vecs))],
+        "cid int, cvec array<float>",
+    )
+
+    def py_bucket(vec):
+        qv = [round(float(v) * 10_000) for v in vec]
+        b = 0
+        for p in range(n_planes):
+            plane = table * n_planes + p
+            s = sum(
+                v if ((j + 1) * 69 + plane * 131) * 48271 % 65536 < 32768 else -v
+                for j, v in enumerate(qv)
+            )
+            b = b * 2 + (1 if s > 0 else 0)
+        return b
+
+    expected = {i: py_bucket(vecs[i]) for i in range(len(vecs))}
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = {
+            r["cid"]: r["b"]
+            for r in df.select(
+                "cid", lsh_bucket("cvec", dim, n_planes, table=table).alias("b")
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert got == expected
+    assert len(set(got.values())) > 2
+
+
 def test_ivf_topk_recall_and_probe_discipline(spark):
     """IVF-Flat ANN: (a) recall@5 ≥ 0.5 vs brute force with 8 lists /
     nprobe=2 on the real embeddings table; (b) a query's self-vector is
