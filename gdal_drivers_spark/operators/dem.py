@@ -2,20 +2,21 @@
 (the ``gdaldem`` workflow, distributed).
 
 The 3×3 Horn (1981) kernel needs each pixel's 8 neighbors, so tile
-edges need neighbor-tile pixels: the halo self-join
-(``operators/halo.with_halo``) re-keys every tile to its ≤8 neighbors
-and one grouped Arrow UDF per target tile assembles the (t+2)² padded
-window — cross-tile seams are then EXACT (identical to running the
-kernel on the stitched full raster, proven in tests). Domain edges
-(and missing interior neighbors) use edge replication, gdaldem's
-boundary convention.
+edges need neighbor-tile pixels: the strip-projected halo exchange
+(``operators/halo.with_halo_strips``) re-keys every tile to its ≤8
+neighbors shipping ONLY the 1-px edge strip (or corner byte) each
+neighbor reads, and one grouped Arrow UDF per target tile assembles
+the (t+2)² padded window — cross-tile seams are then EXACT (identical
+to running the kernel on the stitched full raster, proven in tests).
+Domain edges (and missing interior neighbors) use edge replication,
+gdaldem's boundary convention.
 
-Plan shape: one shuffle (the ≤9× halo fan-out re-key of FULL tiles),
-one Arrow hop, then pure relational rollups. The full-tile re-key is
-the simple-and-correct v1 — halo traffic is ≤9× the raster bytes;
-projecting each contribution down to the 1-px strip the target
-actually reads (×~t/4 less traffic) is the documented optimization if
-that shuffle ever dominates.
+Plan shape: one narrow Arrow hop (strip extraction, zero shuffle),
+one shuffle whose bytes ≈ raster bytes + (4t+4)/tile (the self
+contribution plus strips — NOT the 9× full-tile fan-out of the
+generic ``with_halo``), one grouped Arrow hop, then pure relational
+rollups. Exchange size is asserted in tests (test_dem halo-traffic
+test).
 
 Determinism note: the integer Horn gradients (8·∂z/∂x, 8·∂z/∂y) are
 EXACT int64 — they power the contract oracle. The trig chain
@@ -33,13 +34,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gdal_drivers_spark.operators.halo import with_halo
+from gdal_drivers_spark.operators.halo import with_halo_strips
 
 
-def _assemble_padded(pdf: pd.DataFrame, t: int) -> tuple[np.ndarray | None, int]:
+def _assemble_padded(pdf: pd.DataFrame, t: int) -> tuple[np.ndarray | None, int, bool]:
     """(t+2)² padded elevation window for one target cell from its
-    halo group: center tile edge-replicated first (covers domain
-    edges / absent neighbors), then actual neighbor strips overwrite.
+    STRIP-projected halo group (``with_halo_strips`` payload layout):
+    center tile edge-replicated first (covers domain edges / absent
+    neighbors), then actual neighbor strips / corner bytes overwrite.
 
     Poison policy (house rule): a NULL / corrupt / wrong-length
     contribution is counted in ``n_bad`` and treated as absent —
@@ -50,7 +52,7 @@ def _assemble_padded(pdf: pd.DataFrame, t: int) -> tuple[np.ndarray | None, int]
     with NO center row at all is a normal sparse-raster neighbor
     group (callers drop it silently); a target whose center row
     exists but is corrupt is poison (callers emit a flagged row)."""
-    tiles: dict = {}
+    contrib: dict = {}
     n_bad = 0
     center_row = False
     for r in pdf.itertuples():
@@ -58,48 +60,55 @@ def _assemble_padded(pdf: pd.DataFrame, t: int) -> tuple[np.ndarray | None, int]
         if off == (0, 0):
             center_row = True
         try:
-            raw = bytes(r.tile)
-            arr = np.frombuffer(raw, np.uint8).reshape(t, t)
+            raw = bytes(r.payload)
         except Exception:
             n_bad += 1
             continue
-        if off in tiles:
+        need = t * t if off == (0, 0) else (1 if (off[0] and off[1]) else t)
+        if len(raw) != need:
             n_bad += 1
-            if raw >= tiles[off][0]:
+            continue
+        if off in contrib:
+            n_bad += 1
+            if raw >= contrib[off]:
                 continue
-        tiles[off] = (raw, arr)
-    tiles = {k: v[1] for k, v in tiles.items()}
-    center = tiles.get((0, 0))
+        contrib[off] = raw
+    center = contrib.get((0, 0))
     if center is None:
         return None, n_bad, center_row
-    P = np.pad(center.astype(np.int64), 1, mode="edge")
-    # dx,dy = offset of the CONTRIBUTING tile relative to the target
-    side = {
-        (-1, 0): lambda n: P.__setitem__((slice(1, t + 1), 0), n[:, t - 1]),
-        (1, 0): lambda n: P.__setitem__((slice(1, t + 1), t + 1), n[:, 0]),
-        (0, -1): lambda n: P.__setitem__((0, slice(1, t + 1)), n[t - 1, :]),
-        (0, 1): lambda n: P.__setitem__((t + 1, slice(1, t + 1)), n[0, :]),
-    }
-    for off, setter in side.items():
-        if off in tiles:
-            setter(tiles[off].astype(np.int64))
-    # corners replicate the stitched raster's CLAMPED indexing: the
-    # diagonal neighbor if present, else the clamp lands inside a side
-    # neighbor's strip (a domain-edge tile that still has a west/north
-    # neighbor), else the center's own corner (true domain corner —
-    # already set by np.pad)
-    def corner(py, px, diag, first, first_px, second, second_px):
-        if diag[0] in tiles:
-            P[py, px] = tiles[diag[0]][diag[1]]
-        elif first in tiles:
-            P[py, px] = tiles[first][first_px]
-        elif second in tiles:
-            P[py, px] = tiles[second][second_px]
+    C = np.frombuffer(center, np.uint8).reshape(t, t)
+    P = np.pad(C.astype(np.int64), 1, mode="edge")
 
-    corner(0, 0, ((-1, -1), (t - 1, t - 1)), (0, -1), (t - 1, 0), (-1, 0), (0, t - 1))
-    corner(0, t + 1, ((1, -1), (t - 1, 0)), (0, -1), (t - 1, t - 1), (1, 0), (0, 0))
-    corner(t + 1, 0, ((-1, 1), (0, t - 1)), (0, 1), (0, 0), (-1, 0), (t - 1, t - 1))
-    corner(t + 1, t + 1, ((1, 1), (0, 0)), (0, 1), (0, t - 1), (1, 0), (t - 1, 0))
+    def A(off):
+        return np.frombuffer(contrib[off], np.uint8).astype(np.int64)
+
+    # side strips (payload index = the coordinate varying along the edge)
+    if (-1, 0) in contrib:
+        P[1 : t + 1, 0] = A((-1, 0))
+    if (1, 0) in contrib:
+        P[1 : t + 1, t + 1] = A((1, 0))
+    if (0, -1) in contrib:
+        P[0, 1 : t + 1] = A((0, -1))
+    if (0, 1) in contrib:
+        P[t + 1, 1 : t + 1] = A((0, 1))
+
+    # corners replicate the stitched raster's CLAMPED indexing: the
+    # diagonal neighbor's byte if present, else the clamp lands inside
+    # a side neighbor's strip (a domain-edge tile that still has a
+    # west/north neighbor), else the center's own corner (true domain
+    # corner — already set by np.pad)
+    def corner(py, px, diag, first, first_i, second, second_i):
+        if diag in contrib:
+            P[py, px] = A(diag)[0]
+        elif first in contrib:
+            P[py, px] = A(first)[first_i]
+        elif second in contrib:
+            P[py, px] = A(second)[second_i]
+
+    corner(0, 0, (-1, -1), (0, -1), 0, (-1, 0), 0)
+    corner(0, t + 1, (1, -1), (0, -1), t - 1, (1, 0), 0)
+    corner(t + 1, 0, (-1, 1), (0, 1), 0, (-1, 0), t - 1)
+    corner(t + 1, t + 1, (1, 1), (0, 1), t - 1, (1, 0), t - 1)
     return P, n_bad, True
 
 
@@ -123,7 +132,7 @@ def horn_gradients(tiles: DataFrame, tile_px: int, cell: str = "cell") -> DataFr
     (cell, n_px, p8_sum, q8_sum, p8_abs_sum, q8_abs_sum). The seam- and
     clamp-sensitive part of the DEM pipeline, fully oracle-checkable.
     Input rows: (cell, tile: raw u8 elevations, t×t)."""
-    h = with_halo(tiles, cell=cell, ring=1)
+    h = with_halo_strips(tiles, tile_px, cell=cell)
 
     def _grad(key, pdf: pd.DataFrame) -> pd.DataFrame:
         t = tile_px
@@ -199,7 +208,7 @@ def hillshade(
     downstream auditing; a poison CENTER yields an empty tile with
     hs_sum = −1 and its bad-contribution count (house poison policy:
     flag, never kill)."""
-    h = with_halo(tiles, cell=cell, ring=1)
+    h = with_halo_strips(tiles, tile_px, cell=cell)
 
     def _hs(key, pdf: pd.DataFrame) -> pd.DataFrame:
         t = tile_px

@@ -133,6 +133,34 @@ def test_poison_tiles_flagged_not_fatal(spark):
     assert (tile == hillshade_np(good)).all()
 
 
+def test_halo_traffic_is_strips_not_full_tiles(raster):
+    """The 100-TB scale contract: the halo exchange ships ≈ raster
+    bytes + 1-px strips, NOT 9× full tiles. Sum the payload bytes of
+    the shuffled contribution frame and bound it by raster + per-tile
+    strip budget (4 side strips of t bytes + 4 corner bytes); the old
+    full-tile re-key would weigh ~8.06× the raster on this 4×4 grid."""
+    from gdal_drivers_spark.operators.halo import with_halo_strips
+
+    full, tiles = raster
+    n_tiles = GRID * GRID
+    raster_bytes = n_tiles * T * T
+    h = with_halo_strips(tiles, T)
+    total = h.agg(F.sum(F.length("payload"))).collect()[0][0]
+    budget = raster_bytes + n_tiles * (4 * T + 4)
+    assert total <= budget, (total, budget)
+    assert total < 1.2 * raster_bytes  # nowhere near the 9x fan-out
+    # and the frame still carries one center + <=8 neighbor rows/tile
+    n_rows = h.count()
+    assert n_rows == sum(
+        1
+        for tx in range(GRID)
+        for ty in range(GRID)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if 0 <= tx + dx < (1 << Z) and 0 <= ty + dy < (1 << Z)
+    )
+
+
 def test_single_tile_domain(spark):
     """A lone tile (no neighbors anywhere) = pure edge-replication."""
     rng = np.random.default_rng(1)
