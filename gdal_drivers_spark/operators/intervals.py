@@ -32,6 +32,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _floor_bin(expr_sql: str, bw: int):
+    """Exact integer floor-division bin id: ``(c − pmod(c, bw)) div bw``
+    entirely in BIGINT. Never routes through double — ``floor(c / bw)``
+    loses integer precision past 2⁵³ (e.g. nanosecond epoch
+    timestamps), which can drop a point into the WRONG bin and silently
+    miss a genuinely-matching interval (the exact re-check only removes
+    false positives, never recovers false negatives). pmod keeps the
+    remainder non-negative, so negative values floor (not truncate),
+    matching Python// and DuckDB semantics."""
+    c = f"CAST(({expr_sql}) AS BIGINT)"
+    return F.expr(f"(({c}) - pmod({c}, {bw})) div {bw}")
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -47,9 +60,13 @@ def interval_join(
 
     ``max_bins_per_interval`` bounds the explode fan-out: one interval
     spanning the whole domain would otherwise emit domain/bin_width
-    rows and melt an executor silently — refuse loudly instead (raise
-    at plan-check time via a validated agg on the interval side, which
-    is the small/dimension side by construction).
+    rows and melt an executor silently — refuse loudly instead. The
+    guard is IN the plan (an ``assert_true`` folded into the explode's
+    upper bound, so column pruning can't drop it): constructing the
+    join triggers zero Spark jobs, and the first execution that touches
+    an over-wide interval fails with the loud message. (The previous
+    version validated via an eager driver-side agg — an extra scan of
+    the interval side even when the caller never executed the join.)
     """
     bw = int(bin_width)
     if bw <= 0:
@@ -61,28 +78,27 @@ def interval_join(
         raise ValueError("'_bin' is reserved by interval_join")
 
     live = intervals.filter(F.col(end_col) > F.col(start_col))
-    # the interval side is the dimension side — one tiny agg validates
-    # the fan-out bound before any explode is planned
-    worst = live.agg(
-        F.max((F.col(end_col) - F.col(start_col))).alias("len")
-    ).collect()[0]["len"]
-    if worst is not None and (int(worst) + bw - 1) // bw + 1 > max_bins_per_interval:
-        raise ValueError(
-            f"interval of length {worst} explodes to more than "
-            f"{max_bins_per_interval} bins at bin_width={bw}; raise "
-            "bin_width or split the interval"
-        )
-
-    iv = live.withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(start_col) / bw).cast("long"),
-                F.floor((F.col(end_col) - 1) / bw).cast("long"),
-            )
-        ),
+    first_bin = _floor_bin(start_col, bw)
+    last_bin = _floor_bin(f"({end_col}) - 1", bw)
+    n_bins = last_bin - first_bin + 1
+    # assert_true yields NULL when the predicate holds, so coalesce
+    # makes the checked value the sequence bound itself — unprunable
+    checked_last = F.coalesce(
+        F.assert_true(
+            n_bins <= max_bins_per_interval,
+            F.concat(
+                F.lit("interval of length "),
+                (F.col(end_col) - F.col(start_col)).cast("string"),
+                F.lit(
+                    f" explodes to more than {max_bins_per_interval} bins "
+                    f"at bin_width={bw}; raise bin_width or split the interval"
+                ),
+            ),
+        ).cast("long"),
+        last_bin,
     )
-    p = points.withColumn("_bin", F.floor(F.col(point_col) / bw).cast("long"))
+    iv = live.withColumn("_bin", F.explode(F.sequence(first_bin, checked_last)))
+    p = points.withColumn("_bin", _floor_bin(point_col, bw))
     return (
         p.join(iv, on="_bin")
         .filter(

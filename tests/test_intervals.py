@@ -40,11 +40,55 @@ def test_bin_width_invariance(frames):
 
 
 def test_fanout_guard(spark, frames):
+    """The loud cap is IN the plan: construction triggers zero Spark
+    jobs (no eager interval-side scan), and execution over an over-wide
+    interval fails with the explanatory message."""
     points, _ = frames
     wide = spark.createDataFrame([(1, 0, 10_000_000)], "iid long, lo long, hi long")
-    with pytest.raises(ValueError, match="bins"):
-        interval_join(points, wide, "v", "lo", "hi", bin_width=2,
-                      max_bins_per_interval=1024)
+    sc = spark.sparkContext
+    sc.setJobGroup("iv-construct", "interval_join construction must be lazy")
+    try:
+        joined = interval_join(points, wide, "v", "lo", "hi", bin_width=2,
+                               max_bins_per_interval=1024)
+        jobs = sc.statusTracker().getJobIdsForGroup("iv-construct")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == []
+    with pytest.raises(Exception, match="bins"):
+        joined.collect()
+
+
+def test_floor_bin_exact_beyond_double(spark):
+    """Bin ids are exact integer floor division: beyond 2^53 (e.g.
+    nanosecond epochs) the old floor(v / bw) double path rounds v to a
+    multiple of 256 and can bin a point away from its interval — a
+    silent false NEGATIVE the exact re-check cannot recover."""
+    from gdal_drivers_spark.operators.intervals import _floor_bin
+
+    vals = [(1 << 60) + o for o in (0, 1, 127, 128, 255, 999)] + [
+        -(1 << 60) - 3, -7, -1, 0, 5, 999, 1000,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["v"]: r["b"] for r in
+           df.select("v", _floor_bin("v", 1000).alias("b")).collect()}
+    assert got == {v: v // 1000 for v in vals}
+    bad = {r["v"]: r["b"] for r in
+           df.select("v", F.floor(F.col("v") / 1000).cast("long").alias("b")).collect()}
+    assert bad != got  # the double path is provably wrong on this input
+
+
+def test_big_domain_join_exact(spark):
+    """End-to-end at a nanosecond-epoch-scale domain: matches are
+    governed by exact longs, not double-rounded bins."""
+    base = (1 << 60) + 12345
+    points = spark.createDataFrame(
+        [(i, base + i) for i in range(10)], "pid long, v long"
+    )
+    intervals = spark.createDataFrame(
+        [(1, base + 2, base + 7)], "iid long, lo long, hi long"
+    )
+    out = interval_join(points, intervals, "v", "lo", "hi", bin_width=1000).collect()
+    assert sorted(r["pid"] for r in out) == [2, 3, 4, 5, 6]
 
 
 def test_collision_guard(frames):
