@@ -19,9 +19,14 @@ renders them for lineage records (writeConfig, solid.cpp:53-88).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_INT_RE = re.compile(r"^[+-]?\d+$")
+_FLOAT_RE = re.compile(r"^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$")
 
 
 def to_ini(config: dict, section: str = "job") -> str:
@@ -33,6 +38,15 @@ def to_ini(config: dict, section: str = "job") -> str:
     lines = [f"[{section}]"]
     for k, v in sorted(config.items()):
         if isinstance(v, (list, tuple)):
+            for x in v:
+                # same non-representability rule as string scalars: a
+                # comma INSIDE a list element would shift the element
+                # boundaries on parse (['x,y','z'] -> ['x','y','z'])
+                if isinstance(x, str) and "," in x:
+                    raise ValueError(
+                        f"list element for {k!r} contains a comma — not "
+                        "representable (from_ini would split it)"
+                    )
             v = ",".join(str(x) for x in v) + ("," if len(v) == 1 else "")
         elif isinstance(v, str) and "," in v:
             raise ValueError(
@@ -53,14 +67,15 @@ def from_ini(text: str) -> dict[str, dict]:
 
     def _scalar(s: str):
         s = s.strip()
-        try:
+        # strict numeric patterns, NOT bare int()/float() — Python's
+        # constructors also accept 'nan'/'inf'/'Infinity' and digit
+        # underscores ('1_0'), which would silently coerce strings a
+        # writer meant literally and break the round-trip (review r02)
+        if _INT_RE.match(s):
             return int(s)
-        except ValueError:
-            pass
-        try:
+        if _FLOAT_RE.match(s):
             return float(s)
-        except ValueError:
-            return s
+        return s
 
     out: dict[str, dict] = {}
     section = None

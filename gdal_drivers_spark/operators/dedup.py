@@ -68,11 +68,58 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     and a small-file scan (e.g. one parquet file bin-packed into 2-3
     splits) would otherwise pin the whole hash computation to a couple
     of cores (measured: 61 s vs 4 s at sf0.1 on local[32]). At lake
-    scale inputs already have ≥ cores splits, so this is a no-op."""
+    scale inputs already have ≥ cores splits, so this is a no-op.
+
+    The partition count is read from the JVM-side RDD directly —
+    ``df.rdd`` would additionally build the Python-pickler conversion
+    pipeline just to ask for a number."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n = df._jdf.rdd().getNumPartitions()
+    except Exception:
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
+
+
+_ACTIVE_CACHES: dict[str, DataFrame] = {}
+
+
+def _swap_cache(slot: str, df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK) and unpersist whatever frame
+    this slot cached on a previous call. The banded frames feed both
+    sides of a self-join, so they must be persisted — but Spark's
+    CacheManager holds a persisted plan until explicit unpersist, so
+    repeated calls in a long-lived session (bench loops, cluster
+    pipelines) would otherwise accumulate cached partitions until
+    eviction pressure degrades the whole app. Swapping bounds live
+    caches to one per operator slot; unpersisting a prior frame a
+    caller still lazily references only costs recompute, never
+    correctness. ``release_caches()`` drops everything."""
+    from pyspark import StorageLevel
+
+    prev = _ACTIVE_CACHES.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _ACTIVE_CACHES[slot] = df.persist(StorageLevel.MEMORY_AND_DISK)
+    return _ACTIVE_CACHES[slot]
+
+
+def release_caches() -> None:
+    """Unpersist every frame the dedup operators are still caching —
+    call when a session is done with dedup work (callers own cleanup
+    timing; results derived from the released frames stay correct and
+    simply recompute if re-executed)."""
+    while _ACTIVE_CACHES:
+        _, df = _ACTIVE_CACHES.popitem()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
 def minhash_signature(df: DataFrame, n_hashes: int = 16, text: str = "text", k: int = 3) -> DataFrame:
@@ -119,9 +166,7 @@ def lsh_candidate_pairs(
     ).select("_id", "sig", "bb.band", "bb.bsig")
     # persist: the signature pipeline (md5 per shingle × k hashes) feeds
     # both self-join sides — without this it recomputes 3×
-    from pyspark import StorageLevel
-
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = _swap_cache("lsh_candidate_pairs", banded)
     # cap pathological buckets before the self-join
     sized = banded.withColumn(
         "_bn", F.count("*").over(Window.partitionBy("band", "bsig"))
@@ -239,9 +284,7 @@ def phash_near_dup(
     # both self-join sides read the banded+capped frame — persist so the
     # scan + banding + cap window run once (same rationale as the LSH
     # candidate pipeline above)
-    from pyspark import StorageLevel
-
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = _swap_cache("phash_near_dup", banded)
     a1 = banded.select(
         F.col("_id").alias("id1"), F.col("_p").alias("p1"), "band_idx", "band_val"
     )

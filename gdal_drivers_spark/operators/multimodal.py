@@ -50,25 +50,33 @@ def nn_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
-RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string, ok boolean"
 
 
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Batch decode → resize → raw re-encode. One Arrow hop, numpy math."""
+    """Batch decode → resize → raw re-encode. One Arrow hop, numpy math.
+
+    Poison policy (house rule, as decode_stats/phash_images): a
+    NULL/corrupt payload keeps its row with bytes=NULL and ok=false —
+    never a stage kill, never a silent drop."""
 
     def _run(batches):
         for pdf in batches:
             out = []
             for r in pdf.itertuples():
-                img = codecs.decode(bytes(r.bytes), r.fmt)
-                small = nn_resize(img, out_w, out_h)
-                out.append((r.image_id, codecs.encode_raw(small), out_w, out_h, "raw"))
-            yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h", "fmt"])
+                try:
+                    img = codecs.decode(bytes(r.bytes), r.fmt)
+                    small = nn_resize(img, out_w, out_h)
+                except Exception:
+                    out.append((r.image_id, None, None, None, None, False))
+                    continue
+                out.append((r.image_id, codecs.encode_raw(small), out_w, out_h, "raw", True))
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h", "fmt", "ok"])
 
     return images.mapInPandas(_run, RESIZE_SCHEMA)
 
 
-FEATURES_SCHEMA = "image_id string, feat array<double>, n_pixels long"
+FEATURES_SCHEMA = "image_id string, feat array<double>, n_pixels long, ok boolean"
 
 
 def image_features(images: DataFrame, bins: int = 16) -> DataFrame:
@@ -79,14 +87,25 @@ def image_features(images: DataFrame, bins: int = 16) -> DataFrame:
     the ``feat`` column). Counts, not frequencies, so the output is
     exact-integer valued (engine-portable oracles); normalize
     downstream if cosine semantics are wanted. One Arrow hop,
-    ``np.bincount`` per channel."""
+    ``np.bincount`` per channel.
+
+    Poison policy: a NULL/corrupt payload keeps its row with
+    feat=NULL/ok=false (NULL features self-exclude from the similarity
+    joins; the flag makes the corruption countable)."""
     width = 256 // bins
 
     def _run(batches):
         for pdf in batches:
-            ids, feats, npix = [], [], []
+            ids, feats, npix, oks = [], [], [], []
             for r in pdf.itertuples():
-                img = codecs.decode(bytes(r.bytes), r.fmt)
+                try:
+                    img = codecs.decode(bytes(r.bytes), r.fmt)
+                except Exception:
+                    ids.append(r.image_id)
+                    feats.append(None)
+                    npix.append(None)
+                    oks.append(False)
+                    continue
                 chans = [
                     # clip the bucket index: when 256 % bins != 0 the
                     # top partial bucket folds into the last bin, so
@@ -100,28 +119,37 @@ def image_features(images: DataFrame, bins: int = 16) -> DataFrame:
                 ids.append(r.image_id)
                 feats.append(np.concatenate(chans).astype(np.float64))
                 npix.append(img.shape[0] * img.shape[1])
+                oks.append(True)
             yield pd.DataFrame(
-                {"image_id": ids, "feat": feats, "n_pixels": npix}
+                {"image_id": ids, "feat": feats, "n_pixels": npix, "ok": oks}
             )
 
     return images.mapInPandas(_run, FEATURES_SCHEMA)
 
 
-FRAMES_SCHEMA = "video_id string, frame_idx int, bytes binary, w int, h int"
+FRAMES_SCHEMA = "video_id string, frame_idx int, bytes binary, w int, h int, ok boolean"
 
 
 def frame_sample(videos: DataFrame, every_k: int = 2) -> DataFrame:
-    """One row per sampled frame (indices 0, k, 2k, …) — the UDTF shape."""
+    """One row per sampled frame (indices 0, k, 2k, …) — the UDTF shape.
+
+    Poison policy: a NULL/corrupt container emits ONE flagged row
+    (frame_idx=-1, ok=false) — distinct from a valid empty container
+    (zero rows) and never a stage kill."""
 
     def _run(batches):
         for pdf in batches:
             out = []
             for r in pdf.itertuples():
-                frames = decode_video(bytes(r.bytes))
+                try:
+                    frames = decode_video(bytes(r.bytes))
+                except Exception:
+                    out.append((r.video_id, -1, None, None, None, False))
+                    continue
                 for i in range(0, len(frames), every_k):
                     f = frames[i]
-                    out.append((r.video_id, i, codecs.encode_raw(f), f.shape[1], f.shape[0]))
-            yield pd.DataFrame(out, columns=["video_id", "frame_idx", "bytes", "w", "h"])
+                    out.append((r.video_id, i, codecs.encode_raw(f), f.shape[1], f.shape[0], True))
+            yield pd.DataFrame(out, columns=["video_id", "frame_idx", "bytes", "w", "h", "ok"])
 
     return videos.mapInPandas(_run, FRAMES_SCHEMA)
 
@@ -166,7 +194,7 @@ def audio_features(audio: DataFrame) -> DataFrame:
 
 
 PATCHES_SCHEMA = (
-    "image_id string, py int, px int, bytes binary, w int, h int, fmt string"
+    "image_id string, py int, px int, bytes binary, w int, h int, fmt string, ok boolean"
 )
 
 
@@ -179,7 +207,11 @@ def patch_grid(
     one Arrow batch — a narrow map, no shuffle; the patch fan-out is
     the vision analogue of the tile explode in assign. Partial edge
     windows are dropped (only full patches are emitted, the standard
-    ViT convention)."""
+    ViT convention).
+
+    Poison policy: a NULL/corrupt payload emits ONE flagged row
+    (py=px=-1, ok=false) — distinct from a valid too-small image (zero
+    patches, silent) and never a stage kill."""
     stride = stride or patch
 
     def _run(batches):
@@ -188,9 +220,20 @@ def patch_grid(
         from ..core import codecs
 
         for pdf in batches:
-            ids, pys, pxs, outs, ws, hs = [], [], [], [], [], []
+            ids, pys, pxs, outs, ws, hs, fmts, oks = [], [], [], [], [], [], [], []
             for r in pdf.itertuples():
-                img = codecs.decode(bytes(r.bytes), r.fmt)
+                try:
+                    img = codecs.decode(bytes(r.bytes), r.fmt)
+                except Exception:
+                    ids.append(r.image_id)
+                    pys.append(-1)
+                    pxs.append(-1)
+                    outs.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    fmts.append(None)
+                    oks.append(False)
+                    continue
                 H, W = img.shape[0], img.shape[1]
                 for py in range((H - patch) // stride + 1 if H >= patch else 0):
                     for px in range((W - patch) // stride + 1 if W >= patch else 0):
@@ -204,9 +247,11 @@ def patch_grid(
                         outs.append(codecs.encode_raw(np.ascontiguousarray(crop)))
                         ws.append(patch)
                         hs.append(patch)
+                        fmts.append("raw")
+                        oks.append(True)
             yield pd.DataFrame(
                 {"image_id": ids, "py": pys, "px": pxs, "bytes": outs,
-                 "w": ws, "h": hs, "fmt": "raw"}
+                 "w": ws, "h": hs, "fmt": fmts, "ok": oks}
             )
 
     return images.mapInPandas(_run, PATCHES_SCHEMA)

@@ -328,3 +328,13 @@ def test_ini_roundtrip_edge_cases():
         to_ini({"name": "a,b"})
     with _pytest.raises(ValueError, match="malformed"):
         from_ini("[s]\nnot an assignment")
+    # review r03: commas hiding INSIDE list elements are just as
+    # non-representable as comma-containing string scalars
+    with _pytest.raises(ValueError, match="list element"):
+        to_ini({"a": ["x,y", "z"]})
+    # strict numeric coercion: Python float() accepts these, the
+    # round-trip parser must NOT (they were written as strings)
+    parsed = from_ini("[s]\na = nan\nb = inf\nc = Infinity\nd = 1_0\ne = -3\nf = 5e3\n")["s"]
+    assert parsed["a"] == "nan" and parsed["b"] == "inf"
+    assert parsed["c"] == "Infinity" and parsed["d"] == "1_0"
+    assert parsed["e"] == -3 and parsed["f"] == 5e3

@@ -264,6 +264,23 @@ def test_lsh_bucket_cap_guards_degenerate_corpus(spark):
     assert uncapped == 300 * 299 // 2
 
 
+def test_dedup_cache_swap_bounds_persisted_frames(spark):
+    """Repeated candidate-pair calls in one session must not accumulate
+    persisted frames (the r02 leak): each call swaps out the slot's
+    previous cache, and release_caches() empties the registry."""
+    from gdal_drivers_spark.operators import dedup
+
+    rows = [(i, f"doc number {i} with words {i % 7} {i % 5}") for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sigs = minhash_signature(df, n_hashes=16)
+    for _ in range(3):
+        lsh_candidate_pairs(sigs, "doc_id", 16, 4).count()
+    assert set(dedup._ACTIVE_CACHES) == {"lsh_candidate_pairs"}
+    assert dedup._ACTIVE_CACHES["lsh_candidate_pairs"].storageLevel.useMemory
+    dedup.release_caches()
+    assert not dedup._ACTIVE_CACHES
+
+
 def test_frame_sample_udtf_matches_mapinpandas(spark):
     """The native Python UDTF (lateral table function) must produce the
     same sampled frames as the mapInPandas form."""
