@@ -314,6 +314,64 @@ def _warp_reproject_oracle_sql() -> str:
     """
 
 
+def q_warp_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 cross-SRS, round 3: ellipsoidal transverse Mercator (UTM
+    zone 33N, Snyder series — core/srs.py tm_forward/tm_inverse) and
+    UPS North polar stereographic, driven entirely through Column
+    expressions (COL_OPS backend). The oracle SQL is GENERATED from the
+    same formula source via the SQL_OPS backend, so both engines
+    evaluate the identical IEEE expression tree — bit-parity by
+    construction (verified 25/25 exact on this platform). Inputs are a
+    deterministic lon/lat grid over zone 33 (supplier keys); outputs
+    include the series round-trip so the inverse is under the hash
+    gate too. The raster-warp plumbing over these transforms (cover
+    sampling, gather, seams) is pinned by test_warp_solid's scalar
+    oracles."""
+    from gdal_drivers_spark.core.srs import COL_OPS, tm_forward, tm_inverse, ups_north_forward
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("k")
+    )
+    lon = F.lit(12.0) + ((F.col("k") % 600).cast("double") * F.lit(0.01))
+    lat = F.lit(-75.0) + ((F.col("k") % 1500).cast("double") * F.lit(0.1))
+    e, n = tm_forward(lon, lat, 15.0, 0.0, COL_OPS)
+    df = supp.select("k", e.alias("easting"), n.alias("northing"))
+    lon2, lat2 = tm_inverse(F.col("easting"), F.col("northing"), 15.0, 0.0, COL_OPS)
+    plon = F.lit(-180.0) + (F.col("k") % 360).cast("double")
+    plat = F.lit(65.0) + ((F.col("k") % 240).cast("double") * F.lit(0.1))
+    ux, uy = ups_north_forward(plon, plat, COL_OPS)
+    return df.select(
+        "k", "easting", "northing",
+        lon2.alias("lon_rt"), lat2.alias("lat_rt"),
+        ux.alias("ups_e"), uy.alias("ups_n"),
+    )
+
+
+def _warp_utm_oracle_sql() -> str:
+    from gdal_drivers_spark.core.srs import (
+        SQL_OPS, _SqlExpr, tm_forward, tm_inverse, ups_north_forward,
+    )
+
+    lon = _SqlExpr("(12.0 + (CAST((s_suppkey % 600) AS DOUBLE) * 0.01))")
+    lat = _SqlExpr("((- 75.0) + (CAST((s_suppkey % 1500) AS DOUBLE) * 0.1))")
+    e, n = tm_forward(lon, lat, 15.0, 0.0, SQL_OPS)
+    lon2, lat2 = tm_inverse(_SqlExpr("easting"), _SqlExpr("northing"), 15.0, 0.0, SQL_OPS)
+    plon = _SqlExpr("((- 180.0) + CAST((s_suppkey % 360) AS DOUBLE))")
+    plat = _SqlExpr("(65.0 + (CAST((s_suppkey % 240) AS DOUBLE) * 0.1))")
+    ux, uy = ups_north_forward(plon, plat, SQL_OPS)
+    return f"""
+        WITH base AS (
+            SELECT s_suppkey AS k, {e.s} AS easting, {n.s} AS northing,
+                   {ux.s} AS ups_e, {uy.s} AS ups_n
+            FROM supplier
+        )
+        SELECT k, easting, northing,
+               {lon2.s} AS lon_rt, {lat2.s} AS lat_rt,
+               ups_e, ups_n
+        FROM base
+    """
+
+
 def q_mbtiles_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 over a REAL SQLite archive (mbtiles.cpp:128-225): a genuine
     ``.mbtiles`` file is written (tiles stored TMS, gzip on even
@@ -3020,6 +3078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vectorize_roundtrip": q_vectorize_roundtrip,
         "warp_downsample": q_warp_downsample,
         "warp_reproject": q_warp_reproject,
+        "warp_utm": q_warp_utm,
         "maskfile_roundtrip": q_maskfile_roundtrip,
         "maskfile_gdalqm": q_maskfile_gdalqm,
         "multimodal_resize": q_multimodal_resize,
@@ -3240,6 +3299,7 @@ def oracle_sql() -> dict[str, str]:
         "vectorize_roundtrip": _VECTORIZE_ORACLE_SQL,
         "warp_downsample": _WARP_ORACLE_SQL,
         "warp_reproject": _warp_reproject_oracle_sql(),
+        "warp_utm": _warp_utm_oracle_sql(),
         "maskfile_roundtrip": _MASKFILE_ORACLE_SQL,
         "maskfile_gdalqm": _MASKFILE_GDALQM_ORACLE_SQL,
         "multimodal_resize": _MULTIMODAL_ORACLE_SQL,

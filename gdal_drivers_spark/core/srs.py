@@ -11,12 +11,32 @@ needs from the PUBLIC closed-form formulas instead of linking GDAL:
   ``λ = x/R·180/π``, ``φ = (2·atan(e^{y/R}) − π/2)·180/π`` with
   ``R = 6378137`` (the published EPSG:3857 sphere radius).
 
-Each transform is AXIS-SEPARABLE and MONOTONE (x' depends only on x,
-y' only on y, both strictly increasing), which is what makes the
+Each ``AxisTransform`` is AXIS-SEPARABLE and MONOTONE (x' depends only
+on x, y' only on y, both strictly increasing), which is what makes the
 distributed warp exact: a destination tile's source bbox is computed
 from its corners alone, and both the numpy (executor gather) and the
 Column (cover generation / oracle SQL) forms express the same math.
-General curvilinear SRS pairs stay out of scope, as in SURVEY §7.
+
+Round 3 adds ``PlaneTransform`` — full 2-D (x', y') = f(x, y) — for
+the conformal projections whose axes mix, with the same dual-form
+contract plus boundary-sampled source bboxes in the warp:
+
+- ``EPSG:326zz``/``EPSG:327zz`` (WGS84 UTM zone zz north/south) ↔
+  ``EPSG:4326``: ellipsoidal transverse Mercator, Snyder (1987, "Map
+  Projections — A Working Manual", USGS PP 1395) eq. 3-21/8-9..8-15
+  forward and 8-18..8-25 series inverse, k₀ = 0.9996, mm-accurate
+  within a zone. The most common real reference-`warp()` pair
+  (UTM → WebMercator) composes through 4326 automatically.
+- ``EPSG:5041`` (UPS North) ↔ ``EPSG:4326``: ellipsoidal polar
+  stereographic (Snyder eq. 21-33/15-11, conformal-latitude series
+  inverse 3-5), k₀ = 0.994, false E/N 2 000 000.
+
+All three formula backends (numpy for the executor gather, Column for
+distributed cover generation, SQL text for the DuckDB oracle) are
+generated from ONE formula source (`_Ops` dispatch), so the oracle is
+bit-identical by construction — the same IEEE expression tree runs in
+every engine (the repo's libm-parity rule). Truly general curvilinear
+SRS pairs (datum shifts, grids) stay out of scope, as in SURVEY §7.
 """
 
 from __future__ import annotations
@@ -73,31 +93,381 @@ def _merc_to_geo() -> AxisTransform:
     )
 
 
+@dataclass(frozen=True)
+class PlaneTransform:
+    """A full 2-D SRS transform (x', y') = f(x, y) for projections
+    whose axes mix (transverse Mercator, polar stereographic). Same
+    dual-form contract as AxisTransform: ``np_xy`` for the executor
+    gather, ``col_xy`` for distributed cover generation / oracles."""
+
+    src: str
+    dst: str
+    np_xy: Callable  # (np.ndarray, np.ndarray) -> (np.ndarray, np.ndarray)
+    col_xy: Callable  # (Column, Column) -> (Column, Column)
+
+
+def as_plane(tf) -> "PlaneTransform":
+    """Lift an AxisTransform to the PlaneTransform interface."""
+    if isinstance(tf, PlaneTransform):
+        return tf
+    return PlaneTransform(
+        tf.src, tf.dst,
+        np_xy=lambda x, y: (tf.np_x(x), tf.np_y(y)),
+        col_xy=lambda x, y: (tf.col_x(x), tf.col_y(y)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Three formula backends from one source: the projection formulas below
+# are written once against an `_Ops` namespace; instantiating them with
+# numpy ufuncs, pyspark Columns, or SQL-text expression builders yields
+# the SAME IEEE expression tree in every engine (libm parity rule —
+# scalar libm is bit-identical across python/JVM/DuckDB on this class
+# of functions, BENCH.md/memory note; powers are written as explicit
+# multiplies so no engine can choose a different pow path).
+# ---------------------------------------------------------------------------
+
+
+class _SqlExpr:
+    """SQL-text expression node. Every binary op parenthesizes, floats
+    render via repr() (exact round-trip to the same double)."""
+
+    __slots__ = ("s",)
+
+    def __init__(self, s: str):
+        self.s = s
+
+    @staticmethod
+    def _fmt(v) -> str:
+        return v.s if isinstance(v, _SqlExpr) else repr(float(v))
+
+    def _bin(self, other, op, rev=False):
+        a, b = (self._fmt(other), self.s) if rev else (self.s, self._fmt(other))
+        return _SqlExpr(f"({a} {op} {b})")
+
+    def __add__(self, o):
+        return self._bin(o, "+")
+
+    def __radd__(self, o):
+        return self._bin(o, "+", True)
+
+    def __sub__(self, o):
+        return self._bin(o, "-")
+
+    def __rsub__(self, o):
+        return self._bin(o, "-", True)
+
+    def __mul__(self, o):
+        return self._bin(o, "*")
+
+    def __rmul__(self, o):
+        return self._bin(o, "*", True)
+
+    def __truediv__(self, o):
+        return self._bin(o, "/")
+
+    def __rtruediv__(self, o):
+        return self._bin(o, "/", True)
+
+    def __neg__(self):
+        return _SqlExpr(f"(- {self.s})")
+
+
+def _sql_fn(name):
+    def call(*args):
+        return _SqlExpr(f"{name}({', '.join(_SqlExpr._fmt(a) for a in args)})")
+
+    return call
+
+
+class _Ops:
+    """Math-function dispatch for the shared formula source."""
+
+    def __init__(self, **fns):
+        self.__dict__.update(fns)
+
+
+NP_OPS = _Ops(
+    sin=np.sin, cos=np.cos, tan=np.tan, sqrt=np.sqrt,
+    atan=np.arctan, atan2=np.arctan2, exp=np.exp, log=np.log,
+)
+COL_OPS = _Ops(
+    sin=F.sin, cos=F.cos, tan=F.tan, sqrt=F.sqrt,
+    atan=F.atan, atan2=F.atan2, exp=F.exp, log=F.log,
+)
+SQL_OPS = _Ops(
+    sin=_sql_fn("sin"), cos=_sql_fn("cos"), tan=_sql_fn("tan"),
+    sqrt=_sql_fn("sqrt"), atan=_sql_fn("atan"), atan2=_sql_fn("atan2"),
+    exp=_sql_fn("exp"), log=_sql_fn("ln"),
+)
+
+# WGS84 ellipsoid + derived constants (computed once in Python, so the
+# identical double literals appear in every backend)
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+E2 = WGS84_F * (2.0 - WGS84_F)
+E4 = E2 * E2
+E6 = E2 * E2 * E2
+EP2 = E2 / (1.0 - E2)
+K0_UTM = 0.9996
+# meridian-arc series coefficients (Snyder eq. 3-21)
+_MC0 = 1.0 - E2 / 4.0 - 3.0 * E4 / 64.0 - 5.0 * E6 / 256.0
+_MC2 = 3.0 * E2 / 8.0 + 3.0 * E4 / 32.0 + 45.0 * E6 / 1024.0
+_MC4 = 15.0 * E4 / 256.0 + 45.0 * E6 / 1024.0
+_MC6 = 35.0 * E6 / 3072.0
+# footpoint-latitude series (Snyder eq. 3-26)
+_E1 = (1.0 - math.sqrt(1.0 - E2)) / (1.0 + math.sqrt(1.0 - E2))
+_F2 = 3.0 * _E1 / 2.0 - 27.0 * (_E1 * _E1 * _E1) / 32.0
+_F4 = 21.0 * (_E1 * _E1) / 16.0 - 55.0 * (_E1 * _E1 * _E1 * _E1) / 32.0
+_F6 = 151.0 * (_E1 * _E1 * _E1) / 96.0
+_F8 = 1097.0 * (_E1 * _E1 * _E1 * _E1) / 512.0
+
+
+def tm_forward(lon_deg, lat_deg, lon0_deg: float, false_northing: float, m=NP_OPS):
+    """Ellipsoidal transverse Mercator forward (Snyder eq. 8-9..8-15):
+    WGS84 lon/lat degrees → (easting, northing) meters, k₀ = 0.9996,
+    false easting 500 000. Valid across a UTM zone's ±3°+overlap;
+    mm-level series accuracy. Backend-generic (see module docstring)."""
+    lam = lon_deg * _D2R
+    phi = lat_deg * _D2R
+    s = m.sin(phi)
+    c = m.cos(phi)
+    t = m.tan(phi)
+    N = WGS84_A / m.sqrt(1.0 - E2 * (s * s))
+    T = t * t
+    C = EP2 * (c * c)
+    A = (lam - lon0_deg * _D2R) * c
+    A2 = A * A
+    A3 = A2 * A
+    A4 = A2 * A2
+    A5 = A4 * A
+    A6 = A4 * A2
+    M = WGS84_A * (
+        _MC0 * phi
+        - _MC2 * m.sin(2.0 * phi)
+        + _MC4 * m.sin(4.0 * phi)
+        - _MC6 * m.sin(6.0 * phi)
+    )
+    x = (
+        K0_UTM
+        * N
+        * (
+            A
+            + (1.0 - T + C) * A3 / 6.0
+            + (5.0 - 18.0 * T + T * T + 72.0 * C - 58.0 * EP2) * A5 / 120.0
+        )
+        + 500000.0
+    )
+    y = K0_UTM * (
+        M
+        + N
+        * t
+        * (
+            A2 / 2.0
+            + (5.0 - T + 9.0 * C + 4.0 * C * C) * A4 / 24.0
+            + (61.0 - 58.0 * T + T * T + 600.0 * C - 330.0 * EP2) * A6 / 720.0
+        )
+    ) + false_northing
+    return x, y
+
+
+def tm_inverse(x, y, lon0_deg: float, false_northing: float, m=NP_OPS):
+    """Ellipsoidal transverse Mercator inverse (Snyder eq. 8-18..8-25
+    with the footpoint-latitude series 3-26). Backend-generic."""
+    M = (y - false_northing) / K0_UTM
+    mu = M / (WGS84_A * _MC0)
+    phi1 = (
+        mu
+        + _F2 * m.sin(2.0 * mu)
+        + _F4 * m.sin(4.0 * mu)
+        + _F6 * m.sin(6.0 * mu)
+        + _F8 * m.sin(8.0 * mu)
+    )
+    s1 = m.sin(phi1)
+    c1 = m.cos(phi1)
+    t1 = m.tan(phi1)
+    C1 = EP2 * (c1 * c1)
+    T1 = t1 * t1
+    sin2 = 1.0 - E2 * (s1 * s1)
+    N1 = WGS84_A / m.sqrt(sin2)
+    R1 = WGS84_A * (1.0 - E2) / (sin2 * m.sqrt(sin2))
+    D = (x - 500000.0) / (N1 * K0_UTM)
+    D2 = D * D
+    D3 = D2 * D
+    D4 = D2 * D2
+    D5 = D4 * D
+    D6 = D4 * D2
+    phi = phi1 - (N1 * t1 / R1) * (
+        D2 / 2.0
+        - (5.0 + 3.0 * T1 + 10.0 * C1 - 4.0 * C1 * C1 - 9.0 * EP2) * D4 / 24.0
+        + (
+            61.0
+            + 90.0 * T1
+            + 298.0 * C1
+            + 45.0 * T1 * T1
+            - 252.0 * EP2
+            - 3.0 * C1 * C1
+        )
+        * D6
+        / 720.0
+    )
+    lam = lon0_deg * _D2R + (
+        D
+        - (1.0 + 2.0 * T1 + C1) * D3 / 6.0
+        + (5.0 - 2.0 * C1 + 28.0 * T1 - 3.0 * C1 * C1 + 8.0 * EP2 + 24.0 * T1 * T1)
+        * D5
+        / 120.0
+    ) / c1
+    return lam / _D2R, phi / _D2R
+
+
+# UPS North (EPSG:5041): polar stereographic, Snyder eq. 21-33/15-11;
+# inverse via conformal latitude series (Snyder eq. 3-5)
+_E1SQ = math.sqrt(E2)  # first eccentricity e
+K0_UPS = 0.994
+UPS_FE = 2000000.0
+UPS_FN = 2000000.0
+_PS_RHO_DEN = math.sqrt(
+    (1.0 + _E1SQ) ** (1.0 + _E1SQ) * (1.0 - _E1SQ) ** (1.0 - _E1SQ)
+)
+_X2 = E2 / 2.0 + 5.0 * E4 / 24.0 + E6 / 12.0 + 13.0 * E4 * E4 / 360.0
+_X4 = 7.0 * E4 / 48.0 + 29.0 * E6 / 240.0 + 811.0 * E4 * E4 / 11520.0
+_X6 = 7.0 * E6 / 120.0 + 81.0 * E4 * E4 / 1120.0
+_X8 = 4279.0 * E4 * E4 / 161280.0
+
+
+def ups_north_forward(lon_deg, lat_deg, m=NP_OPS):
+    """UPS North forward: lon/lat degrees → (easting, northing)."""
+    lam = lon_deg * _D2R
+    phi = lat_deg * _D2R
+    es = _E1SQ * m.sin(phi)
+    # ((1-e·sinφ)/(1+e·sinφ))^(e/2) written power-free (exp∘ln) so all
+    # backends take the identical libm path
+    t = m.tan(math.pi / 4.0 - phi / 2.0) / m.exp(
+        (_E1SQ / 2.0) * m.log((1.0 - es) / (1.0 + es))
+    )
+    rho = 2.0 * WGS84_A * K0_UPS * t / _PS_RHO_DEN
+    x = UPS_FE + rho * m.sin(lam)
+    y = UPS_FN - rho * m.cos(lam)
+    return x, y
+
+
+def ups_north_inverse(x, y, m=NP_OPS):
+    """UPS North inverse via the conformal-latitude series."""
+    dx = x - UPS_FE
+    dy = y - UPS_FN
+    rho = m.sqrt(dx * dx + dy * dy)
+    t = rho * _PS_RHO_DEN / (2.0 * WGS84_A * K0_UPS)
+    chi = math.pi / 2.0 - 2.0 * m.atan(t)
+    phi = (
+        chi
+        + _X2 * m.sin(2.0 * chi)
+        + _X4 * m.sin(4.0 * chi)
+        + _X6 * m.sin(6.0 * chi)
+        + _X8 * m.sin(8.0 * chi)
+    )
+    lam = m.atan2(dx, -dy)
+    return lam / _D2R, phi / _D2R
+
+
 _REGISTRY: dict[tuple[str, str], Callable[[], AxisTransform]] = {
     ("EPSG:4326", "EPSG:3857"): _geo_to_merc,
     ("EPSG:3857", "EPSG:4326"): _merc_to_geo,
 }
 
 
-def register_transform(tf: AxisTransform) -> None:
-    """Plug a user-supplied axis-separable monotone SRS pair into the
-    registry (both the numpy and Column forms are required — the warp
-    needs the first for the executor gather and the second for the
-    distributed cover generation). General curvilinear transforms
-    remain unsupported by design (SURVEY §7)."""
+def register_transform(tf) -> None:
+    """Plug a user-supplied SRS pair (AxisTransform or PlaneTransform)
+    into the registry (both the numpy and Column forms are required —
+    the warp needs the first for the executor gather and the second for
+    the distributed cover generation). General curvilinear transforms
+    (datum shifts, grid-based) remain unsupported by design (SURVEY §7)."""
     _REGISTRY[(tf.src, tf.dst)] = lambda: tf
 
 
-def get_transform(src_srs: str, dst_srs: str) -> AxisTransform:
-    """Transform src→dst world coords; identity when equal; raises for
-    pairs outside the registry (the reference raises through GDAL for
-    unknown SRS too — unsupported is an error, not a silent no-op)."""
+def _utm_params(code: str):
+    """'EPSG:326zz'/'EPSG:327zz' → (central meridian deg, false
+    northing) or None."""
+    if not code.startswith("EPSG:32") or len(code) != 10:
+        return None
+    kind, zz = code[7], code[8:]
+    if kind not in "67" or not zz.isdigit():
+        return None
+    zone = int(zz)
+    if not 1 <= zone <= 60:
+        return None
+    lon0 = -183.0 + 6.0 * zone
+    return lon0, (10000000.0 if kind == "7" else 0.0)
+
+
+def _dynamic_lookup(src: str, dst: str):
+    """Resolve UTM/UPS pairs against EPSG:4326 by code pattern."""
+    for code, fwd in ((dst, True), (src, False)):
+        other = src if fwd else dst
+        if other != "EPSG:4326":
+            continue
+        utm = _utm_params(code)
+        if utm is not None:
+            lon0, fn = utm
+            if fwd:
+                return PlaneTransform(
+                    "EPSG:4326", code,
+                    np_xy=lambda lon, lat: tm_forward(lon, lat, lon0, fn, NP_OPS),
+                    col_xy=lambda lon, lat: tm_forward(lon, lat, lon0, fn, COL_OPS),
+                )
+            return PlaneTransform(
+                code, "EPSG:4326",
+                np_xy=lambda x, y: tm_inverse(x, y, lon0, fn, NP_OPS),
+                col_xy=lambda x, y: tm_inverse(x, y, lon0, fn, COL_OPS),
+            )
+        if code == "EPSG:5041":
+            if fwd:
+                return PlaneTransform(
+                    "EPSG:4326", code,
+                    np_xy=lambda lon, lat: ups_north_forward(lon, lat, NP_OPS),
+                    col_xy=lambda lon, lat: ups_north_forward(lon, lat, COL_OPS),
+                )
+            return PlaneTransform(
+                code, "EPSG:4326",
+                np_xy=lambda x, y: ups_north_inverse(x, y, NP_OPS),
+                col_xy=lambda x, y: ups_north_inverse(x, y, COL_OPS),
+            )
+    return None
+
+
+def _lookup(src: str, dst: str):
+    entry = _REGISTRY.get((src, dst))
+    if entry is not None:
+        return entry()
+    return _dynamic_lookup(src, dst)
+
+
+def get_transform(src_srs: str, dst_srs: str):
+    """Transform src→dst world coords (AxisTransform or
+    PlaneTransform); identity when equal; UTM/UPS codes resolve
+    dynamically and any pair composes through EPSG:4326 when both hops
+    exist (e.g. EPSG:32633 → EPSG:3857, the common UTM→WebMercator
+    warp). Raises for anything else (the reference raises through GDAL
+    for unknown SRS too — unsupported is an error, not a silent
+    no-op)."""
     if src_srs == dst_srs:
         return _identity(src_srs)
-    try:
-        return _REGISTRY[(src_srs, dst_srs)]()
-    except KeyError:
-        raise ValueError(
-            f"no transform {src_srs!r} → {dst_srs!r}; registered: "
-            f"{sorted(_REGISTRY)} (general reprojection out of scope, SURVEY §7)"
-        ) from None
+    tf = _lookup(src_srs, dst_srs)
+    if tf is not None:
+        return tf
+    hub = "EPSG:4326"
+    if src_srs != hub and dst_srs != hub:
+        t1, t2 = _lookup(src_srs, hub), _lookup(hub, dst_srs)
+        if t1 is not None and t2 is not None:
+            p1, p2 = as_plane(t1), as_plane(t2)
+            return PlaneTransform(
+                src_srs, dst_srs,
+                np_xy=lambda x, y: p2.np_xy(*p1.np_xy(x, y)),
+                col_xy=lambda x, y: p2.col_xy(*p1.col_xy(x, y)),
+            )
+    raise ValueError(
+        f"no transform {src_srs!r} → {dst_srs!r}; registered: "
+        f"{sorted(_REGISTRY)} + dynamic UTM (EPSG:326zz/327zz), UPS North "
+        f"(EPSG:5041), and compositions through EPSG:4326 "
+        "(general reprojection out of scope, SURVEY §7)"
+    )

@@ -56,12 +56,16 @@ def warp_tiles(
     ``src_srs``/``dst_srs``: optional SRS names; when they differ, the
     dst-world→src-world hop goes through ``core.srs.get_transform``
     (the reference's ``warp(srs=...)`` binding,
-    gdaldriversmodule.cpp:182-204 — here restricted to the registered
-    axis-separable monotone pairs, e.g. EPSG:4326↔3857).
+    gdaldriversmodule.cpp:182-204): axis-separable pairs (e.g.
+    EPSG:4326↔3857) use exact corner-derived source bboxes; 2-D
+    ``PlaneTransform`` pairs (UTM EPSG:326zz/327zz, UPS EPSG:5041, and
+    compositions like UTM→WebMercator) sample a 3×3 boundary grid per
+    destination tile with a 2-px safety pad — sufficient for conformal
+    projections whose curvature over one tile is far below a pixel.
 
     Output: one row per destination tile (ocx, ocy).
     """
-    from ..core.srs import get_transform
+    from ..core.srs import PlaneTransform, get_transform
 
     if not (gt_orthogonal(src_gt) and gt_orthogonal(dst_gt)):
         raise ValueError("warp requires orthogonal geotransforms (blender.cpp:133-139)")
@@ -70,6 +74,7 @@ def warp_tiles(
     if src_srs != dst_srs and not (src_srs and dst_srs):
         raise ValueError("cross-SRS warp needs BOTH src_srs and dst_srs")
     tf = get_transform(dst_srs, src_srs)  # dst world → src world
+    plane = isinstance(tf, PlaneTransform)
 
     dst_h, dst_w = dst_shape
     tiles_x = (dst_w + tile_px - 1) // tile_px
@@ -97,17 +102,37 @@ def warp_tiles(
     def _src_px(world_expr, off, scale):
         return F.lit(off) + world_expr * F.lit(scale)
 
-    # the two pixel-corner world coords per axis, through the inverse
-    xs0 = tf.col_x(F.lit(d0) + F.col("ocx") * F.lit(T * d1))
-    xs1 = tf.col_x(F.lit(d0) + (F.col("ocx") + 1) * F.lit(T * d1))
-    ys0 = tf.col_y(F.lit(d3) + F.col("ocy") * F.lit(T * d5))
-    ys1 = tf.col_y(F.lit(d3) + (F.col("ocy") + 1) * F.lit(T * d5))
-    sc0, sc1 = _src_px(xs0, i0, i1), _src_px(xs1, i0, i1)
-    sr0, sr1 = _src_px(ys0, i3, i5), _src_px(ys1, i3, i5)
-    c0 = (F.floor(F.least(sc0, sc1)) - 1).cast("long")
-    c1 = (F.ceil(F.greatest(sc0, sc1)) + 1).cast("long")
-    r0 = (F.floor(F.least(sr0, sr1)) - 1).cast("long")
-    r1 = (F.ceil(F.greatest(sr0, sr1)) + 1).cast("long")
+    if plane:
+        # non-separable transform: source bbox from a 3×3 grid of
+        # boundary points (corners + edge midpoints + center) per
+        # destination tile, padded 2 px — for the registered conformal
+        # projections the edge between samples bows by far less than a
+        # pixel at any practical tile size/resolution
+        fracs = (0.0, 0.5, 1.0)
+        scs, srs_ = [], []
+        for fx in fracs:
+            for fy in fracs:
+                wx = F.lit(d0) + (F.col("ocx") + F.lit(fx)) * F.lit(T * d1)
+                wy = F.lit(d3) + (F.col("ocy") + F.lit(fy)) * F.lit(T * d5)
+                sx, sy = tf.col_xy(wx, wy)
+                scs.append(_src_px(sx, i0, i1))
+                srs_.append(_src_px(sy, i3, i5))
+        c0 = (F.floor(F.least(*scs)) - 2).cast("long")
+        c1 = (F.ceil(F.greatest(*scs)) + 2).cast("long")
+        r0 = (F.floor(F.least(*srs_)) - 2).cast("long")
+        r1 = (F.ceil(F.greatest(*srs_)) + 2).cast("long")
+    else:
+        # the two pixel-corner world coords per axis, through the inverse
+        xs0 = tf.col_x(F.lit(d0) + F.col("ocx") * F.lit(T * d1))
+        xs1 = tf.col_x(F.lit(d0) + (F.col("ocx") + 1) * F.lit(T * d1))
+        ys0 = tf.col_y(F.lit(d3) + F.col("ocy") * F.lit(T * d5))
+        ys1 = tf.col_y(F.lit(d3) + (F.col("ocy") + 1) * F.lit(T * d5))
+        sc0, sc1 = _src_px(xs0, i0, i1), _src_px(xs1, i0, i1)
+        sr0, sr1 = _src_px(ys0, i3, i5), _src_px(ys1, i3, i5)
+        c0 = (F.floor(F.least(sc0, sc1)) - 1).cast("long")
+        c1 = (F.ceil(F.greatest(sc0, sc1)) + 1).cast("long")
+        r0 = (F.floor(F.least(sr0, sr1)) - 1).cast("long")
+        r1 = (F.ceil(F.greatest(sr0, sr1)) + 1).cast("long")
     bounded = base.select(
         "ocx", "ocy",
         F.greatest(F.floor(c0 / tile_px).cast("long"), F.lit(0)).alias("sx_lo"),
@@ -152,15 +177,18 @@ def warp_tiles(
         # destination pixel centers → world → source pixel coords
         cols = ocx * tile_px + np.arange(tile_px) + 0.5
         rws = ocy * tile_px + np.arange(tile_px) + 0.5
-        wx = tf.np_x(dgt[0] + cols * dgt[1])
-        wy = tf.np_y(dgt[3] + rws * dgt[5])
         igt = gt_invert(np.asarray(sgt, np.float64))
-        scol = igt[0] + wx * igt[1]
-        srow = igt[3] + wy * igt[5]
-        # window-relative
-        scol = scol - c0 * tile_px
-        srow = srow - r0 * tile_px
-        SC, SR = np.meshgrid(scol, srow)
+        if plane:
+            WX, WY = np.meshgrid(dgt[0] + cols * dgt[1], dgt[3] + rws * dgt[5])
+            sx, sy = tf.np_xy(WX, WY)
+            SC = igt[0] + sx * igt[1] - c0 * tile_px
+            SR = igt[3] + sy * igt[5] - r0 * tile_px
+        else:
+            wx = tf.np_x(dgt[0] + cols * dgt[1])
+            wy = tf.np_y(dgt[3] + rws * dgt[5])
+            scol = igt[0] + wx * igt[1] - c0 * tile_px
+            srow = igt[3] + wy * igt[5] - r0 * tile_px
+            SC, SR = np.meshgrid(scol, srow)
         # destination pixels whose source CENTER falls outside the
         # assembled window are outside source coverage → nodata, not
         # edge-replicated values (review r02b; the reference warp

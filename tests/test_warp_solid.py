@@ -271,3 +271,137 @@ def test_warp_user_registered_transform(spark):
     got = np.block([[tile[(0, 0)]], ])
     # 10× world ÷10 transform = identity on pixels
     assert (got == full[:TS, :TS]).all()
+
+
+# ------------------------------------------------------- UTM / UPS (r03)
+
+def test_utm_roundtrip_and_anchors():
+    """Ellipsoidal transverse Mercator (Snyder series): round-trip to
+    <1e-8 deg across a zone; E=500000 exactly on the central meridian;
+    the published WGS84 meridian-arc value to 45° (4 984 944.378 m)
+    reproduced sub-mm through N/k0."""
+    from gdal_drivers_spark.core import srs
+
+    lon = np.linspace(12.01, 17.99, 23)
+    lat = np.linspace(-79.0, 79.0, 31)
+    LO, LA = np.meshgrid(lon, lat)
+    E, N = srs.tm_forward(LO, LA, 15.0, 0.0)
+    lo2, la2 = srs.tm_inverse(E, N, 15.0, 0.0)
+    assert abs(lo2 - LO).max() < 1e-8 and abs(la2 - LA).max() < 1e-8
+    E0, N0 = srs.tm_forward(np.array([15.0]), np.array([45.0]), 15.0, 0.0)
+    assert E0[0] == 500000.0
+    assert abs(N0[0] / srs.K0_UTM - 4984944.378) < 1e-3
+    # south zone: false northing 10^7
+    _, Ns = srs.tm_forward(np.array([15.0]), np.array([-0.001]), 15.0, 1e7)
+    assert 0 < 1e7 - Ns[0] < 200
+
+
+def test_ups_north_epsg_worked_example():
+    """EPSG Guidance Note 7-2 UPS North worked example: 73N 44E →
+    E 3320416.75, N 632668.43 (published to cm)."""
+    from gdal_drivers_spark.core import srs
+
+    X, Y = srs.ups_north_forward(np.array([44.0]), np.array([73.0]))
+    assert abs(X[0] - 3320416.75) < 0.01 and abs(Y[0] - 632668.43) < 0.01
+    lo, la = srs.ups_north_inverse(X, Y)
+    assert abs(lo[0] - 44.0) < 1e-9 and abs(la[0] - 73.0) < 1e-9
+
+
+def test_get_transform_utm_codes_and_composition():
+    """EPSG:326zz/327zz resolve dynamically both directions; unknown
+    codes still raise; UTM→WebMercator composes through EPSG:4326."""
+    from gdal_drivers_spark.core import srs
+
+    tf = srs.get_transform("EPSG:4326", "EPSG:32633")
+    x, y = tf.np_xy(np.array([15.0]), np.array([45.0]))
+    assert x[0] == 500000.0
+    inv = srs.get_transform("EPSG:32633", "EPSG:4326")
+    lo, la = inv.np_xy(x, y)
+    # series-truncation round-trip: ~1e-9 deg (sub-mm on the ground)
+    assert abs(lo[0] - 15.0) < 1e-8 and abs(la[0] - 45.0) < 1e-8
+    comp = srs.get_transform("EPSG:32633", "EPSG:3857")
+    mx, my = comp.np_xy(np.array([500000.0]), np.array([y[0]]))
+    # reference: 4326→3857 of (15, 45)
+    ref = srs.get_transform("EPSG:4326", "EPSG:3857")
+    # mm-level: the UTM inverse's series truncation (~1e-9 deg)
+    # propagates through the Mercator forward
+    assert abs(mx[0] - ref.np_x(np.array([15.0]))[0]) < 1e-3
+    assert abs(my[0] - ref.np_y(np.array([45.0]))[0]) < 1e-3
+    with pytest.raises(ValueError, match="no transform"):
+        srs.get_transform("EPSG:32661", "EPSG:99999")
+    with pytest.raises(ValueError, match="no transform"):
+        srs.get_transform("EPSG:4326", "EPSG:32600")  # zone 0 invalid
+
+
+def _warp_oracle_nearest(full, tf_np, sgt, dgt, dst_shape, nodata=0.0):
+    """Scalar reference for the plane-transform warp: every dst pixel
+    center → world → src world → src pixel, nearest, nodata outside."""
+    from gdal_drivers_spark.core.geometry import gt_invert
+
+    igt = gt_invert(np.asarray(sgt, np.float64))
+    H, W = dst_shape
+    out = np.zeros((H, W), np.uint8)
+    cols = np.arange(W) + 0.5
+    rows = np.arange(H) + 0.5
+    WX, WY = np.meshgrid(dgt[0] + cols * dgt[1], dgt[3] + rows * dgt[5])
+    sx, sy = tf_np(WX, WY)
+    SC = igt[0] + sx * igt[1]
+    SR = igt[3] + sy * igt[5]
+    h, w = full.shape
+    xi = np.floor(SC).astype(np.int64)
+    yi = np.floor(SR).astype(np.int64)
+    inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    out[inside] = full[yi[inside].clip(0, h - 1), xi[inside].clip(0, w - 1)]
+    out[~inside] = nodata
+    return out
+
+
+def test_warp_utm_to_geographic_matches_oracle(spark):
+    """The PlaneTransform warp path: a raster on a UTM 33N grid warped
+    to EPSG:4326, every output pixel equal to the scalar oracle —
+    including tile seams, which proves the 3×3 boundary-sampled source
+    bbox captured every contributing source tile."""
+    from gdal_drivers_spark.core import srs
+    from gdal_drivers_spark.core.geometry import gt_from_extents
+
+    rng = np.random.default_rng(33)
+    full = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+    src = _src_tiles_df(spark, full, TS)
+    # src: UTM 33N window 300-700 km E, 4.4-5.4 Mm N
+    sgt = gt_from_extents(300000, 4400000, 700000, 5400000, 128, 128)
+    # dst: lon 12-18, lat 40-48
+    dgt = gt_from_extents(12.0, 40.0, 18.0, 48.0, 128, 128)
+    tf = srs.get_transform("EPSG:4326", "EPSG:32633")  # dst world → src world
+    exp = _warp_oracle_nearest(full, tf.np_xy, sgt, dgt, (128, 128))
+    got = np.zeros_like(exp)
+    for r in warp_tiles(src, sgt, dgt, (128, 128), tile_px=TS, method="nearest",
+                        src_srs="EPSG:32633", dst_srs="EPSG:4326").collect():
+        t = np.frombuffer(r["tile"], np.uint8).reshape(TS, TS)
+        got[r["ocy"] * TS:(r["ocy"] + 1) * TS, r["ocx"] * TS:(r["ocx"] + 1) * TS] = t
+    assert (got == exp).all(), int((got != exp).sum())
+
+
+def test_warp_utm_to_webmercator_composed(spark):
+    """UTM→3857 — the most common real reference-warp() pair — runs
+    through the automatic composition via EPSG:4326 and matches the
+    scalar oracle using the same composed transform."""
+    from gdal_drivers_spark.core import srs
+    from gdal_drivers_spark.core.geometry import gt_from_extents
+
+    rng = np.random.default_rng(34)
+    full = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+    src = _src_tiles_df(spark, full, TS)
+    sgt = gt_from_extents(300000, 4400000, 700000, 5400000, 128, 128)
+    # dst: the same area in WebMercator meters (lon 12-18, lat 40-48)
+    g2m = srs.get_transform("EPSG:4326", "EPSG:3857")
+    x0, x1 = float(g2m.np_x(np.array([12.0]))[0]), float(g2m.np_x(np.array([18.0]))[0])
+    y0, y1 = float(g2m.np_y(np.array([40.0]))[0]), float(g2m.np_y(np.array([48.0]))[0])
+    dgt = gt_from_extents(x0, y0, x1, y1, 128, 128)
+    tf = srs.get_transform("EPSG:3857", "EPSG:32633")
+    exp = _warp_oracle_nearest(full, tf.np_xy, sgt, dgt, (128, 128))
+    got = np.zeros_like(exp)
+    for r in warp_tiles(src, sgt, dgt, (128, 128), tile_px=TS, method="nearest",
+                        src_srs="EPSG:32633", dst_srs="EPSG:3857").collect():
+        t = np.frombuffer(r["tile"], np.uint8).reshape(TS, TS)
+        got[r["ocy"] * TS:(r["ocy"] + 1) * TS, r["ocx"] * TS:(r["ocx"] + 1) * TS] = t
+    assert (got == exp).all(), int((got != exp).sum())
