@@ -1508,9 +1508,10 @@ _CONFIG_ORACLE_SQL = """
 
 def q_schema_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 (CreateCopy, solid.cpp:276-328): derive a solid config from
-    an existing tile table's schema (bands + dtypes + tile size), then
-    emit the derived spec — band count, dtype and constant value per
-    band must match the source schema exactly."""
+    an existing tile table's schema (bands + dtypes + per-band
+    colorinterp + tile size), with per-band COLOR creation values
+    (solid.cpp:286-300) — band count, dtype, color interpretation and
+    constant value per band must match the source schema exactly."""
     from gdal_drivers_spark.operators.solid import schema_copy
 
     nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -1521,20 +1522,27 @@ def q_schema_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(
             F.array(F.lit("u8"), F.lit("u16"), F.lit("i32")), F.col("band") + 1
         ).alias("dtype"),
+        F.element_at(
+            F.array(F.lit("red"), F.lit("green"), F.lit("blue")), F.col("band") + 1
+        ).alias("colorinterp"),
         F.lit(64).alias("ts"),
     )
-    cfg = schema_copy(tiles, value=9.0)
+    # COLOR options for bands 0 and 1 only; band 2 falls back to value
+    cfg = schema_copy(tiles, value=9.0, colors=[11.0, 22.0])
     rows = [
-        (int(b), str(dt), float(v), int(cfg["tile_px"]))
-        for b, (v, dt) in enumerate(cfg["bands"])
+        (int(b), str(dt), str(ci), float(v), int(cfg["tile_px"]))
+        for b, (v, dt, ci) in enumerate(cfg["bands"])
     ]
-    return spark.createDataFrame(rows, "band int, dtype string, value double, tile_px int")
+    return spark.createDataFrame(
+        rows, "band int, dtype string, colorinterp string, value double, tile_px int"
+    )
 
 
 _SCHEMA_COPY_ORACLE_SQL = """
-    SELECT CAST(v.band AS INT) AS band, v.dtype,
-           CAST(9.0 AS DOUBLE) AS value, CAST(64 AS INT) AS tile_px
-    FROM (VALUES (0, 'u8'), (1, 'u16'), (2, 'i32')) v(band, dtype)
+    SELECT CAST(v.band AS INT) AS band, v.dtype, v.colorinterp,
+           CAST(v.value AS DOUBLE) AS value, CAST(64 AS INT) AS tile_px
+    FROM (VALUES (0, 'u8', 'red', 11.0), (1, 'u16', 'green', 22.0),
+                 (2, 'i32', 'blue', 9.0)) v(band, dtype, colorinterp, value)
 """
 
 

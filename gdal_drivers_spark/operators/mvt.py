@@ -49,8 +49,18 @@ _TYPE_NAMES = {
 }
 
 
-def decode_features(layers: DataFrame, world=(0.0, 0.0, 1.0, 1.0)) -> DataFrame:
-    """Encoded layers → feature rows (columnar batch decode + explode)."""
+def decode_features(
+    layers: DataFrame, world=(0.0, 0.0, 1.0, 1.0), fields: bool = True
+) -> DataFrame:
+    """Encoded layers → feature rows (columnar batch decode + explode).
+
+    ``fields=False`` is the reference's ``MVT_NOFIELDS`` open option
+    (mvt.cpp:806-807 via :543/:599-601): skip attribute decode
+    entirely — ``props`` comes back empty and the tag→dictionary work
+    is never done (a decode-cost lever; Spark column pruning removes
+    the column downstream, this removes the Python work too). The
+    'id'-attribute FID fallback necessarily disappears with the
+    fields, exactly as in the reference."""
 
     def _decode(batches):
         for pdf in batches:
@@ -64,11 +74,12 @@ def decode_features(layers: DataFrame, world=(0.0, 0.0, 1.0, 1.0)) -> DataFrame:
                         continue  # UNKNOWN skipped (mvt.cpp:526-533)
                     # --- attributes (dictionary join, J4)
                     props = {}
-                    tags = list(f["tags"])
-                    for i in range(0, len(tags) - 1, 2):  # odd trailing ignored
-                        ki, vi = tags[i], tags[i + 1]
-                        if 0 <= ki < len(keys) and 0 <= vi < len(values):
-                            props[keys[ki]] = values[vi]
+                    if fields:
+                        tags = list(f["tags"])
+                        for i in range(0, len(tags) - 1, 2):  # odd trailing ignored
+                            ki, vi = tags[i], tags[i + 1]
+                            if 0 <= ki < len(keys) and 0 <= vi < len(values):
+                                props[keys[ki]] = values[vi]
                     # --- FID: proto id wins, else 'id' attribute, else seq
                     fid = int(f["id"])
                     if fid == 0 and "id" in props:
@@ -189,7 +200,9 @@ def encode_tiles_proto(layers: DataFrame) -> DataFrame:
     )
 
 
-def decode_features_proto(tiles: DataFrame, world=(0.0, 0.0, 1.0, 1.0)) -> DataFrame:
+def decode_features_proto(
+    tiles: DataFrame, world=(0.0, 0.0, 1.0, 1.0), fields: bool = True
+) -> DataFrame:
     """Real ``.mvt``/``.pbf`` protobuf tiles → feature rows.
 
     Input rows: (z:int, tx:long, ty:long, data:binary) — the shape the
@@ -198,7 +211,11 @@ def decode_features_proto(tiles: DataFrame, world=(0.0, 0.0, 1.0, 1.0)) -> DataF
     typed attribute side-channel (F9). One layer-in-tile may fan out to
     many feature rows; corrupt tiles poison only their own rows (the
     decode guards per-tile, emitting zero features for garbage bytes
-    rather than failing the stage)."""
+    rather than failing the stage).
+
+    ``fields=False`` = the reference's ``MVT_NOFIELDS`` open option
+    (mvt.cpp:806-807): both attribute maps come back empty and the
+    tag→dictionary/Value work is skipped entirely."""
     from ..core import mvtproto
 
     def _decode(batches):
@@ -223,13 +240,14 @@ def decode_features_proto(tiles: DataFrame, world=(0.0, 0.0, 1.0, 1.0)) -> DataF
                             continue  # UNKNOWN skipped (mvt.cpp:526-533)
                         props: dict = {}
                         tprops: dict = {}
-                        tags = f["tags"]
-                        for i in range(0, len(tags) - 1, 2):
-                            ki, vi = int(tags[i]), int(tags[i + 1])
-                            if 0 <= ki < len(keys) and 0 <= vi < len(vals):
-                                kind, v = vals[vi]
-                                props[keys[ki]] = _stringize(kind, v)
-                                tprops[keys[ki]] = _typed(kind, v)
+                        if fields:
+                            tags = f["tags"]
+                            for i in range(0, len(tags) - 1, 2):
+                                ki, vi = int(tags[i]), int(tags[i + 1])
+                                if 0 <= ki < len(keys) and 0 <= vi < len(vals):
+                                    kind, v = vals[vi]
+                                    props[keys[ki]] = _stringize(kind, v)
+                                    tprops[keys[ki]] = _typed(kind, v)
                         fid = int(f["id"])
                         if fid == 0 and "id" in props:
                             try:

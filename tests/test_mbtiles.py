@@ -117,6 +117,27 @@ def test_full_reference_pipeline(spark, tmp_path):
             assert r.geom_type == "point" and r.n_vertices == 1
 
 
+def test_proto_nofields_skips_value_decode(spark):
+    """MVT_NOFIELDS on the real-protobuf path (mvt.cpp:806-807):
+    fields=False yields the same features with BOTH attribute maps
+    empty, geometry untouched."""
+    tile = mvtproto.encode_tile(
+        [{"name": "l", "extent": 256, "version": 2,
+          "keys": ["a"], "values": [("int", 7)],
+          "features": [{"id": 5, "tags": np.array([0, 0], np.uint64),
+                        "geom_type": 1,
+                        "geometry": np.array([9, 2, 2], np.uint64)}]}]
+    )
+    tiles = spark.createDataFrame(
+        [(0, 0, 0, tile)], "z int, tx long, ty long, data binary"
+    )
+    full = decode_features_proto(tiles).collect()
+    bare = decode_features_proto(tiles, fields=False).collect()
+    assert full[0].props == {"a": "7"} and full[0].props_typed["a"]["i"] == 7
+    assert bare[0].props == {} and bare[0].props_typed == {}
+    assert bare[0].fid == 5 and bare[0].geom_json == full[0].geom_json
+
+
 def test_proto_poison_tile_survives(spark):
     """Corrupt protobuf bytes poison only their own rows; the stage
     completes (decode guard in decode_features_proto)."""

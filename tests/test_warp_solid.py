@@ -114,10 +114,37 @@ def test_overview_chain():
 
 
 def test_schema_copy(spark):
-    df = solid_tiles(spark, 256, 256, [(5, "u8"), (6, "i32")])
+    df = solid_tiles(spark, 256, 256, [(5, "u8", "gray"), (6, "i32")])
     cfg = schema_copy(df, value=9)
-    assert cfg["bands"] == [(9, "u8"), (9, "i32")]
+    # colorinterp copied per band (solid.cpp:318-321); default undefined
+    assert cfg["bands"] == [(9, "u8", "gray"), (9, "i32", "undefined")]
     assert cfg["tile_px"] == 256
+    # COLOR creation options (solid.cpp:286-300): per-band values in
+    # band order, missing entries fall back, extras ignored
+    cfg2 = schema_copy(df, value=9, colors=[3.5])
+    assert cfg2["bands"] == [(3.5, "u8", "gray"), (9, "i32", "undefined")]
+    # colorinterp-free source frames still copy (legacy schema)
+    cfg3 = schema_copy(df.drop("colorinterp"), value=1)
+    assert cfg3["bands"] == [(1, "u8", "undefined"), (1, "i32", "undefined")]
+    with pytest.raises(ValueError, match="colorinterp"):
+        solid_tiles(spark, 64, 64, [(1, "u8", "notacolor")])
+
+
+def test_mvt_nofields_skips_attribute_decode(spark):
+    """MVT_NOFIELDS (mvt.cpp:806-807): fields=False returns the same
+    features with EMPTY attribute maps, both on the engine codec path
+    and the real-protobuf path."""
+    from gdal_drivers_spark.operators.mvt import decode_features
+    from tests.test_vectorops import _layer_df  # shared fixture builder
+
+    layers = _layer_df(spark, synth.mvt_fixture(n_features=64))
+    full = decode_features(layers).collect()
+    bare = decode_features(layers, fields=False).collect()
+    assert len(full) == len(bare) > 0
+    assert any(r["props"] for r in full)
+    assert all(not r["props"] for r in bare)
+    k = lambda r: (r["z"], r["tx"], r["ty"], r["layer"], r["fid"])
+    assert {k(r): r["geom_json"] for r in full} == {k(r): r["geom_json"] for r in bare}
 
 
 # ------------------------------------------------------------- maskfile
