@@ -150,9 +150,18 @@ class CheckpointedWriter:
         # The committed-batch filter only exists on RESUME — on a fresh
         # write it would double-evaluate any Python UDF feeding the
         # batch column (Catalyst duplicates the expression into the
-        # filter) for no row reduction.
-        to_write = tagged if not done else tagged.filter(
-            ~F.col("batch").isin([int(b) for b in done])
+        # filter) for no row reduction. The filter is a broadcast
+        # LEFT-ANTI JOIN against the manifest frame, not an isin(list):
+        # an In-expression over 10⁴⁺ committed ids is a giant
+        # expression tree materialized on the driver and shipped with
+        # every task — the anti-join stays O(1) driver-side no matter
+        # how many batches the manifest holds.
+        to_write = tagged if not done else tagged.join(
+            F.broadcast(
+                self._read_manifest().select(F.col("batch_id").alias("batch"))
+            ),
+            "batch",
+            "left_anti",
         )
         from gdal_drivers_spark.plans.lineage import observed
 
@@ -193,14 +202,16 @@ class CheckpointedWriter:
             )
 
         # ONE agg over the written output: per-(batch, lineage-bucket)
-        # count/checksum/envelope. Batch-level stats fold from the
-        # bucket records driver-side (≤ batches × buckets tiny rows) —
-        # xor of per-bucket xors == batch xor, so no second pass.
+        # count/checksum/envelope. The bucket records are written to
+        # _lineage DISTRIBUTED (partitionBy batch, dynamic overwrite —
+        # never through the driver); only the per-batch fold (ONE row
+        # per batch: xor of per-bucket xors == batch xor) is collected
+        # for the manifest rows, so driver memory stays flat in the
+        # bucket count and linear only in #batches (ints — 10⁴⁺ fine).
         from gdal_drivers_spark.plans.lineage import lineage_bucket
 
         nonempty = [b for b in pending if b not in set(empty)]
         per_batch = {b: (0, 0) for b in pending}
-        lin_rows: dict[int, list] = {b: [] for b in pending}
         if nonempty:
             written = self.spark.read.option("basePath", self.out).parquet(
                 *[f"{self.out}/batch={b}" for b in nonempty]
@@ -211,7 +222,7 @@ class CheckpointedWriter:
             # try_cast: NULL (hence 0) for non-numeric keys instead of
             # an ANSI cast error killing the commit after the data
             # already landed.
-            recs = (
+            recs_df = (
                 written.groupBy(
                     "batch",
                     lineage_bucket(key, lineage_buckets, portable=False).alias("bucket"),
@@ -219,40 +230,83 @@ class CheckpointedWriter:
                 .agg(
                     F.count("*").alias("n"),
                     F.expr(f"bit_xor(xxhash64({key}))").alias("ck"),
-                    F.min(F.expr(f"try_cast({key} AS BIGINT)")).alias("key_min"),
-                    F.max(F.expr(f"try_cast({key} AS BIGINT)")).alias("key_max"),
+                    F.coalesce(
+                        F.min(F.expr(f"try_cast({key} AS BIGINT)")), F.lit(0)
+                    ).alias("key_min"),
+                    F.coalesce(
+                        F.max(F.expr(f"try_cast({key} AS BIGINT)")), F.lit(0)
+                    ).alias("key_max"),
                 )
-                .collect()
+                .select(
+                    "batch", "bucket",
+                    F.col("n").alias("n_rows"),
+                    F.coalesce(F.col("ck"), F.lit(0)).alias("checksum"),
+                    "key_min", "key_max",
+                )
             )
-            for r in recs:
-                b = int(r["batch"])
-                lin_rows.setdefault(b, []).append(
-                    (int(r["bucket"]), int(r["n"]), int(r["ck"] or 0),
-                     int(r["key_min"] or 0), int(r["key_max"] or 0))
+            from pyspark import StorageLevel
+
+            recs_df = recs_df.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                # lineage records land BEFORE any commit row: a
+                # committed batch is guaranteed its per-bucket evidence
+                (
+                    recs_df.write.partitionBy("batch")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .mode("overwrite")
+                    .parquet(f"{self.out}/_lineage")
                 )
-            for b, rows in lin_rows.items():
-                n = sum(x[1] for x in rows)
-                ck = 0
-                for x in rows:
-                    ck ^= x[2]
-                per_batch[b] = (n, ck)
+                folded = (
+                    recs_df.groupBy("batch")
+                    .agg(
+                        F.sum("n_rows").alias("n"),
+                        F.expr("bit_xor(checksum)").alias("ck"),
+                    )
+                    .collect()
+                )
+            finally:
+                recs_df.unpersist()
+            for r in folded:
+                per_batch[int(r["batch"])] = (int(r["n"]), int(r["ck"] or 0))
+        # EMPTY pending batches still get a 0-row lineage file so
+        # audits never find a manifest row without evidence
         lin_schema = "bucket long, n_rows long, checksum long, key_min long, key_max long"
+        for b in empty:
+            self.spark.createDataFrame([], lin_schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{self.out}/_lineage/batch={b}")
+
+        if fail_after is None:
+            # all pending batches' data + lineage are already on disk —
+            # commit them in ONE manifest append (a single file holding
+            # one row per batch, seq assigned in batch order). The
+            # write-then-commit ordering holds for every batch, and a
+            # single append is atomic at the filesystem level; 10⁴
+            # batches commit in one tiny write instead of 10⁴.
+            rows = []
+            for b in pending:
+                n, ck = per_batch.get(b, (0, 0))
+                seq += 1
+                rows.append((int(b), int(n), int(ck), int(seq)))
+                stats["written"] += 1
+                stats["rows"] += n
+            pdf = self.spark.createDataFrame(
+                rows, "batch_id long, n_rows long, checksum long, seq long"
+            )
+            unique = f"{self.manifest_dir}/commit-multi-{uuid.uuid4().hex[:8]}"
+            pdf.coalesce(1).write.mode("overwrite").parquet(unique)
+            return stats
+
+        # fail_after set (kill-switch test path): per-batch commits so
+        # the injected failure leaves later batches written-but-
+        # uncommitted — exactly the state resume handles
         for b in pending:
             n, ck = per_batch.get(b, (0, 0))
-            # lineage records land BEFORE the commit row: a committed
-            # batch is guaranteed to have its per-bucket evidence on
-            # disk — including EMPTY batches (0-row lineage file), so
-            # audits never find a manifest row without evidence
-            self.spark.createDataFrame(
-                lin_rows.get(b) or [], lin_schema
-            ).coalesce(1).write.mode("overwrite").parquet(
-                f"{self.out}/_lineage/batch={b}"
-            )
             seq += 1
             self._commit(b, n, ck, seq)
             stats["written"] += 1
             stats["rows"] += n
-            if fail_after is not None and stats["written"] >= fail_after:
+            if stats["written"] >= fail_after:
                 raise RuntimeError(f"injected failure after {fail_after} batches")
         return stats
 
@@ -349,17 +403,36 @@ class CheckpointedWriter:
         return df
 
     def validate(self, key: str) -> bool:
-        """Recompute per-batch counts/checksums and compare to manifest."""
-        man = {
-            int(r["batch_id"]): (int(r["n_rows"]), int(r["checksum"]))
-            for r in self._read_manifest().collect()
-        }
-        for b, (n, ck) in man.items():
-            agg = (
-                self.spark.read.parquet(f"{self.out}/batch={b}")
-                .agg(F.count("*").alias("n"), F.expr(f"bit_xor(xxhash64({key}))").alias("ck"))
-                .collect()[0]
+        """Recompute per-batch counts/checksums and compare to the
+        manifest — ONE distributed pass (scan all committed batch dirs
+        with the partition column, groupBy batch, full-outer join
+        against the manifest frame), not a per-batch driver loop: at
+        10⁴⁺ committed batches the loop version costs one Spark job per
+        batch and never finishes; this is a single job regardless of
+        batch count. Empty batches recompute as (0, 0) via coalesce on
+        the join's null side."""
+        ids = sorted(self.committed())
+        if not ids:
+            return True
+        actual = (
+            self.spark.read.option("basePath", self.out)
+            .parquet(*[f"{self.out}/batch={b}" for b in ids])
+            .groupBy("batch")
+            .agg(
+                F.count("*").alias("a_n"),
+                F.coalesce(F.expr(f"bit_xor(xxhash64({key}))"), F.lit(0)).alias("a_ck"),
             )
-            if int(agg["n"]) != n or int(agg["ck"] or 0) != ck:
-                return False
-        return True
+        )
+        man = self._read_manifest().select(
+            F.col("batch_id").alias("batch"), "n_rows", "checksum"
+        )
+        bad = (
+            man.join(actual, "batch", "full_outer")
+            .filter(
+                (F.coalesce(F.col("a_n"), F.lit(0)) != F.coalesce(F.col("n_rows"), F.lit(-1)))
+                | (F.coalesce(F.col("a_ck"), F.lit(0)) != F.coalesce(F.col("checksum"), F.lit(-1)))
+            )
+            .limit(1)
+            .count()
+        )
+        return bad == 0
