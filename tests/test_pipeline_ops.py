@@ -270,6 +270,7 @@ def test_dedup_cache_swap_bounds_persisted_frames(spark):
     previous cache, and release_caches() empties the registry."""
     from gdal_drivers_spark.operators import dedup
 
+    dedup.release_caches()  # isolate from earlier tests' slots
     rows = [(i, f"doc number {i} with words {i % 7} {i % 5}") for i in range(40)]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
     sigs = minhash_signature(df, n_hashes=16)
