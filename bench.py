@@ -273,6 +273,10 @@ def run(sf_dir: str, cpus: int) -> dict:
         "asof_join", "interval_join",
         # round-2 raster rollup (pixels reduced before any shuffle)
         "zonal_stats",
+        # round-3: DEM gradients over the strip-projected halo (the
+        # exchange ships ~raster bytes, not 9x — BENCH.md r03) and the
+        # generated-oracle UTM transform chain (pure codegen trig)
+        "horn_gradients", "warp_utm",
     ]:
         q = entry_mod.queries()[name]
         dt, dt_min, _ = timed_reps(lambda: q(spark, sf_dir).count())

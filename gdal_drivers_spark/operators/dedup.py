@@ -96,11 +96,24 @@ def _swap_cache(slot: str, df: DataFrame) -> DataFrame:
     eviction pressure degrades the whole app. Swapping bounds live
     caches to one per operator slot; unpersisting a prior frame a
     caller still lazily references only costs recompute, never
-    correctness. ``release_caches()`` drops everything."""
+    correctness. ``release_caches()`` drops everything.
+
+    A repeated call over the SAME input plan keeps the existing cache
+    (``sameSemantics`` check) — Spark's CacheManager dedupes cached
+    plans by semantic equality, so re-running an identical pipeline
+    (bench loops, retries) must reuse the materialized frame rather
+    than unpersist-and-recompute it (a 5× dedup_minhash regression in
+    the r03 bench before this check)."""
     from pyspark import StorageLevel
 
-    prev = _ACTIVE_CACHES.pop(slot, None)
+    prev = _ACTIVE_CACHES.get(slot)
     if prev is not None:
+        try:
+            if prev.sameSemantics(df):
+                return prev
+        except Exception:
+            pass
+        _ACTIVE_CACHES.pop(slot, None)
         try:
             prev.unpersist()
         except Exception:
