@@ -40,42 +40,67 @@ def halo_convolve(tiles: DataFrame, tile_px: int, cell: str = "cell") -> DataFra
     """Cross-tile 3×3 box-mean — the halo join's pixel use case (the
     sliding spatial window of ``blender.cpp:601-624`` generalized to
     neighbor-PIXEL kernels). Each target cell's group receives its own
-    tile plus the ≤8 neighbors (with_halo), assembles the padded
-    window, convolves, and emits only the interior — so tile seams are
-    exact, identical to convolving the stitched full image.
+    tile plus the 1-px strips of its ≤8 neighbors
+    (``with_halo_strips`` — the kernel reads exactly that ring, so the
+    exchange ships ≈ raster bytes instead of 9×), assembles the
+    (t+2)² value + presence window, convolves, and emits the interior
+    — tile seams are exact, identical to convolving the stitched full
+    image.
 
     Input rows: (cell:long, tile:binary u8 raw tile_px²). Missing
-    neighbors (domain edge or absent tile) contribute zeros, and the
-    mean divides by the number of in-window samples (edge-normalized).
-    Output: (cell, tile) with the convolved u8 payload.
+    neighbors (domain edge or absent tile) contribute zeros and the
+    mean divides by the number of PRESENT in-window samples
+    (edge-normalized — NOT the clamp convention DEM uses). Poison
+    policy: a corrupt/NULL contribution is treated as absent; a target
+    whose own tile is corrupt yields no row (r03 — previously a
+    corrupt tile killed the stage here).
     """
-    import numpy as np
-    import pandas as pd
-
-    h = with_halo(tiles, cell=cell, ring=1)
+    h = with_halo_strips(tiles, tile_px, cell=cell)
 
     def _conv(key, pdf: pd.DataFrame) -> pd.DataFrame:
         t = tile_px
-        pad = np.zeros((3 * t, 3 * t), np.float64)
-        present = np.zeros((3 * t, 3 * t), np.float64)
+        V = np.zeros((t + 2, t + 2), np.float64)
+        Pm = np.zeros((t + 2, t + 2), np.float64)
         center_seen = False
         for r in pdf.itertuples():
-            img = np.frombuffer(bytes(r.tile), np.uint8).reshape(t, t)
-            # dx,dy = offset of the CONTRIBUTING tile relative to target
-            ox, oy = (int(r.dx) + 1) * t, (int(r.dy) + 1) * t
-            pad[oy : oy + t, ox : ox + t] = img
-            present[oy : oy + t, ox : ox + t] = 1.0
-            if r.dx == 0 and r.dy == 0:
+            off = (int(r.dx), int(r.dy))
+            try:
+                raw = bytes(r.payload)
+            except Exception:
+                continue
+            need = t * t if off == (0, 0) else (1 if (off[0] and off[1]) else t)
+            if len(raw) != need:
+                continue
+            a = np.frombuffer(raw, np.uint8).astype(np.float64)
+            if off == (0, 0):
+                V[1 : t + 1, 1 : t + 1] = a.reshape(t, t)
+                Pm[1 : t + 1, 1 : t + 1] = 1.0
                 center_seen = True
+            elif off == (-1, 0):
+                V[1 : t + 1, 0] = a
+                Pm[1 : t + 1, 0] = 1.0
+            elif off == (1, 0):
+                V[1 : t + 1, t + 1] = a
+                Pm[1 : t + 1, t + 1] = 1.0
+            elif off == (0, -1):
+                V[0, 1 : t + 1] = a
+                Pm[0, 1 : t + 1] = 1.0
+            elif off == (0, 1):
+                V[t + 1, 1 : t + 1] = a
+                Pm[t + 1, 1 : t + 1] = 1.0
+            else:
+                py = 0 if off[1] == -1 else t + 1
+                px = 0 if off[0] == -1 else t + 1
+                V[py, px] = a[0]
+                Pm[py, px] = 1.0
         if not center_seen:
             return pd.DataFrame({"cell": [], "tile": []})
         acc = np.zeros((t, t), np.float64)
         cnt = np.zeros((t, t), np.float64)
-        for ky in (-1, 0, 1):
-            for kx in (-1, 0, 1):
-                y0, x0 = t + ky, t + kx
-                acc += pad[y0 : y0 + t, x0 : x0 + t]
-                cnt += present[y0 : y0 + t, x0 : x0 + t]
+        for ky in range(3):
+            for kx in range(3):
+                acc += V[ky : ky + t, kx : kx + t]
+                cnt += Pm[ky : ky + t, kx : kx + t]
         out = np.rint(acc / np.maximum(cnt, 1.0)).astype(np.uint8)
         return pd.DataFrame({"cell": [int(key[0])], "tile": [out.tobytes()]})
 

@@ -262,3 +262,37 @@ def test_halo_convolve_matches_whole_image_oracle(spark):
             g = got[int(qcell.pack(2, tx, ty))]
             e = exp[ty * t : (ty + 1) * t, tx * t : (tx + 1) * t]
             assert (g == e).all(), (tx, ty)
+
+
+def test_halo_convolve_poison_and_strip_traffic(spark):
+    """r03: halo_convolve rides the strip-projected exchange — a
+    corrupt neighbor is treated as absent (previously a stage kill),
+    and the good tile's result equals the whole-image oracle computed
+    with that neighbor missing."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_drivers_spark.core import qcell
+    from gdal_drivers_spark.operators.halo import halo_convolve
+
+    t = 8
+    img = ((np.arange(t)[:, None] * 3 + np.arange(t)[None, :] * 5) % 256).astype(np.uint8)
+    rows = [
+        (int(qcell.pack(2, 0, 0)), img.tobytes()),
+        (int(qcell.pack(2, 1, 0)), b"bad"),   # corrupt east neighbor
+        (int(qcell.pack(2, 0, 1)), None),     # NULL south neighbor
+    ]
+    tiles = spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "tile"]))
+    got = {r["cell"]: np.frombuffer(bytes(r["tile"]), np.uint8).reshape(t, t)
+           for r in halo_convolve(tiles, tile_px=t).collect()}
+    # corrupt centers yield no row; the good tile survives
+    assert set(got) == {int(qcell.pack(2, 0, 0))}
+    padv = np.zeros((t + 2, t + 2)); padv[1:-1, 1:-1] = img
+    padc = np.zeros((t + 2, t + 2)); padc[1:-1, 1:-1] = 1.0
+    acc = np.zeros((t, t)); cnt = np.zeros((t, t))
+    for ky in range(3):
+        for kx in range(3):
+            acc += padv[ky:ky + t, kx:kx + t]
+            cnt += padc[ky:ky + t, kx:kx + t]
+    exp = np.rint(acc / cnt).astype(np.uint8)
+    assert (got[int(qcell.pack(2, 0, 0))] == exp).all()
