@@ -192,6 +192,40 @@ class TileSet:
 
         return with_halo(self.df, ring=ring)
 
+    def with_halo_strips(self, tile_px: int) -> DataFrame:
+        """Strip-projected ring-1 halo (r03 scale path for 3×3 kernels
+        — exchange ≈ raster bytes, not 9×; halo.with_halo_strips)."""
+        from .operators.halo import with_halo_strips
+
+        return with_halo_strips(self.df, tile_px)
+
+    def convolve3x3(self, tile_px: int) -> DataFrame:
+        """Seam-exact cross-tile 3×3 box mean (halo.halo_convolve)."""
+        from .operators.halo import halo_convolve
+
+        return halo_convolve(self.df, tile_px)
+
+    def hillshade(self, tile_px: int, azimuth_deg: float = 315.0,
+                  altitude_deg: float = 45.0, z_factor: float = 1.0) -> DataFrame:
+        """gdaldem-style hillshade over tiles (dem.hillshade)."""
+        from .operators.dem import hillshade
+
+        return hillshade(self.df, tile_px, azimuth_deg=azimuth_deg,
+                         altitude_deg=altitude_deg, z_factor=z_factor)
+
+    def horn_gradients(self, tile_px: int) -> DataFrame:
+        """Exact integer Horn gradient summaries (dem.horn_gradients)."""
+        from .operators.dem import horn_gradients
+
+        return horn_gradients(self.df, tile_px)
+
+    def zonal(self, zones: DataFrame, **kw) -> DataFrame:
+        """Per-zone pixel statistics (zonal.zonal_stats) — stat rows
+        shuffle, pixels never."""
+        from .operators.zonal import zonal_stats
+
+        return zonal_stats(self.df, zones, **kw)
+
 
 class EmbeddingSet:
     """Fluent surface over the similarity operators for a corpus

@@ -432,3 +432,37 @@ def test_warp_utm_to_webmercator_composed(spark):
         t = np.frombuffer(r["tile"], np.uint8).reshape(TS, TS)
         got[r["ocy"] * TS:(r["ocy"] + 1) * TS, r["ocx"] * TS:(r["ocx"] + 1) * TS] = t
     assert (got == exp).all(), int((got != exp).sum())
+
+
+def test_engine_tileset_dem_zonal_verbs(spark):
+    """r03 facade verbs: TileSet.hillshade/horn_gradients/convolve3x3/
+    with_halo_strips/zonal delegate to the operators unchanged."""
+    from gdal_drivers_spark.core import qcell
+    from gdal_drivers_spark.operators.dem import hillshade_np
+
+    t = 8
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (t, t), dtype=np.uint8)
+    tiles = spark.createDataFrame(
+        pd.DataFrame([(int(qcell.pack(2, 0, 0)), img.tobytes())],
+                     columns=["cell", "tile"])
+    )
+    ts = Engine(spark).tiles(tiles)
+    hs = ts.hillshade(t).collect()
+    assert (np.frombuffer(bytes(hs[0]["tile"]), np.uint8).reshape(t, t)
+            == hillshade_np(img)).all()
+    assert ts.horn_gradients(t).collect()[0]["n_px"] == t * t
+    assert len(ts.convolve3x3(t).collect()) == 1
+    assert ts.with_halo_strips(t).count() == 4  # self + 3 in-bounds neighbors
+    # zonal goes through the codec registry (magic sniff) — encoded
+    # payloads, unlike the DEM ops' raw elevation bytes
+    enc = spark.createDataFrame(
+        pd.DataFrame([(int(qcell.pack(2, 0, 0)),
+                       codecs.encode_raw(img[:, :, None]))],
+                     columns=["cell", "tile"])
+    )
+    zones = spark.createDataFrame(
+        pd.DataFrame([(int(qcell.pack(2, 0, 0)), "za")], columns=["cell", "zone"])
+    )
+    z = Engine(spark).tiles(enc).zonal(zones).collect()
+    assert z[0]["zone"] == "za" and z[0]["n_px"] == t * t
