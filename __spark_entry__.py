@@ -1819,6 +1819,67 @@ _ANN_IVF_ORACLE_SQL = """
 """
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN product quantization (Jégou et al. 2011 — the memory path
+    at 10^12 vectors): 16 deterministic codewords (every 32nd vector),
+    m=8 subspaces of 8 components; corpus vectors encode to 8 sub-codes
+    in a ZERO-SHUFFLE narrow map (literal codebook, array_min argmin);
+    queries score by asymmetric distance — m table lookups per corpus
+    row, never a dim-length dot against the corpus. Every step is
+    exact integer arithmetic over the quantized embeddings, so encode
+    AND ADC ranking replay bit-exact in SQL."""
+    from gdal_drivers_spark.operators.similarity import pq_encode, pq_topk, quantize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb_rows = (
+        emb.filter((F.col("vec_id") % 32) == 0)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    codewords = [[int(v) for v in r["q"]] for r in cb_rows]
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    encoded = pq_encode(corpus, codewords, m=8)
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return pq_topk(qs, encoded, codewords, m=8, k=5)
+
+
+_ANN_PQ_ORACLE_SQL = """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
+        FROM embeddings
+    ), cb AS (
+        SELECT vec_id // 32 AS code_id, q AS bv FROM e WHERE vec_id % 32 = 0
+    ), enc AS (
+        SELECT vec_id, sub, code_id FROM (
+            SELECT e.vec_id, s.sub, cb.code_id,
+                   row_number() OVER (PARTITION BY e.vec_id, s.sub ORDER BY
+                       CAST(list_sum(list_transform(generate_series(1, 8),
+                            i -> (e.q[s.sub*8+i] - cb.bv[s.sub*8+i]) * (e.q[s.sub*8+i] - cb.bv[s.sub*8+i]))) AS BIGINT),
+                       cb.code_id) AS rn
+            FROM e, generate_series(0, 7) s(sub), cb
+        ) WHERE rn = 1
+    ), tab AS (
+        SELECT qe.vec_id AS qid, s.sub, cb.code_id,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                    i -> qe.q[s.sub*8+i] * cb.bv[s.sub*8+i])) AS BIGINT) AS t
+        FROM e qe, generate_series(0, 7) s(sub), cb
+        WHERE qe.vec_id < 10
+    ), scored AS (
+        SELECT tab.qid, enc.vec_id AS cid, CAST(SUM(tab.t) AS BIGINT) AS adc_q
+        FROM enc JOIN tab ON tab.sub = enc.sub AND tab.code_id = enc.code_id
+        GROUP BY 1, 2
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_q DESC, cid) AS rank
+        FROM scored
+    )
+    SELECT qid, cid, adc_q, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+"""
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: dot and squared norms are exact integers
     over the quantized embeddings, so cos = dot/sqrt(n1·n2) is one
@@ -3121,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_pq": q_ann_pq,
         "ann_cosine": q_ann_cosine,
         "unknown_filter": q_unknown_filter,
         "remote_fetch": q_remote_fetch,
@@ -3292,6 +3354,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokens": _BPE_ORACLE_SQL,
         "ann_lsh": _ANN_LSH_ORACLE_SQL,
         "ann_ivf": _ANN_IVF_ORACLE_SQL,
+        "ann_pq": _ANN_PQ_ORACLE_SQL,
         "ann_cosine": _ANN_COSINE_ORACLE_SQL,
         "unknown_filter": _UNKNOWN_FILTER_ORACLE_SQL,
         "remote_fetch": _REMOTE_FETCH_ORACLE_SQL,

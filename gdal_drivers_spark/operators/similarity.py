@@ -412,3 +412,153 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("_qid").alias(qid), F.col("_cid").alias(cid), "cos_q6", "rank")
     )
+
+
+# ------------------------------------------------------------------ PQ
+# Product quantization — the memory-compression path at 10^12-vector
+# scale: a corpus vector becomes m small code ids (one per subspace)
+# instead of dim floats, and query scoring is m table lookups (ADC)
+# instead of a dim-length dot. Composes with IVF (probe lists, then
+# ADC-score the probed lists' codes) exactly as in the standard
+# IVF-PQ design (Jégou et al. 2011, "Product Quantization for Nearest
+# Neighbor Search" — public). Everything here is deterministic exact
+# integer arithmetic over the quantized vectors, so the whole
+# encode→score chain has a closed-form SQL oracle.
+
+
+def pq_codewords_from_sample(
+    corpus: DataFrame, ncodes: int, cid: str = "cid", cvec: str = "cvec"
+) -> list[list[int]]:
+    """Deterministic codebook: the ``ncodes`` corpus vectors with the
+    smallest engine-portable spread hash (same no-RNG init as
+    ivf_train), quantized. Returns a Python list (ncodes × dim ints) —
+    the codebook is the ONLY driver-side object, bounded at
+    ncodes·dim ints just like IVF's centroid table."""
+    from gdal_drivers_spark.operators.sample import _mix
+
+    key_long = F.expr(f"try_cast({cid} AS BIGINT)")
+    spread = F.when(key_long.isNotNull(), _mix(key_long)).otherwise(
+        F.pmod(F.xxhash64(F.col(cid)), F.lit(1 << 32))
+    )
+    rows = (
+        corpus.select(quantize(F.col(cvec)).alias("_q"), spread.alias("_h"),
+                      F.col(cid).alias("_cid"))
+        .orderBy("_h", "_cid")
+        .limit(ncodes)
+        .collect()
+    )
+    return [[int(v) for v in r["_q"]] for r in rows]
+
+
+def _pq_codebook_col(codewords: list[list[int]]):
+    """ncodes × dim literal nested array Column (tiny — broadcast with
+    the task binary, like solid's constant tile)."""
+    return F.array(*[F.array(*[F.lit(int(v)) for v in cw]) for cw in codewords])
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codewords: list[list[int]],
+    m: int,
+    cid: str = "cid",
+    cvec: str = "cvec",
+) -> DataFrame:
+    """Encode every corpus vector as ``m`` sub-codes: subspace j keeps
+    components [j·d, (j+1)·d) (d = dim/m) and takes the codeword with
+    the minimum exact-integer squared L2 distance on that slice (ties →
+    smaller code id). Output: (cid, codes: array<int> length m).
+
+    Plan shape: a NARROW map — the codebook is a literal, the argmin is
+    an ``array_min`` over structs inside higher-order functions, so
+    encoding 10^12 vectors is zero-shuffle (the compression step never
+    moves data)."""
+    dim = len(codewords[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    cb = _pq_codebook_col(codewords)
+    cv = quantize(F.col(cvec))
+    ncodes = len(codewords)
+
+    def best_code(j):
+        # array_min over struct<dist, code> = lexicographic argmin
+        return F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(ncodes - 1)),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(cv, j * d + 1, d),
+                            F.slice(F.element_at(cb, c + 1), j * d + 1, d),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    ).alias("dist"),
+                    c.cast("int").alias("code"),
+                ),
+            )
+        ).getField("code")
+
+    codes = F.array(*[best_code(j) for j in range(m)])
+    return corpus.select(F.col(cid).alias(cid), codes.alias("codes"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codewords: list[list[int]],
+    m: int,
+    k: int = 5,
+    qid: str = "qid",
+    qvec: str = "qvec",
+    cid: str = "cid",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes: each
+    query precomputes an m×ncodes table of exact integer dots between
+    its subvectors and every codeword's subvector (narrow, on the tiny
+    broadcast query side); scoring a corpus vector is then m
+    ``element_at`` lookups summed — no dim-length arithmetic touches
+    the (huge) corpus side, and the corpus frame carries only the
+    m-byte codes. Output: (qid, cid, adc_q, rank), rank ≤ k, ties by
+    cid. Approximate by construction; recall is a pytest property (vs
+    brute_topk), the encode→score arithmetic itself is oracle-exact."""
+    dim = len(codewords[0])
+    d = dim // m
+    cb = _pq_codebook_col(codewords)
+    ncodes = len(codewords)
+    qv = quantize(F.col(qvec))
+    tables = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.sequence(F.lit(0), F.lit(ncodes - 1)),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(qv, j * d + 1, d),
+                    F.slice(F.element_at(cb, c + 1), j * d + 1, d),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+    q = queries.select(F.col(qid).alias("_qid"), tables.alias("_tab"))
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("_tab"),
+            lambda c, t: F.element_at(t, c + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = encoded.join(F.broadcast(q), F.col("_qid").isNotNull()).select(
+        "_qid", F.col(cid).alias("_cid"), score.alias("adc_q")
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("adc_q"), F.col("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias(qid), F.col("_cid").alias(cid), "adc_q", "rank")
+    )

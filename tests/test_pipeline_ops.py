@@ -572,3 +572,72 @@ def test_phash_from_pixels(spark):
     }
     assert ("a", "d") in pairs and ("a", "b") in pairs
     assert not any("c" in p for p in pairs)
+
+
+def test_pq_encode_adc_exact_and_recall(spark):
+    """Product quantization (r03): (a) encode is the exact integer
+    argmin per subspace (numpy cross-check of codes AND the ADC score
+    for one query); (b) the encode plan is a narrow zero-shuffle map;
+    (c) ADC recall@5 vs brute force clears a floor and improves with
+    finer subspaces (m=16 over m=4) on the real embeddings table."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.similarity import (
+        brute_topk, pq_encode, pq_topk, quantize,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cbr = (
+        emb.filter((F.col("vec_id") % 32) == 0)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    codewords = [[int(v) for v in r["q"]] for r in cbr]
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    enc = pq_encode(corpus, codewords, m=8)
+    # (b) narrow map: no Exchange anywhere in the encode plan
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # (a) numpy cross-check for a handful of vectors
+    cw = np.array(codewords, dtype=np.int64)          # 16 x 64
+    qall = {
+        r["cid"]: np.array(r["q"], dtype=np.int64)
+        for r in corpus.select("cid", quantize(F.col("cvec")).alias("q")).limit(30).collect()
+    }
+    got = {r["cid"]: list(r["codes"]) for r in enc.filter(F.col("cid") < 30).collect()}
+    d = 8
+    for cid_, qv in qall.items():
+        exp_codes = []
+        for j in range(8):
+            diffs = cw[:, j * d:(j + 1) * d] - qv[j * d:(j + 1) * d]
+            exp_codes.append(int(np.argmin((diffs * diffs).sum(axis=1))))
+        assert got[cid_] == exp_codes, cid_
+    # ADC score identity for query 0 against corpus vector 30
+    out = {(r["qid"], r["cid"]): r["adc_q"]
+           for r in pq_topk(qs, enc, codewords, m=8, k=500).collect()}
+    q0 = {r["qid"]: np.array(r["q"], np.int64)
+          for r in qs.select("qid", quantize(F.col("qvec")).alias("q")).collect()}[0]
+    c30 = got[0] if 30 not in got else got[30]
+    expected = sum(
+        int(q0[j * d:(j + 1) * d] @ cw[c30[j], j * d:(j + 1) * d]) for j in range(8)
+    )
+    key = (0, 30 if 30 in got else 0)
+    assert out[key] == expected
+
+    # (c) recall floor + monotonicity in m
+    exact = {(r["qid"], r["cid"]) for r in brute_topk(qs, corpus, k=5).collect()}
+
+    def recall(m):
+        e = pq_encode(corpus, codewords, m=m)
+        g = {(r["qid"], r["cid"]) for r in pq_topk(qs, e, codewords, m=m, k=5).collect()}
+        return len(exact & g) / len(exact)
+
+    r4, r16 = recall(4), recall(16)
+    assert r16 >= r4, (r4, r16)
+    assert r16 >= 0.3, r16
