@@ -1819,6 +1819,64 @@ _ANN_IVF_ORACLE_SQL = """
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality, REAL (r03): deterministic 16-bit PCM clips
+    (sample i of supplier k = ((k·7 + i·31) mod 4096) − 2048, length
+    256 + k mod 128) are encoded to genuine RIFF/WAV bytes on
+    executors, decoded back through the from-scratch WAV reader
+    (multimodal.decode_wav), and reduced to exact integer features;
+    rms = sqrt(sq_sum/n) is one IEEE expression over exact ints. The
+    oracle regenerates the samples relationally — the whole
+    encode→decode→feature chain must be lossless for the hash to
+    match."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.multimodal import audio_features, encode_wav
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["s_suppkey"].astype("int64"):
+                k = int(k)
+                n = 256 + k % 128
+                i = np.arange(n, dtype=np.int64)
+                v = ((k * 7 + i * 31) % 4096 - 2048).astype(np.int16)
+                rows.append((str(k), encode_wav(v, rate=16000)))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
+
+    clips = supp.mapInPandas(gen, "audio_id string, bytes binary")
+    return audio_features(clips).select(
+        F.col("audio_id").cast("long").alias("k"),
+        "n_samples",
+        "sample_rate",
+        "sq_sum",
+        "rms",
+        "peak",
+    )
+
+
+_AUDIO_ORACLE_SQL = """
+    WITH s AS (
+        SELECT s_suppkey AS k, 256 + s_suppkey % 128 AS n FROM supplier
+    ), samp AS (
+        -- this DuckDB build lacks correlated generate_series: expand
+        -- to the max clip length (383) and filter per clip
+        SELECT s.k, s.n, ((s.k * 7 + i.i * 31) % 4096) - 2048 AS v
+        FROM s, generate_series(0, 382) i(i)
+        WHERE i.i < s.n
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(SUM(v * v) AS BIGINT) AS sq_sum,
+           sqrt(CAST(SUM(v * v) AS DOUBLE) / CAST(n AS DOUBLE)) AS rms,
+           CAST(MAX(ABS(v)) AS INT) AS peak
+    FROM samp GROUP BY k, n
+"""
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN product quantization (Jégou et al. 2011 — the memory path
     at 10^12 vectors): 16 deterministic codewords (every 32nd vector),
@@ -3183,6 +3241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
+        "audio_features": q_audio_features,
         "ann_cosine": q_ann_cosine,
         "unknown_filter": q_unknown_filter,
         "remote_fetch": q_remote_fetch,
@@ -3355,6 +3414,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ANN_LSH_ORACLE_SQL,
         "ann_ivf": _ANN_IVF_ORACLE_SQL,
         "ann_pq": _ANN_PQ_ORACLE_SQL,
+        "audio_features": _AUDIO_ORACLE_SQL,
         "ann_cosine": _ANN_COSINE_ORACLE_SQL,
         "unknown_filter": _UNKNOWN_FILTER_ORACLE_SQL,
         "remote_fetch": _REMOTE_FETCH_ORACLE_SQL,

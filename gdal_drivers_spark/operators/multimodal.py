@@ -10,7 +10,9 @@ behind ``NotImplementedError`` with the dispatch path exercised.
 - ``frame_sample``: synthetic multi-frame container (GVD1 header +
   concatenated raw frames) → every-k-th frame rows (UDTF shape: one
   row in, many out — the ``explode``-after-batch pattern).
-- ``audio_features``: stub (no audio codec in environment).
+- ``audio_features``: REAL for PCM WAV (from-scratch RIFF/PCM-16
+  reader, ``decode_wav``); compressed codecs (which would need
+  external libraries this environment lacks) poison-flag their rows.
 """
 
 from __future__ import annotations
@@ -178,19 +180,97 @@ def frame_sample_udtf(spark, videos: DataFrame, every_k: int = 2) -> DataFrame:
     )
 
 
-def audio_features(audio: DataFrame) -> DataFrame:
-    """STUB: no audio codec in this environment. The dispatch raises at
-    execution with a clear message; schema/plumbing are declared so the
-    operator slots into pipelines once a codec exists."""
+# ----------------------------------------------------------------- audio
+# RIFF/PCM WAV codec from scratch (the container format is public:
+# RIFF header + fmt/data chunks, 16-bit little-endian PCM). Keeps the
+# audio modality REAL for uncompressed audio; compressed codecs
+# (MP3/AAC/opus) would need external libraries this environment lacks
+# and poison-flag their rows instead of raising.
+
+_PCM_FORMAT = 1
+
+
+def encode_wav(samples: "np.ndarray", rate: int = 16000, channels: int = 1) -> bytes:
+    """int16 PCM samples → minimal canonical WAV bytes."""
+    pcm = np.ascontiguousarray(samples.astype("<i2")).tobytes()
+    block = 2 * channels
+    fmt = struct.pack(
+        "<HHIIHH", _PCM_FORMAT, channels, rate, rate * block, block, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(buf: bytes) -> tuple["np.ndarray", int, int]:
+    """WAV bytes → (samples int16 [n, channels], rate, channels).
+    Strict chunk walk: RIFF/WAVE framing, PCM-16 only (compressed
+    formats raise — callers poison-flag)."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            afmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if afmt != _PCM_FORMAT or bits != 16:
+                raise ValueError(f"unsupported WAV encoding (fmt={afmt}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    arr = np.frombuffer(data, "<i2")
+    if channels > 1:
+        arr = arr[: len(arr) - len(arr) % channels].reshape(-1, channels)
+    else:
+        arr = arr.reshape(-1, 1)
+    return arr, int(rate), int(channels)
+
+
+AUDIO_SCHEMA = (
+    "audio_id string, n_samples long, sample_rate int, sq_sum long, "
+    "rms double, peak int, ok boolean"
+)
+
+
+def audio_features(audio: DataFrame, id_col: str = "audio_id", bytes_col: str = "bytes") -> DataFrame:
+    """Audio feature-extract over PCM WAV payloads (decode_wav —
+    from-scratch RIFF reader, no external codec): per clip n_samples
+    (frames), sample_rate, exact integer sum-of-squares, rms (ONE IEEE
+    expression ``sqrt(sq_sum/n)`` over exact ints — oracle-exact) and
+    peak |amplitude|. Channels fold into the frame stats (standard
+    energy semantics). One Arrow hop, no shuffle.
+
+    Poison policy: NULL/corrupt/compressed payloads flag their row
+    (ok=false, NULL stats) — never a stage kill."""
 
     def _run(batches):
-        for _ in batches:
-            raise NotImplementedError(
-                "audio decode requires an audio library not present in this environment"
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                rid = getattr(r, id_col)
+                try:
+                    arr, rate, _ = decode_wav(bytes(getattr(r, bytes_col)))
+                    flat = arr.astype(np.int64).ravel()
+                    n = arr.shape[0]
+                    sq = int((flat * flat).sum())
+                    rms = float(np.sqrt(sq / flat.size)) if flat.size else 0.0
+                    peak = int(np.abs(flat).max()) if flat.size else 0
+                    rows.append((rid, n, rate, sq, rms, peak, True))
+                except Exception:
+                    rows.append((rid, None, None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["audio_id", "n_samples", "sample_rate", "sq_sum",
+                         "rms", "peak", "ok"],
             )
-        yield  # pragma: no cover
 
-    return audio.mapInPandas(_run, "audio_id string, n_samples long, rms double")
+    return audio.mapInPandas(_run, AUDIO_SCHEMA)
 
 
 PATCHES_SCHEMA = (
