@@ -1819,6 +1819,89 @@ _ANN_IVF_ORACLE_SQL = """
 """
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (the standard 10^12-vector design): coarse
+    probe (every-64th-vector centroids, nprobe=2) × PQ compression
+    (16 every-32nd-vector codewords, m=8) × ADC scoring inside the
+    probed lists only. Deterministic end-to-end → the oracle replays
+    list assignment, probing, PQ encode and ADC ranking in SQL."""
+    from gdal_drivers_spark.operators.similarity import ivfpq_topk, quantize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb_rows = (
+        emb.filter((F.col("vec_id") % 32) == 0)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    codewords = [[int(v) for v in r["q"]] for r in cb_rows]
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        (F.col("vec_id") / 64).cast("long").alias("list_id"),
+        F.col("embedding").alias("center"),
+    )
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivfpq_topk(qs, corpus, cents, codewords, m=8, k=5, nprobe=2)
+
+
+_ANN_IVFPQ_ORACLE_SQL = """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
+        FROM embeddings
+    ), cents AS (
+        SELECT vec_id // 64 AS lid, q AS cv FROM e WHERE vec_id % 64 = 0
+    ), asg AS (
+        SELECT vec_id, lid FROM (
+            SELECT e.vec_id, c.lid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       CAST(list_sum(list_transform(generate_series(1, 64), i -> e.q[i] * c.cv[i])) AS BIGINT) DESC,
+                       c.lid) AS rn
+            FROM e, cents c
+        ) WHERE rn = 1
+    ), cb AS (
+        SELECT vec_id // 32 AS code_id, q AS bv FROM e WHERE vec_id % 32 = 0
+    ), enc AS (
+        SELECT vec_id, sub, code_id FROM (
+            SELECT e.vec_id, s.sub, cb.code_id,
+                   row_number() OVER (PARTITION BY e.vec_id, s.sub ORDER BY
+                       CAST(list_sum(list_transform(generate_series(1, 8),
+                            i -> (e.q[s.sub*8+i] - cb.bv[s.sub*8+i]) * (e.q[s.sub*8+i] - cb.bv[s.sub*8+i]))) AS BIGINT),
+                       cb.code_id) AS rn
+            FROM e, generate_series(0, 7) s(sub), cb
+        ) WHERE rn = 1
+    ), qs AS (
+        SELECT vec_id AS qid, q AS qv FROM e WHERE vec_id < 10
+    ), probes AS (
+        SELECT qid, lid FROM (
+            SELECT qs.qid, c.lid,
+                   row_number() OVER (PARTITION BY qs.qid ORDER BY
+                       CAST(list_sum(list_transform(generate_series(1, 64), i -> qs.qv[i] * c.cv[i])) AS BIGINT) DESC,
+                       c.lid) AS rn
+            FROM qs, cents c
+        ) WHERE rn <= 2
+    ), tab AS (
+        SELECT qs.qid, s.sub, cb.code_id,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                    i -> qs.qv[s.sub*8+i] * cb.bv[s.sub*8+i])) AS BIGINT) AS t
+        FROM qs, generate_series(0, 7) s(sub), cb
+    ), scored AS (
+        SELECT p.qid, a.vec_id AS cid, CAST(SUM(t.t) AS BIGINT) AS adc_q
+        FROM probes p
+        JOIN asg a ON a.lid = p.lid
+        JOIN enc ON enc.vec_id = a.vec_id
+        JOIN tab t ON t.qid = p.qid AND t.sub = enc.sub AND t.code_id = enc.code_id
+        GROUP BY 1, 2
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_q DESC, cid) AS rank
+        FROM scored
+    )
+    SELECT qid, cid, adc_q, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio modality, REAL (r03): deterministic 16-bit PCM clips
     (sample i of supplier k = ((k·7 + i·31) mod 4096) − 2048, length
@@ -3241,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
+        "ann_ivfpq": q_ann_ivfpq,
         "audio_features": q_audio_features,
         "ann_cosine": q_ann_cosine,
         "unknown_filter": q_unknown_filter,
@@ -3414,6 +3498,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ANN_LSH_ORACLE_SQL,
         "ann_ivf": _ANN_IVF_ORACLE_SQL,
         "ann_pq": _ANN_PQ_ORACLE_SQL,
+        "ann_ivfpq": _ANN_IVFPQ_ORACLE_SQL,
         "audio_features": _AUDIO_ORACLE_SQL,
         "ann_cosine": _ANN_COSINE_ORACLE_SQL,
         "unknown_filter": _UNKNOWN_FILTER_ORACLE_SQL,

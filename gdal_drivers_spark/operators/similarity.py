@@ -456,32 +456,18 @@ def _pq_codebook_col(codewords: list[list[int]]):
     return F.array(*[F.array(*[F.lit(int(v)) for v in cw]) for cw in codewords])
 
 
-def pq_encode(
-    corpus: DataFrame,
-    codewords: list[list[int]],
-    m: int,
-    cid: str = "cid",
-    cvec: str = "cvec",
-) -> DataFrame:
-    """Encode every corpus vector as ``m`` sub-codes: subspace j keeps
-    components [j·d, (j+1)·d) (d = dim/m) and takes the codeword with
-    the minimum exact-integer squared L2 distance on that slice (ties →
-    smaller code id). Output: (cid, codes: array<int> length m).
-
-    Plan shape: a NARROW map — the codebook is a literal, the argmin is
-    an ``array_min`` over structs inside higher-order functions, so
-    encoding 10^12 vectors is zero-shuffle (the compression step never
-    moves data)."""
+def _pq_codes_expr(cv, codewords: list[list[int]], m: int):
+    """array<int> of m sub-codes from an already-QUANTIZED vector
+    Column: per subspace, lexicographic ``array_min`` over
+    struct<dist², code> — pure higher-order Column arithmetic."""
     dim = len(codewords[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d = dim // m
     cb = _pq_codebook_col(codewords)
-    cv = quantize(F.col(cvec))
     ncodes = len(codewords)
 
     def best_code(j):
-        # array_min over struct<dist, code> = lexicographic argmin
         return F.array_min(
             F.transform(
                 F.sequence(F.lit(0), F.lit(ncodes - 1)),
@@ -500,7 +486,59 @@ def pq_encode(
             )
         ).getField("code")
 
-    codes = F.array(*[best_code(j) for j in range(m)])
+    return F.array(*[best_code(j) for j in range(m)])
+
+
+def _pq_tables_expr(qv, codewords: list[list[int]], m: int):
+    """array<array<long>> ADC lookup tables (m × ncodes exact integer
+    dots) from an already-QUANTIZED query vector Column."""
+    dim = len(codewords[0])
+    d = dim // m
+    cb = _pq_codebook_col(codewords)
+    ncodes = len(codewords)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.sequence(F.lit(0), F.lit(ncodes - 1)),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(qv, j * d + 1, d),
+                    F.slice(F.element_at(cb, c + 1), j * d + 1, d),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+
+
+def _pq_adc_score(codes_col, tables_col):
+    """Σ_j tables[j][codes[j]] — the m-lookup ADC score."""
+    return F.aggregate(
+        F.zip_with(codes_col, tables_col, lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codewords: list[list[int]],
+    m: int,
+    cid: str = "cid",
+    cvec: str = "cvec",
+) -> DataFrame:
+    """Encode every corpus vector as ``m`` sub-codes: subspace j keeps
+    components [j·d, (j+1)·d) (d = dim/m) and takes the codeword with
+    the minimum exact-integer squared L2 distance on that slice (ties →
+    smaller code id). Output: (cid, codes: array<int> length m).
+
+    Plan shape: a NARROW map — the codebook is a literal, the argmin is
+    an ``array_min`` over structs inside higher-order functions, so
+    encoding 10^12 vectors is zero-shuffle (the compression step never
+    moves data)."""
+    codes = _pq_codes_expr(quantize(F.col(cvec)), codewords, m)
     return corpus.select(F.col(cid).alias(cid), codes.alias("codes"))
 
 
@@ -523,38 +561,71 @@ def pq_topk(
     m-byte codes. Output: (qid, cid, adc_q, rank), rank ≤ k, ties by
     cid. Approximate by construction; recall is a pytest property (vs
     brute_topk), the encode→score arithmetic itself is oracle-exact."""
-    dim = len(codewords[0])
-    d = dim // m
-    cb = _pq_codebook_col(codewords)
-    ncodes = len(codewords)
-    qv = quantize(F.col(qvec))
-    tables = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda j: F.transform(
-            F.sequence(F.lit(0), F.lit(ncodes - 1)),
-            lambda c: F.aggregate(
-                F.zip_with(
-                    F.slice(qv, j * d + 1, d),
-                    F.slice(F.element_at(cb, c + 1), j * d + 1, d),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ),
-        ),
-    )
+    tables = _pq_tables_expr(quantize(F.col(qvec)), codewords, m)
     q = queries.select(F.col(qid).alias("_qid"), tables.alias("_tab"))
-    score = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("_tab"),
-            lambda c, t: F.element_at(t, c + 1),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    score = _pq_adc_score(F.col("codes"), F.col("_tab"))
     scored = encoded.join(F.broadcast(q), F.col("_qid").isNotNull()).select(
         "_qid", F.col(cid).alias("_cid"), score.alias("adc_q")
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("adc_q"), F.col("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias(qid), F.col("_cid").alias(cid), "adc_q", "rank")
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codewords: list[list[int]],
+    m: int,
+    k: int = 5,
+    nprobe: int = 2,
+    qid: str = "qid",
+    cid: str = "cid",
+    qvec: str = "qvec",
+    cvec: str = "cvec",
+) -> DataFrame:
+    """IVF-PQ — the standard composition at 10^12 vectors (Jégou et
+    al. 2011): the corpus is bucketed into inverted lists by nearest
+    coarse centroid (``ivf_assign`` — one broadcast pass, one shuffled
+    row per vector) AND compressed to m sub-codes in the same pass
+    (the PQ encode rides the already-quantized vector, zero extra
+    work-shape); a query probes its ``nprobe`` nearest lists and
+    ADC-scores ONLY those lists' codes — m table lookups per candidate
+    instead of a dim-length dot, over codes instead of vectors. Probe
+    reduction (IVF) × memory/arithmetic compression (PQ).
+
+    Deterministic exact integer arithmetic end-to-end → closed-form
+    SQL oracle (``ann_ivfpq``); recall vs brute force is the pytest
+    property. Output: (qid, cid, adc_q, rank ≤ k, ties by cid)."""
+    assigned = ivf_assign(corpus, centroids, cid=cid, cvec=cvec)
+    enc = assigned.select(
+        F.col(cid), "list_id",
+        _pq_codes_expr(F.col("_cv"), codewords, m).alias("codes"),
+    )
+    cents = centroids.select(
+        F.col("list_id").alias("_lid"), quantize(F.col("center")).alias("_ctv")
+    )
+    q = queries.select(F.col(qid).alias("_qid"), quantize(F.col(qvec)).alias("_qv"))
+    qscored = q.join(F.broadcast(cents), F.lit(True)).select(
+        "_qid", "_qv", "_lid", dot_int(F.col("_qv"), F.col("_ctv")).alias("_d")
+    )
+    wq = Window.partitionBy("_qid").orderBy(F.desc("_d"), F.col("_lid"))
+    probes = (
+        qscored.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select(
+            "_qid",
+            F.col("_lid").alias("list_id"),
+            _pq_tables_expr(F.col("_qv"), codewords, m).alias("_tab"),
+        )
+    )
+    scored = enc.join(F.broadcast(probes), "list_id").select(
+        "_qid", F.col(cid).alias("_cid"),
+        _pq_adc_score(F.col("codes"), F.col("_tab")).alias("adc_q"),
     )
     w = Window.partitionBy("_qid").orderBy(F.desc("adc_q"), F.col("_cid"))
     return (

