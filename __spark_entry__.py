@@ -372,6 +372,56 @@ def _warp_utm_oracle_sql() -> str:
     """
 
 
+def q_warp_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 cross-SRS, round 3b: Lambert conformal conic 2SP
+    (Lambert-93 / EPSG:2154 parameters — the family behind the French
+    national grid and US State Plane; validated offline against the
+    EPSG GN7-2 worked example to <0.01 ft). Same generated-oracle
+    treatment as warp_utm: one formula source → Column backend here,
+    SQL-text backend in the oracle; forward + conformal-series
+    round-trip over a France-sized grid, all raw doubles under the
+    hash gate."""
+    from gdal_drivers_spark.core.srs import (
+        COL_OPS, LCC_EPSG_2154, lcc2sp_forward, lcc2sp_inverse,
+    )
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("k")
+    )
+    lon = F.lit(-4.5) + ((F.col("k") % 1250).cast("double") * F.lit(0.01))
+    lat = F.lit(41.5) + ((F.col("k") % 950).cast("double") * F.lit(0.01))
+    e, n = lcc2sp_forward(lon, lat, LCC_EPSG_2154, COL_OPS)
+    df = supp.select("k", e.alias("easting"), n.alias("northing"))
+    lon2, lat2 = lcc2sp_inverse(
+        F.col("easting"), F.col("northing"), LCC_EPSG_2154, COL_OPS
+    )
+    return df.select(
+        "k", "easting", "northing", lon2.alias("lon_rt"), lat2.alias("lat_rt")
+    )
+
+
+def _warp_lcc_oracle_sql() -> str:
+    from gdal_drivers_spark.core.srs import (
+        LCC_EPSG_2154, SQL_OPS, _SqlExpr, lcc2sp_forward, lcc2sp_inverse,
+    )
+
+    lon = _SqlExpr("((- 4.5) + (CAST((s_suppkey % 1250) AS DOUBLE) * 0.01))")
+    lat = _SqlExpr("(41.5 + (CAST((s_suppkey % 950) AS DOUBLE) * 0.01))")
+    e, n = lcc2sp_forward(lon, lat, LCC_EPSG_2154, SQL_OPS)
+    lon2, lat2 = lcc2sp_inverse(
+        _SqlExpr("easting"), _SqlExpr("northing"), LCC_EPSG_2154, SQL_OPS
+    )
+    return f"""
+        WITH base AS (
+            SELECT s_suppkey AS k, {e.s} AS easting, {n.s} AS northing
+            FROM supplier
+        )
+        SELECT k, easting, northing,
+               {lon2.s} AS lon_rt, {lat2.s} AS lat_rt
+        FROM base
+    """
+
+
 def q_mbtiles_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 over a REAL SQLite archive (mbtiles.cpp:128-225): a genuine
     ``.mbtiles`` file is written (tiles stored TMS, gzip on even
@@ -3289,6 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_downsample": q_warp_downsample,
         "warp_reproject": q_warp_reproject,
         "warp_utm": q_warp_utm,
+        "warp_lcc": q_warp_lcc,
         "maskfile_roundtrip": q_maskfile_roundtrip,
         "maskfile_gdalqm": q_maskfile_gdalqm,
         "multimodal_resize": q_multimodal_resize,
@@ -3516,6 +3567,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_downsample": _WARP_ORACLE_SQL,
         "warp_reproject": _warp_reproject_oracle_sql(),
         "warp_utm": _warp_utm_oracle_sql(),
+        "warp_lcc": _warp_lcc_oracle_sql(),
         "maskfile_roundtrip": _MASKFILE_ORACLE_SQL,
         "maskfile_gdalqm": _MASKFILE_GDALQM_ORACLE_SQL,
         "multimodal_resize": _MULTIMODAL_ORACLE_SQL,

@@ -471,3 +471,122 @@ def get_transform(src_srs: str, dst_srs: str):
         f"(EPSG:5041), and compositions through EPSG:4326 "
         "(general reprojection out of scope, SURVEY §7)"
     )
+
+
+# ---------------------------------------------------------------- LCC 2SP
+# Lambert conformal conic, two standard parallels (Snyder 1987 ch. 15,
+# eq. 15-1..15-11; EPSG method 9802) — the family behind Lambert-93
+# (EPSG:2154) and the US State Plane zones. Projection constants are
+# precomputed in Python (identical double literals reach every
+# backend); t^n runs power-free as exp(n·ln t).
+
+
+def _lcc_t(phi, e, m):
+    es = e * m.sin(phi)
+    return m.tan(math.pi / 4.0 - phi / 2.0) / m.exp(
+        (e / 2.0) * m.log((1.0 - es) / (1.0 + es))
+    )
+
+
+def lcc2sp_constants(
+    phi1_deg: float, phi2_deg: float, phi0_deg: float, lon0_deg: float,
+    fe: float, fn: float, a: float = WGS84_A, f: float = WGS84_F,
+) -> dict:
+    """Precompute the LCC 2SP projection constants (pure Python —
+    scalar math, exact doubles shared by all backends)."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+
+    def mm(phi):
+        return math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) ** 2)
+
+    def tt(phi):
+        es = e * math.sin(phi)
+        return math.tan(math.pi / 4.0 - phi / 2.0) / math.exp(
+            (e / 2.0) * math.log((1.0 - es) / (1.0 + es))
+        )
+
+    p1, p2, p0 = (math.radians(v) for v in (phi1_deg, phi2_deg, phi0_deg))
+    m1, m2 = mm(p1), mm(p2)
+    t1, t2, t0 = tt(p1), tt(p2), tt(p0)
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    Fc = m1 / (n * math.exp(n * math.log(t1)))
+    rho0 = a * Fc * math.exp(n * math.log(t0))
+    # conformal-latitude series coefficients for THIS ellipsoid
+    e4, e6, e8 = e2 * e2, e2 * e2 * e2, e2 * e2 * e2 * e2
+    return {
+        "a": a, "e": e, "n": n, "F": Fc, "rho0": rho0,
+        "lon0": lon0_deg, "fe": fe, "fn": fn,
+        "x2": e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0,
+        "x4": 7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0,
+        "x6": 7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0,
+        "x8": 4279.0 * e8 / 161280.0,
+    }
+
+
+def lcc2sp_forward(lon_deg, lat_deg, C: dict, m=NP_OPS):
+    """LCC 2SP forward: lon/lat degrees → (easting, northing)."""
+    phi = lat_deg * _D2R
+    t = _lcc_t(phi, C["e"], m)
+    rho = C["a"] * C["F"] * m.exp(C["n"] * m.log(t))
+    theta = C["n"] * ((lon_deg - C["lon0"]) * _D2R)
+    x = C["fe"] + rho * m.sin(theta)
+    y = C["fn"] + C["rho0"] - rho * m.cos(theta)
+    return x, y
+
+
+def lcc2sp_inverse(x, y, C: dict, m=NP_OPS):
+    """LCC 2SP inverse via the conformal-latitude series (Snyder
+    eq. 3-5/15-11). Valid for n > 0 (northern-parallel cones — every
+    registered zone); the dy term keeps atan2 well-defined there."""
+    dx = x - C["fe"]
+    dy = C["rho0"] - (y - C["fn"])
+    rho = m.sqrt(dx * dx + dy * dy)
+    t = m.exp((1.0 / C["n"]) * m.log(rho / (C["a"] * C["F"])))
+    chi = math.pi / 2.0 - 2.0 * m.atan(t)
+    phi = (
+        chi
+        + C["x2"] * m.sin(2.0 * chi)
+        + C["x4"] * m.sin(4.0 * chi)
+        + C["x6"] * m.sin(6.0 * chi)
+        + C["x8"] * m.sin(8.0 * chi)
+    )
+    lam = m.atan2(dx, dy) / C["n"] / _D2R + C["lon0"]
+    return lam, phi / _D2R
+
+
+def register_lcc2sp(
+    name: str, phi1_deg: float, phi2_deg: float, phi0_deg: float,
+    lon0_deg: float, fe: float, fn: float,
+    a: float = WGS84_A, f: float = WGS84_F,
+) -> dict:
+    """Register ``name`` ↔ EPSG:4326 as an LCC 2SP PlaneTransform pair
+    (both directions + compositions through 4326). Returns the
+    constants dict (useful for oracle generation). The geographic hub
+    stays WGS84 lon/lat; pass the zone's own ellipsoid via a/f (GRS80
+    vs WGS84 differs below the mm, so Lambert-93-style zones are fine
+    with either)."""
+    C = lcc2sp_constants(phi1_deg, phi2_deg, phi0_deg, lon0_deg, fe, fn, a, f)
+    register_transform(PlaneTransform(
+        "EPSG:4326", name,
+        np_xy=lambda lon, lat: lcc2sp_forward(lon, lat, C, NP_OPS),
+        col_xy=lambda lon, lat: lcc2sp_forward(lon, lat, C, COL_OPS),
+    ))
+    register_transform(PlaneTransform(
+        name, "EPSG:4326",
+        np_xy=lambda x, y: lcc2sp_inverse(x, y, C, NP_OPS),
+        col_xy=lambda x, y: lcc2sp_inverse(x, y, C, COL_OPS),
+    ))
+    return C
+
+
+# GRS80 (Lambert-93 / ETRS89 family); identical to WGS84 at sub-mm
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+
+# Lambert-93 (EPSG:2154, RGF93/ETRS89 — treated as WGS84-compatible):
+# EPSG method 9802 parameters
+LCC_EPSG_2154 = register_lcc2sp(
+    "EPSG:2154", phi1_deg=44.0, phi2_deg=49.0, phi0_deg=46.5,
+    lon0_deg=3.0, fe=700000.0, fn=6600000.0, a=GRS80_A, f=GRS80_F,
+)

@@ -309,12 +309,14 @@ def test_srs_unknown_pair_raises():
 
     import pytest as _pytest
 
-    # (EPSG:32633 used to be the canonical unsupported example; since
-    # r03 UTM resolves dynamically, so probe a genuinely unknown pair)
+    # (EPSG:32633 then EPSG:2154 were the canonical unsupported
+    # examples; r03 made UTM dynamic and pre-registered Lambert-93, so
+    # probe a genuinely unknown code — British National Grid needs the
+    # Airy ellipsoid + OSTN shift, out of scope)
     with _pytest.raises(ValueError, match="no transform"):
-        get_transform("EPSG:4326", "EPSG:2154")  # Lambert-93: still out of scope
+        get_transform("EPSG:4326", "EPSG:27700")
     with _pytest.raises(ValueError, match="no transform"):
-        get_transform("EPSG:32633", "EPSG:2154")  # composition hub can't reach it
+        get_transform("EPSG:32633", "EPSG:27700")  # composition hub can't reach it
     # identity for equal names, any name
     t = get_transform("EPSG:32633", "EPSG:32633")
     assert float(t.np_x(np.array([5.0]))) == 5.0

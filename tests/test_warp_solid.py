@@ -466,3 +466,50 @@ def test_engine_tileset_dem_zonal_verbs(spark):
     )
     z = Engine(spark).tiles(enc).zonal(zones).collect()
     assert z[0]["zone"] == "za" and z[0]["n_px"] == t * t
+
+
+def test_lcc2sp_anchors_and_lambert93(spark):
+    """Lambert conformal conic 2SP (r03): the EPSG GN7-2 worked example
+    (Clarke 1866, US survey feet, Texas South Central) reproduces to
+    <0.01 ft; Lambert-93 (EPSG:2154, pre-registered) has its exact
+    false origin, unit scale ON both standard parallels, k<1 between /
+    k>1 outside, sub-1e-9-deg round-trip, and composes to WebMercator."""
+    from gdal_drivers_spark.core import srs
+
+    # EPSG worked example: phi 28.5N, lam 96W -> E 2963503.91, N 254759.80
+    Ctx = srs.lcc2sp_constants(28 + 23 / 60, 30 + 17 / 60, 27 + 50 / 60,
+                               -99.0, 2000000.0, 0.0,
+                               a=20925832.16, f=1 / 294.97870)
+    xe, ye = srs.lcc2sp_forward(np.array([-96.0]), np.array([28.5]), Ctx)
+    assert abs(xe[0] - 2963503.91) < 0.01 and abs(ye[0] - 254759.80) < 0.01
+
+    C = srs.LCC_EPSG_2154
+    x0, y0 = srs.lcc2sp_forward(np.array([3.0]), np.array([46.5]), C)
+    assert x0[0] == 700000.0 and abs(y0[0] - 6600000.0) < 1e-6
+    lon = np.linspace(-4.5, 8.0, 15)
+    lat = np.linspace(41.5, 51.0, 16)
+    LO, LA = np.meshgrid(lon, lat)
+    X, Y = srs.lcc2sp_forward(LO, LA, C)
+    lo2, la2 = srs.lcc2sp_inverse(X, Y, C)
+    assert abs(lo2 - LO).max() < 1e-9 and abs(la2 - LA).max() < 1e-8
+
+    import math as _math
+
+    def k(lat_d):
+        a, _ = srs.lcc2sp_forward(np.array([3.0]), np.array([lat_d]), C)
+        b, _ = srs.lcc2sp_forward(np.array([3.0001]), np.array([lat_d]), C)
+        mm = _math.cos(_math.radians(lat_d)) / _math.sqrt(
+            1 - C["e"] ** 2 * _math.sin(_math.radians(lat_d)) ** 2)
+        return (b[0] - a[0]) / (0.0001 * srs._D2R * C["a"] * mm)
+
+    assert abs(k(44.0) - 1) < 1e-9 and abs(k(49.0) - 1) < 1e-9
+    assert k(46.5) < 1 < k(41.0)
+
+    # registered both ways + composition through 4326
+    tf = srs.get_transform("EPSG:4326", "EPSG:2154")
+    xx, yy = tf.np_xy(np.array([3.0]), np.array([46.5]))
+    assert xx[0] == 700000.0
+    comp = srs.get_transform("EPSG:2154", "EPSG:3857")
+    mx, _ = comp.np_xy(np.array([700000.0]), np.array([6600000.0]))
+    ref = srs.get_transform("EPSG:4326", "EPSG:3857")
+    assert abs(mx[0] - ref.np_x(np.array([3.0]))[0]) < 1e-3
