@@ -304,6 +304,31 @@ class EmbeddingSet:
 
         return near_dup_pairs(self._corpus(), threshold, **kw)
 
+    def pq_codewords(self, ncodes: int = 16) -> list:
+        """Deterministic PQ codebook from the corpus (spread-hash
+        sample, similarity.pq_codewords_from_sample)."""
+        from .operators.similarity import pq_codewords_from_sample
+
+        return pq_codewords_from_sample(self._corpus(), ncodes)
+
+    def pq_topk(self, queries: DataFrame, codewords: list, m: int,
+                k: int = 5) -> DataFrame:
+        """PQ-compressed ADC top-k (zero-shuffle encode + m-lookup
+        scoring — similarity.pq_encode/pq_topk)."""
+        from .operators.similarity import pq_encode, pq_topk
+
+        enc = pq_encode(self._corpus(), codewords, m)
+        return pq_topk(queries, enc, codewords, m, k=k)
+
+    def ivfpq_topk(self, queries: DataFrame, centroids: DataFrame,
+                   codewords: list, m: int, k: int = 5,
+                   nprobe: int = 2) -> DataFrame:
+        """IVF-PQ composition (probe reduction × code compression)."""
+        from .operators.similarity import ivfpq_topk
+
+        return ivfpq_topk(queries, self._corpus(), centroids, codewords,
+                          m, k=k, nprobe=nprobe)
+
 
 class Engine:
     def __init__(self, spark: SparkSession):

@@ -709,3 +709,25 @@ def test_ivfpq_recall_and_probe_discipline(spark):
     flat = {(r["qid"], r["cid"])
             for r in ivf_topk(qs, corpus, cents, k=10**6, nprobe=2).collect()}
     assert approx <= flat
+
+
+def test_embeddingset_pq_facade(spark):
+    """r03 facade verbs: EmbeddingSet.pq_codewords/pq_topk/ivfpq_topk
+    delegate to the PQ operators unchanged."""
+    from gdal_drivers_spark.engine import Engine
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    es = Engine(spark).embeddings(emb)
+    cw = es.pq_codewords(ncodes=8)
+    assert len(cw) == 8 and len(cw[0]) == 64
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = es.pq_topk(qs, cw, m=8, k=3).collect()
+    assert len(out) == 9 and all(r["rank"] <= 3 for r in out)
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        (F.col("vec_id") / 64).cast("long").alias("list_id"),
+        F.col("embedding").alias("center"),
+    )
+    out2 = es.ivfpq_topk(qs, cents, cw, m=8, k=3).collect()
+    assert len(out2) == 9
