@@ -40,6 +40,8 @@ REFERENCE_LINE = {
     "phash_near_dup": 1.28, "windowed_events": 0.36, "tile_assign": 0.386,
     "mvt_proto_typed": 1.623, "mbtiles_scan": 1.502, "warp_reproject": 1.044,
     "asof_join": 0.395, "interval_join": 0.694, "zonal_stats": 1.969,
+    # entries below measured r03 (quiet window, BENCH_r03_local.json)
+    "horn_gradients": 2.633, "warp_utm": 0.605,
 }
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 Z_BENCH = 8  # 256x256 grid: heavier explode than the correctness queries
