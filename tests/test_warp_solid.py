@@ -513,3 +513,26 @@ def test_lcc2sp_anchors_and_lambert93(spark):
     mx, _ = comp.np_xy(np.array([700000.0]), np.array([6600000.0]))
     ref = srs.get_transform("EPSG:4326", "EPSG:3857")
     assert abs(mx[0] - ref.np_x(np.array([3.0]))[0]) < 1e-3
+
+
+def test_warp_lambert93_to_geographic_matches_oracle(spark):
+    """Raster warp through a REGISTERED LCC zone (EPSG:2154 → 4326):
+    the registered PlaneTransform drives the full cover + gather path,
+    every output pixel equal to the scalar oracle."""
+    from gdal_drivers_spark.core import srs
+    from gdal_drivers_spark.core.geometry import gt_from_extents
+
+    rng = np.random.default_rng(37)
+    full = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+    src = _src_tiles_df(spark, full, TS)
+    # src: Lambert-93 meters over France; dst: lon/lat
+    sgt = gt_from_extents(150000, 6100000, 1100000, 7100000, 128, 128)
+    dgt = gt_from_extents(-4.0, 42.0, 8.0, 51.0, 128, 128)
+    tf = srs.get_transform("EPSG:4326", "EPSG:2154")
+    exp = _warp_oracle_nearest(full, tf.np_xy, sgt, dgt, (128, 128))
+    got = np.zeros_like(exp)
+    for r in warp_tiles(src, sgt, dgt, (128, 128), tile_px=TS, method="nearest",
+                        src_srs="EPSG:2154", dst_srs="EPSG:4326").collect():
+        t = np.frombuffer(r["tile"], np.uint8).reshape(TS, TS)
+        got[r["ocy"] * TS:(r["ocy"] + 1) * TS, r["ocx"] * TS:(r["ocx"] + 1) * TS] = t
+    assert (got == exp).all(), int((got != exp).sum())
