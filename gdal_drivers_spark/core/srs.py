@@ -370,6 +370,40 @@ def ups_north_inverse(x, y, m=NP_OPS):
     return lam / _D2R, phi / _D2R
 
 
+def ups_south_forward(lon_deg, lat_deg, m=NP_OPS):
+    """UPS South (EPSG:5042) forward — the south-polar aspect: the
+    same ellipsoidal polar stereographic with φ, the meridian sense
+    and the northing axis mirrored (EPSG method 9810, ‘B’ variant)."""
+    lam = lon_deg * _D2R
+    phi = -(lat_deg * _D2R)
+    es = _E1SQ * m.sin(phi)
+    t = m.tan(math.pi / 4.0 - phi / 2.0) / m.exp(
+        (_E1SQ / 2.0) * m.log((1.0 - es) / (1.0 + es))
+    )
+    rho = 2.0 * WGS84_A * K0_UPS * t / _PS_RHO_DEN
+    x = UPS_FE + rho * m.sin(lam)
+    y = UPS_FN + rho * m.cos(lam)
+    return x, y
+
+
+def ups_south_inverse(x, y, m=NP_OPS):
+    """UPS South inverse (conformal-latitude series, mirrored)."""
+    dx = x - UPS_FE
+    dy = y - UPS_FN
+    rho = m.sqrt(dx * dx + dy * dy)
+    t = rho * _PS_RHO_DEN / (2.0 * WGS84_A * K0_UPS)
+    chi = math.pi / 2.0 - 2.0 * m.atan(t)
+    phi = (
+        chi
+        + _X2 * m.sin(2.0 * chi)
+        + _X4 * m.sin(4.0 * chi)
+        + _X6 * m.sin(6.0 * chi)
+        + _X8 * m.sin(8.0 * chi)
+    )
+    lam = m.atan2(dx, dy)
+    return lam / _D2R, -(phi / _D2R)
+
+
 _REGISTRY: dict[tuple[str, str], Callable[[], AxisTransform]] = {
     ("EPSG:4326", "EPSG:3857"): _geo_to_merc,
     ("EPSG:3857", "EPSG:4326"): _merc_to_geo,
@@ -420,17 +454,19 @@ def _dynamic_lookup(src: str, dst: str):
                 np_xy=lambda x, y: tm_inverse(x, y, lon0, fn, NP_OPS),
                 col_xy=lambda x, y: tm_inverse(x, y, lon0, fn, COL_OPS),
             )
-        if code == "EPSG:5041":
+        if code in ("EPSG:5041", "EPSG:5042"):
+            fwd_fn = ups_north_forward if code == "EPSG:5041" else ups_south_forward
+            inv_fn = ups_north_inverse if code == "EPSG:5041" else ups_south_inverse
             if fwd:
                 return PlaneTransform(
                     "EPSG:4326", code,
-                    np_xy=lambda lon, lat: ups_north_forward(lon, lat, NP_OPS),
-                    col_xy=lambda lon, lat: ups_north_forward(lon, lat, COL_OPS),
+                    np_xy=lambda lon, lat: fwd_fn(lon, lat, NP_OPS),
+                    col_xy=lambda lon, lat: fwd_fn(lon, lat, COL_OPS),
                 )
             return PlaneTransform(
                 code, "EPSG:4326",
-                np_xy=lambda x, y: ups_north_inverse(x, y, NP_OPS),
-                col_xy=lambda x, y: ups_north_inverse(x, y, COL_OPS),
+                np_xy=lambda x, y: inv_fn(x, y, NP_OPS),
+                col_xy=lambda x, y: inv_fn(x, y, COL_OPS),
             )
     return None
 

@@ -219,6 +219,12 @@ class TileSet:
 
         return horn_gradients(self.df, tile_px)
 
+    def slope_aspect(self, tile_px: int, z_factor: float = 1.0) -> DataFrame:
+        """gdaldem slope + aspect tiles (dem.slope_aspect)."""
+        from .operators.dem import slope_aspect
+
+        return slope_aspect(self.df, tile_px, z_factor=z_factor)
+
     def zonal(self, zones: DataFrame, **kw) -> DataFrame:
         """Per-zone pixel statistics (zonal.zonal_stats) — stat rows
         shuffle, pixels never."""

@@ -245,3 +245,58 @@ def hillshade_np(elev: np.ndarray, azimuth_deg=315.0, altitude_deg=45.0, z_facto
     P = np.pad(elev.astype(np.int64), 1, mode="edge")
     p8, q8 = _horn_pq8(P, t)
     return _shade(p8, q8, azimuth_deg, altitude_deg, z_factor)
+
+
+def slope_aspect_np(elev: np.ndarray, z_factor: float = 1.0) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-raster reference for slope/aspect (gdaldem conventions):
+    slope in degrees from the Horn gradients; aspect as COMPASS azimuth
+    degrees clockwise from north of the downhill direction
+    ((450 − math-angle) mod 360, same convention bridge as hillshade's
+    sun azimuth), −9999 for flat cells exactly like ``gdaldem aspect``."""
+    t = elev.shape[0]
+    P = np.pad(elev.astype(np.int64), 1, mode="edge")
+    p8, q8 = _horn_pq8(P, t)
+    return _slope_aspect(p8, q8, z_factor)
+
+
+def _slope_aspect(p8: np.ndarray, q8: np.ndarray, z_factor: float) -> tuple[np.ndarray, np.ndarray]:
+    p = z_factor * p8 / 8.0
+    q = z_factor * q8 / 8.0
+    slope = np.degrees(np.arctan(np.sqrt(p * p + q * q))).astype(np.float32)
+    flat = (p8 == 0) & (q8 == 0)
+    math_deg = np.degrees(np.arctan2(q, -p))
+    aspect = ((450.0 - math_deg) % 360.0).astype(np.float32)
+    aspect[flat] = np.float32(-9999.0)
+    return slope, aspect
+
+
+def slope_aspect(
+    tiles: DataFrame, tile_px: int, cell: str = "cell", z_factor: float = 1.0
+) -> DataFrame:
+    """gdaldem slope + aspect over tiles (same strip-projected halo and
+    poison policy as hillshade; seam-exact vs the whole-raster
+    reference). Output rows: (cell, slope_tile, aspect_tile, n_bad) —
+    float32 payloads; a poison CENTER yields empty tiles with
+    n_bad set (flag, never kill)."""
+    h = with_halo_strips(tiles, tile_px, cell=cell)
+
+    def _sa(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t = tile_px
+        P, n_bad, center_row = _assemble_padded(pdf, t)
+        if P is None:
+            if not center_row:
+                return pd.DataFrame(columns=["cell", "slope_tile", "aspect_tile", "n_bad"])
+            return pd.DataFrame(
+                {"cell": [int(key[0])], "slope_tile": [b""],
+                 "aspect_tile": [b""], "n_bad": [n_bad]}
+            )
+        p8, q8 = _horn_pq8(P, t)
+        slope, aspect = _slope_aspect(p8, q8, z_factor)
+        return pd.DataFrame(
+            {"cell": [int(key[0])], "slope_tile": [slope.tobytes()],
+             "aspect_tile": [aspect.tobytes()], "n_bad": [n_bad]}
+        )
+
+    return h.groupBy("target_cell").applyInPandas(
+        _sa, "cell long, slope_tile binary, aspect_tile binary, n_bad long"
+    )

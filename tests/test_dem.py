@@ -172,3 +172,38 @@ def test_single_tile_domain(spark):
     assert len(out) == 1
     got = np.frombuffer(bytes(out[0]["tile"]), np.uint8).reshape(T, T)
     assert (got == hillshade_np(elev)).all()
+
+
+def test_tiled_slope_aspect_equals_whole_raster(raster):
+    """gdaldem slope/aspect over tiles == the whole-raster reference,
+    float-exact (same shared formula and strip halo as hillshade);
+    flat cells carry the gdaldem -9999 aspect sentinel."""
+    from gdal_drivers_spark.operators.dem import slope_aspect, slope_aspect_np
+
+    full, tiles = raster
+    exp_s, exp_a = slope_aspect_np(full)
+    got = {r["cell"]: r for r in slope_aspect(tiles, T).collect()}
+    assert len(got) == GRID * GRID
+    for tx in range(GRID):
+        for ty in range(GRID):
+            r = got[_cell(tx, ty)]
+            s = np.frombuffer(bytes(r["slope_tile"]), np.float32).reshape(T, T)
+            a = np.frombuffer(bytes(r["aspect_tile"]), np.float32).reshape(T, T)
+            sl = np.s_[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            assert (s == exp_s[sl]).all() and (a == exp_a[sl]).all()
+
+
+def test_aspect_compass_convention():
+    """A surface rising to the SE faces NW: compass aspect 315; its
+    mirror faces SE: 135; flat ground reports the -9999 sentinel."""
+    from gdal_drivers_spark.operators.dem import slope_aspect_np
+
+    y, x = np.mgrid[0:16, 0:16]
+    nw_facing = (x + y).astype(np.uint8)
+    _, a1 = slope_aspect_np(nw_facing)
+    assert abs(float(a1[8, 8]) - 315.0) < 1e-4
+    se_facing = (255 - (x + y)).astype(np.uint8)
+    _, a2 = slope_aspect_np(se_facing)
+    assert abs(float(a2[8, 8]) - 135.0) < 1e-4
+    _, a3 = slope_aspect_np(np.full((16, 16), 9, np.uint8))
+    assert (a3[4:12, 4:12] == np.float32(-9999.0)).all()

@@ -536,3 +536,26 @@ def test_warp_lambert93_to_geographic_matches_oracle(spark):
         t = np.frombuffer(r["tile"], np.uint8).reshape(TS, TS)
         got[r["ocy"] * TS:(r["ocy"] + 1) * TS, r["ocx"] * TS:(r["ocx"] + 1) * TS] = t
     assert (got == exp).all(), int((got != exp).sum())
+
+
+def test_ups_south_mirror_and_roundtrip():
+    """UPS South (EPSG:5042): exact mirror of the north aspect
+    (x_s(λ,φ) = x_n(λ,−φ), y_s = 2·FN − y_n(λ,−φ)), pole at the false
+    origin, sub-1e-9 round-trip, resolvable through get_transform."""
+    from gdal_drivers_spark.core import srs
+
+    lon = np.linspace(-179.0, 179.0, 25)
+    lat = np.linspace(-89.9, -60.0, 21)
+    LO, LA = np.meshgrid(lon, lat)
+    Xs, Ys = srs.ups_south_forward(LO, LA)
+    Xn, Yn = srs.ups_north_forward(LO, -LA)
+    assert abs(Xs - Xn).max() < 1e-6
+    assert abs(Ys - (2 * srs.UPS_FN - Yn)).max() < 1e-6
+    lo2, la2 = srs.ups_south_inverse(Xs, Ys)
+    dlon = (lo2 - LO + 180) % 360 - 180
+    assert abs(dlon).max() < 1e-9 and abs(la2 - LA).max() < 1e-9
+    Xp, Yp = srs.ups_south_forward(np.array([0.0]), np.array([-90.0]))
+    assert Xp[0] == srs.UPS_FE and Yp[0] == srs.UPS_FN
+    tf = srs.get_transform("EPSG:4326", "EPSG:5042")
+    x, _ = tf.np_xy(np.array([10.0]), np.array([-75.0]))
+    assert np.isfinite(x[0])
