@@ -195,6 +195,10 @@ COL_OPS = _Ops(
     sin=F.sin, cos=F.cos, tan=F.tan, sqrt=F.sqrt,
     atan=F.atan, atan2=F.atan2, exp=F.exp, log=F.log,
 )
+PY_OPS = _Ops(  # scalar math.* backend (constant precomputation)
+    sin=math.sin, cos=math.cos, tan=math.tan, sqrt=math.sqrt,
+    atan=math.atan, atan2=math.atan2, exp=math.exp, log=math.log,
+)
 SQL_OPS = _Ops(
     sin=_sql_fn("sin"), cos=_sql_fn("cos"), tan=_sql_fn("tan"),
     sqrt=_sql_fn("sqrt"), atan=_sql_fn("atan"), atan2=_sql_fn("atan2"),
@@ -336,72 +340,71 @@ _X6 = 7.0 * E6 / 120.0 + 81.0 * E4 * E4 / 1120.0
 _X8 = 4279.0 * E4 * E4 / 161280.0
 
 
-def ups_north_forward(lon_deg, lat_deg, m=NP_OPS):
-    """UPS North forward: lon/lat degrees → (easting, northing)."""
-    lam = lon_deg * _D2R
-    phi = lat_deg * _D2R
-    es = _E1SQ * m.sin(phi)
-    # ((1-e·sinφ)/(1+e·sinφ))^(e/2) written power-free (exp∘ln) so all
-    # backends take the identical libm path
-    t = m.tan(math.pi / 4.0 - phi / 2.0) / m.exp(
-        (_E1SQ / 2.0) * m.log((1.0 - es) / (1.0 + es))
+def _conformal_t(phi, e, m):
+    """Polar-stereographic / LCC shared ``t`` (Snyder eq. 15-9):
+    ``tan(π/4 − φ/2) / ((1−e·sinφ)/(1+e·sinφ))^(e/2)`` — the power
+    written exp∘ln so every backend takes the identical libm path."""
+    es = e * m.sin(phi)
+    return m.tan(math.pi / 4.0 - phi / 2.0) / m.exp(
+        (e / 2.0) * m.log((1.0 - es) / (1.0 + es))
     )
+
+
+def _chi_series(chi, x2, x4, x6, x8, m):
+    """Conformal→geodetic latitude series (Snyder eq. 3-5) — ONE
+    definition shared by the UPS and LCC inverses so a precision or
+    coefficient fix can never diverge between them."""
+    return (
+        chi
+        + x2 * m.sin(2.0 * chi)
+        + x4 * m.sin(4.0 * chi)
+        + x6 * m.sin(6.0 * chi)
+        + x8 * m.sin(8.0 * chi)
+    )
+
+
+def _ups_forward(lon_deg, lat_deg, south: bool, m):
+    """Shared UPS body (EPSG method 9810): the south aspect negates φ
+    and mirrors the northing term; everything else is identical."""
+    lam = lon_deg * _D2R
+    phi = (-(lat_deg * _D2R)) if south else (lat_deg * _D2R)
+    t = _conformal_t(phi, _E1SQ, m)
     rho = 2.0 * WGS84_A * K0_UPS * t / _PS_RHO_DEN
     x = UPS_FE + rho * m.sin(lam)
-    y = UPS_FN - rho * m.cos(lam)
+    y = (UPS_FN + rho * m.cos(lam)) if south else (UPS_FN - rho * m.cos(lam))
     return x, y
+
+
+def _ups_inverse(x, y, south: bool, m):
+    dx = x - UPS_FE
+    dy = y - UPS_FN
+    rho = m.sqrt(dx * dx + dy * dy)
+    t = rho * _PS_RHO_DEN / (2.0 * WGS84_A * K0_UPS)
+    chi = math.pi / 2.0 - 2.0 * m.atan(t)
+    phi = _chi_series(chi, _X2, _X4, _X6, _X8, m)
+    lam = m.atan2(dx, dy) if south else m.atan2(dx, -dy)
+    return lam / _D2R, (-(phi / _D2R)) if south else (phi / _D2R)
+
+
+def ups_north_forward(lon_deg, lat_deg, m=NP_OPS):
+    """UPS North (EPSG:5041) forward: lon/lat degrees → (E, N)."""
+    return _ups_forward(lon_deg, lat_deg, False, m)
 
 
 def ups_north_inverse(x, y, m=NP_OPS):
     """UPS North inverse via the conformal-latitude series."""
-    dx = x - UPS_FE
-    dy = y - UPS_FN
-    rho = m.sqrt(dx * dx + dy * dy)
-    t = rho * _PS_RHO_DEN / (2.0 * WGS84_A * K0_UPS)
-    chi = math.pi / 2.0 - 2.0 * m.atan(t)
-    phi = (
-        chi
-        + _X2 * m.sin(2.0 * chi)
-        + _X4 * m.sin(4.0 * chi)
-        + _X6 * m.sin(6.0 * chi)
-        + _X8 * m.sin(8.0 * chi)
-    )
-    lam = m.atan2(dx, -dy)
-    return lam / _D2R, phi / _D2R
+    return _ups_inverse(x, y, False, m)
 
 
 def ups_south_forward(lon_deg, lat_deg, m=NP_OPS):
-    """UPS South (EPSG:5042) forward — the south-polar aspect: the
-    same ellipsoidal polar stereographic with φ, the meridian sense
-    and the northing axis mirrored (EPSG method 9810, ‘B’ variant)."""
-    lam = lon_deg * _D2R
-    phi = -(lat_deg * _D2R)
-    es = _E1SQ * m.sin(phi)
-    t = m.tan(math.pi / 4.0 - phi / 2.0) / m.exp(
-        (_E1SQ / 2.0) * m.log((1.0 - es) / (1.0 + es))
-    )
-    rho = 2.0 * WGS84_A * K0_UPS * t / _PS_RHO_DEN
-    x = UPS_FE + rho * m.sin(lam)
-    y = UPS_FN + rho * m.cos(lam)
-    return x, y
+    """UPS South (EPSG:5042) forward — the south-polar aspect: φ, the
+    meridian sense and the northing axis mirrored (method 9810 ‘B’)."""
+    return _ups_forward(lon_deg, lat_deg, True, m)
 
 
 def ups_south_inverse(x, y, m=NP_OPS):
     """UPS South inverse (conformal-latitude series, mirrored)."""
-    dx = x - UPS_FE
-    dy = y - UPS_FN
-    rho = m.sqrt(dx * dx + dy * dy)
-    t = rho * _PS_RHO_DEN / (2.0 * WGS84_A * K0_UPS)
-    chi = math.pi / 2.0 - 2.0 * m.atan(t)
-    phi = (
-        chi
-        + _X2 * m.sin(2.0 * chi)
-        + _X4 * m.sin(4.0 * chi)
-        + _X6 * m.sin(6.0 * chi)
-        + _X8 * m.sin(8.0 * chi)
-    )
-    lam = m.atan2(dx, dy)
-    return lam / _D2R, -(phi / _D2R)
+    return _ups_inverse(x, y, True, m)
 
 
 _REGISTRY: dict[tuple[str, str], Callable[[], AxisTransform]] = {
@@ -503,9 +506,10 @@ def get_transform(src_srs: str, dst_srs: str):
             )
     raise ValueError(
         f"no transform {src_srs!r} → {dst_srs!r}; registered: "
-        f"{sorted(_REGISTRY)} + dynamic UTM (EPSG:326zz/327zz), UPS North "
-        f"(EPSG:5041), and compositions through EPSG:4326 "
-        "(general reprojection out of scope, SURVEY §7)"
+        f"{sorted(_REGISTRY)} + dynamic UTM (EPSG:326zz/327zz), UPS "
+        f"(EPSG:5041 north / EPSG:5042 south), register_lcc2sp zones "
+        f"(EPSG:2154 pre-registered), and compositions through "
+        "EPSG:4326 (general reprojection out of scope, SURVEY §7)"
     )
 
 
@@ -515,13 +519,6 @@ def get_transform(src_srs: str, dst_srs: str):
 # (EPSG:2154) and the US State Plane zones. Projection constants are
 # precomputed in Python (identical double literals reach every
 # backend); t^n runs power-free as exp(n·ln t).
-
-
-def _lcc_t(phi, e, m):
-    es = e * m.sin(phi)
-    return m.tan(math.pi / 4.0 - phi / 2.0) / m.exp(
-        (e / 2.0) * m.log((1.0 - es) / (1.0 + es))
-    )
 
 
 def lcc2sp_constants(
@@ -537,10 +534,7 @@ def lcc2sp_constants(
         return math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) ** 2)
 
     def tt(phi):
-        es = e * math.sin(phi)
-        return math.tan(math.pi / 4.0 - phi / 2.0) / math.exp(
-            (e / 2.0) * math.log((1.0 - es) / (1.0 + es))
-        )
+        return _conformal_t(phi, e, PY_OPS)
 
     p1, p2, p0 = (math.radians(v) for v in (phi1_deg, phi2_deg, phi0_deg))
     m1, m2 = mm(p1), mm(p2)
@@ -563,7 +557,7 @@ def lcc2sp_constants(
 def lcc2sp_forward(lon_deg, lat_deg, C: dict, m=NP_OPS):
     """LCC 2SP forward: lon/lat degrees → (easting, northing)."""
     phi = lat_deg * _D2R
-    t = _lcc_t(phi, C["e"], m)
+    t = _conformal_t(phi, C["e"], m)
     rho = C["a"] * C["F"] * m.exp(C["n"] * m.log(t))
     theta = C["n"] * ((lon_deg - C["lon0"]) * _D2R)
     x = C["fe"] + rho * m.sin(theta)
@@ -580,13 +574,7 @@ def lcc2sp_inverse(x, y, C: dict, m=NP_OPS):
     rho = m.sqrt(dx * dx + dy * dy)
     t = m.exp((1.0 / C["n"]) * m.log(rho / (C["a"] * C["F"])))
     chi = math.pi / 2.0 - 2.0 * m.atan(t)
-    phi = (
-        chi
-        + C["x2"] * m.sin(2.0 * chi)
-        + C["x4"] * m.sin(4.0 * chi)
-        + C["x6"] * m.sin(6.0 * chi)
-        + C["x8"] * m.sin(8.0 * chi)
-    )
+    phi = _chi_series(chi, C["x2"], C["x4"], C["x6"], C["x8"], m)
     lam = m.atan2(dx, dy) / C["n"] / _D2R + C["lon0"]
     return lam, phi / _D2R
 

@@ -40,11 +40,13 @@ def to_ini(config: dict, section: str = "job") -> str:
         if isinstance(v, (list, tuple)):
             for x in v:
                 # same non-representability rule as string scalars: a
-                # comma INSIDE a list element would shift the element
-                # boundaries on parse (['x,y','z'] -> ['x','y','z'])
-                if isinstance(x, str) and "," in x:
+                # comma INSIDE a rendered element would shift the
+                # element boundaries on parse (['x,y','z'] ->
+                # ['x','y','z']). Checked on str(x) — the RENDERED
+                # form — so non-str elements like tuples are caught too
+                if "," in str(x):
                     raise ValueError(
-                        f"list element for {k!r} contains a comma — not "
+                        f"list element for {k!r} renders with a comma — not "
                         "representable (from_ini would split it)"
                     )
             v = ",".join(str(x) for x in v) + ("," if len(v) == 1 else "")

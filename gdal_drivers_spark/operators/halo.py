@@ -51,9 +51,12 @@ def halo_convolve(tiles: DataFrame, tile_px: int, cell: str = "cell") -> DataFra
     neighbors (domain edge or absent tile) contribute zeros and the
     mean divides by the number of PRESENT in-window samples
     (edge-normalized — NOT the clamp convention DEM uses). Poison
-    policy: a corrupt/NULL contribution is treated as absent; a target
-    whose own tile is corrupt yields no row (r03 — previously a
-    corrupt tile killed the stage here).
+    policy (house rule, same as the DEM assembler): a corrupt/NULL
+    contribution is treated as absent and counted in ``n_bad``; a
+    target whose own tile is corrupt emits a FLAGGED row (empty tile,
+    its n_bad) — distinguishable from a sparse/absent tile (no row)
+    and never a stage kill (pre-r03 a corrupt tile crashed the stage
+    here).
     """
     h = with_halo_strips(tiles, tile_px, cell=cell)
 
@@ -62,14 +65,20 @@ def halo_convolve(tiles: DataFrame, tile_px: int, cell: str = "cell") -> DataFra
         V = np.zeros((t + 2, t + 2), np.float64)
         Pm = np.zeros((t + 2, t + 2), np.float64)
         center_seen = False
+        center_row = False
+        n_bad = 0
         for r in pdf.itertuples():
             off = (int(r.dx), int(r.dy))
+            if off == (0, 0):
+                center_row = True
             try:
                 raw = bytes(r.payload)
             except Exception:
+                n_bad += 1
                 continue
             need = t * t if off == (0, 0) else (1 if (off[0] and off[1]) else t)
             if len(raw) != need:
+                n_bad += 1
                 continue
             a = np.frombuffer(raw, np.uint8).astype(np.float64)
             if off == (0, 0):
@@ -94,7 +103,13 @@ def halo_convolve(tiles: DataFrame, tile_px: int, cell: str = "cell") -> DataFra
                 V[py, px] = a[0]
                 Pm[py, px] = 1.0
         if not center_seen:
-            return pd.DataFrame({"cell": [], "tile": []})
+            if center_row:
+                # poison CENTER: flagged empty row, never a silent drop
+                return pd.DataFrame(
+                    {"cell": [int(key[0])], "tile": [b""], "n_bad": [n_bad]}
+                )
+            # sparse neighbor group — not a tile of the raster
+            return pd.DataFrame({"cell": [], "tile": [], "n_bad": []})
         acc = np.zeros((t, t), np.float64)
         cnt = np.zeros((t, t), np.float64)
         for ky in range(3):
@@ -102,9 +117,13 @@ def halo_convolve(tiles: DataFrame, tile_px: int, cell: str = "cell") -> DataFra
                 acc += V[ky : ky + t, kx : kx + t]
                 cnt += Pm[ky : ky + t, kx : kx + t]
         out = np.rint(acc / np.maximum(cnt, 1.0)).astype(np.uint8)
-        return pd.DataFrame({"cell": [int(key[0])], "tile": [out.tobytes()]})
+        return pd.DataFrame(
+            {"cell": [int(key[0])], "tile": [out.tobytes()], "n_bad": [n_bad]}
+        )
 
-    return h.groupBy("target_cell").applyInPandas(_conv, "cell long, tile binary")
+    return h.groupBy("target_cell").applyInPandas(
+        _conv, "cell long, tile binary, n_bad long"
+    )
 
 
 def with_halo(tiles: DataFrame, cell: str = "cell", ring: int = 1) -> DataFrame:

@@ -71,6 +71,20 @@ def interval_join(
     bw = int(bin_width)
     if bw <= 0:
         raise ValueError("bin_width must be positive")
+    # the documented contract is an INTEGER domain — enforce it. A
+    # fractional column would truncate toward zero inside _floor_bin's
+    # BIGINT cast (e.g. -0.5 -> bin 0 instead of floor's bin -1) and
+    # silently false-negative; the pre-r03 floor(v/bw) path mishandled
+    # fractional half-open ends too (floor((hi-1)/bw) is only correct
+    # for integers), so reject loudly instead of guessing (review r03)
+    _INTEGRAL = ("byte", "short", "int", "integer", "bigint", "long")
+    for df, col in ((points, point_col), (intervals, start_col), (intervals, end_col)):
+        dt = dict(df.dtypes).get(col)
+        if dt is not None and dt not in _INTEGRAL:
+            raise ValueError(
+                f"interval_join requires an integer domain; column {col!r} "
+                f"is {dt} (quantize fractional domains to ints first)"
+            )
     clash = set(points.columns) & set(intervals.columns)
     if clash:
         raise ValueError(f"column collision between sides: {sorted(clash)}")

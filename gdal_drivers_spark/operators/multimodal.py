@@ -219,6 +219,13 @@ def decode_wav(buf: bytes) -> tuple["np.ndarray", int, int]:
             afmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
             if afmt != _PCM_FORMAT or bits != 16:
                 raise ValueError(f"unsupported WAV encoding (fmt={afmt}, bits={bits})")
+            # a fmt chunk declaring 0 channels / 0 rate (or an absurd
+            # channel count) is corrupt, not decodable-as-mono —
+            # callers poison-flag it (review r03)
+            if not (1 <= channels <= 64) or rate <= 0:
+                raise ValueError(
+                    f"corrupt WAV fmt (channels={channels}, rate={rate})"
+                )
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned

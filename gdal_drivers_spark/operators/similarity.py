@@ -493,6 +493,11 @@ def _pq_tables_expr(qv, codewords: list[list[int]], m: int):
     """array<array<long>> ADC lookup tables (m × ncodes exact integer
     dots) from an already-QUANTIZED query vector Column."""
     dim = len(codewords[0])
+    if dim % m:
+        # same guard as the encode path — a non-dividing m would
+        # silently drop the trailing dim % m components from every
+        # ADC score (review r03)
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     d = dim // m
     cb = _pq_codebook_col(codewords)
     ncodes = len(codewords)

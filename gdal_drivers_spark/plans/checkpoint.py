@@ -269,12 +269,27 @@ class CheckpointedWriter:
             for r in folded:
                 per_batch[int(r["batch"])] = (int(r["n"]), int(r["ck"] or 0))
         # EMPTY pending batches still get a 0-row lineage file so
-        # audits never find a manifest row without evidence
-        lin_schema = "bucket long, n_rows long, checksum long, key_min long, key_max long"
-        for b in empty:
-            self.spark.createDataFrame([], lin_schema).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{self.out}/_lineage/batch={b}")
+        # audits never find a manifest row without evidence. Written
+        # with pyarrow directly — a per-batch Spark write job here
+        # would reintroduce the sequential-jobs pattern this rework
+        # removed (an explicit batch_ids list can make MOST batches
+        # empty); a driver-side 0-row file is a metadata touch, not
+        # data movement (review r03)
+        if empty:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            empty_tbl = pa.table(
+                {c: pa.array([], type=pa.int64())
+                 for c in ("bucket", "n_rows", "checksum", "key_min", "key_max")}
+            )
+            import shutil
+
+            for b in empty:
+                d = f"{self.out}/_lineage/batch={b}"
+                shutil.rmtree(d, ignore_errors=True)  # overwrite semantics
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(empty_tbl, f"{d}/part-00000-empty.parquet")
 
         if fail_after is None:
             # all pending batches' data + lineage are already on disk —

@@ -283,10 +283,16 @@ def test_halo_convolve_poison_and_strip_traffic(spark):
         (int(qcell.pack(2, 0, 1)), None),     # NULL south neighbor
     ]
     tiles = spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "tile"]))
-    got = {r["cell"]: np.frombuffer(bytes(r["tile"]), np.uint8).reshape(t, t)
-           for r in halo_convolve(tiles, tile_px=t).collect()}
-    # corrupt centers yield no row; the good tile survives
-    assert set(got) == {int(qcell.pack(2, 0, 0))}
+    out = {r["cell"]: r for r in halo_convolve(tiles, tile_px=t).collect()}
+    # corrupt centers yield FLAGGED rows (empty tile + n_bad); the good
+    # tile survives with its 2 bad contributions counted
+    assert set(out) == {int(qcell.pack(2, 0, 0)), int(qcell.pack(2, 1, 0)),
+                        int(qcell.pack(2, 0, 1))}
+    for bad in (int(qcell.pack(2, 1, 0)), int(qcell.pack(2, 0, 1))):
+        assert bytes(out[bad]["tile"]) == b"" and out[bad]["n_bad"] >= 1
+    assert out[int(qcell.pack(2, 0, 0))]["n_bad"] == 2
+    got = {c: np.frombuffer(bytes(r["tile"]), np.uint8).reshape(t, t)
+           for c, r in out.items() if r["tile"]}
     padv = np.zeros((t + 2, t + 2)); padv[1:-1, 1:-1] = img
     padc = np.zeros((t + 2, t + 2)); padc[1:-1, 1:-1] = 1.0
     acc = np.zeros((t, t)); cnt = np.zeros((t, t))
