@@ -56,7 +56,11 @@ def halo_convolve(tiles: DataFrame, tile_px: int, cell: str = "cell") -> DataFra
     target whose own tile is corrupt emits a FLAGGED row (empty tile,
     its n_bad) — distinguishable from a sparse/absent tile (no row)
     and never a stage kill (pre-r03 a corrupt tile crashed the stage
-    here).
+    here). A duplicate (dx, dy) contribution (malformed upstream
+    union) keeps the lexicographically-smaller payload and counts as
+    bad — the same deterministic rule as ``dem._assemble_padded``
+    (ADVICE r03: pandas row order is shuffle-dependent, so
+    last-writer-wins was nondeterministic).
     """
     h = with_halo_strips(tiles, tile_px, cell=cell)
 
@@ -64,9 +68,9 @@ def halo_convolve(tiles: DataFrame, tile_px: int, cell: str = "cell") -> DataFra
         t = tile_px
         V = np.zeros((t + 2, t + 2), np.float64)
         Pm = np.zeros((t + 2, t + 2), np.float64)
-        center_seen = False
         center_row = False
         n_bad = 0
+        contrib: dict = {}
         for r in pdf.itertuples():
             off = (int(r.dx), int(r.dy))
             if off == (0, 0):
@@ -80,11 +84,17 @@ def halo_convolve(tiles: DataFrame, tile_px: int, cell: str = "cell") -> DataFra
             if len(raw) != need:
                 n_bad += 1
                 continue
+            if off in contrib:
+                n_bad += 1
+                if raw >= contrib[off]:
+                    continue
+            contrib[off] = raw
+        center_seen = (0, 0) in contrib
+        for off, raw in contrib.items():
             a = np.frombuffer(raw, np.uint8).astype(np.float64)
             if off == (0, 0):
                 V[1 : t + 1, 1 : t + 1] = a.reshape(t, t)
                 Pm[1 : t + 1, 1 : t + 1] = 1.0
-                center_seen = True
             elif off == (-1, 0):
                 V[1 : t + 1, 0] = a
                 Pm[1 : t + 1, 0] = 1.0
@@ -159,11 +169,16 @@ def with_halo(tiles: DataFrame, cell: str = "cell", ring: int = 1) -> DataFrame:
     return out
 
 
-def with_halo_strips(tiles: DataFrame, tile_px: int, cell: str = "cell") -> DataFrame:
+def with_halo_strips(
+    tiles: DataFrame, tile_px: int, cell: str = "cell", tile: str = "tile"
+) -> DataFrame:
     """Strip-projected ring-1 halo for 3×3 kernels: each tile ships its
     FULL payload only to itself; each side neighbor receives just the
     1-px edge strip it reads, each diagonal neighbor a single corner
-    byte. Input rows: (cell:long, tile:binary raw u8 tile_px²).
+    byte. Input rows: (cell:long, tile:binary raw u8 tile_px²) — the
+    payload column name is ``tile`` (parameter; extra input columns
+    are dropped, the output contract is (target_cell, dx, dy, payload)
+    only — ADVICE r03 made the column requirement explicit).
 
     Output columns: ``target_cell``, ``dx``/``dy`` (offset of the
     contributing tile relative to the target, as in ``with_halo``) and
@@ -217,7 +232,7 @@ def with_halo_strips(tiles: DataFrame, tile_px: int, cell: str = "cell") -> Data
             out = pd.DataFrame({cell: pdf[cell], "tile": pdf["tile"], **cols})
             yield out
 
-    stripped = tiles.select(cell, "tile").mapInPandas(
+    stripped = tiles.select(F.col(cell).alias(cell), F.col(tile).alias("tile")).mapInPandas(
         _extract,
         f"{cell} long, tile binary, _r0 binary, _rl binary, _c0 binary, "
         "_cl binary, _b00 binary, _b0l binary, _bl0 binary, _bll binary",

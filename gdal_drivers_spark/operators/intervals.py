@@ -77,10 +77,15 @@ def interval_join(
     # silently false-negative; the pre-r03 floor(v/bw) path mishandled
     # fractional half-open ends too (floor((hi-1)/bw) is only correct
     # for integers), so reject loudly instead of guessing (review r03)
-    _INTEGRAL = ("byte", "short", "int", "integer", "bigint", "long")
+    # the guard resolves the column THROUGH the analyzer (schema-only,
+    # no job), so it covers SQL expressions too — ``col`` may be an
+    # expression like '(end) - 1' which a plain df.dtypes name lookup
+    # would miss, silently skipping the check and reintroducing the
+    # toward-zero truncation false-negative (ADVICE r03)
+    _INTEGRAL = ("tinyint", "smallint", "int", "bigint")
     for df, col in ((points, point_col), (intervals, start_col), (intervals, end_col)):
-        dt = dict(df.dtypes).get(col)
-        if dt is not None and dt not in _INTEGRAL:
+        dt = df.select(F.expr(col)).schema[0].dataType.simpleString()
+        if dt not in _INTEGRAL:
             raise ValueError(
                 f"interval_join requires an integer domain; column {col!r} "
                 f"is {dt} (quantize fractional domains to ints first)"
@@ -91,7 +96,11 @@ def interval_join(
     if "_bin" in points.columns or "_bin" in intervals.columns:
         raise ValueError("'_bin' is reserved by interval_join")
 
-    live = intervals.filter(F.col(end_col) > F.col(start_col))
+    # F.expr, not F.col, throughout: the col args are documented to
+    # accept SQL expressions (the guard above type-checks them through
+    # the analyzer), so the exact re-check must resolve them the same
+    # way — F.expr is a strict superset (plain names resolve unchanged)
+    live = intervals.filter(F.expr(end_col) > F.expr(start_col))
     first_bin = _floor_bin(start_col, bw)
     last_bin = _floor_bin(f"({end_col}) - 1", bw)
     n_bins = last_bin - first_bin + 1
@@ -102,7 +111,7 @@ def interval_join(
             n_bins <= max_bins_per_interval,
             F.concat(
                 F.lit("interval of length "),
-                (F.col(end_col) - F.col(start_col)).cast("string"),
+                (F.expr(end_col) - F.expr(start_col)).cast("string"),
                 F.lit(
                     f" explodes to more than {max_bins_per_interval} bins "
                     f"at bin_width={bw}; raise bin_width or split the interval"
@@ -116,8 +125,8 @@ def interval_join(
     return (
         p.join(iv, on="_bin")
         .filter(
-            (F.col(point_col) >= F.col(start_col))
-            & (F.col(point_col) < F.col(end_col))
+            (F.expr(point_col) >= F.expr(start_col))
+            & (F.expr(point_col) < F.expr(end_col))
         )
         .drop("_bin")
     )

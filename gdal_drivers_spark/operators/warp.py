@@ -31,6 +31,55 @@ from ..core.geometry import gt_invert, gt_orthogonal
 
 WARP_SCHEMA = "ocx long, ocy long, tile binary, ts int, n_src int"
 
+# the plane-transform source bbox uses a 3×3 boundary sample + 2-px
+# pad; the pad absorbs at most this much edge bowing between samples
+_PLANE_PAD_PX = 2.0
+
+
+def _plane_sag_px(tf, dst_gt, src_inv, tile_px, tiles_x, tiles_y) -> float:
+    """Worst observed deviation (in source pixels) of the true tile
+    edge from the chord of the 3×3 boundary samples, over a coarse
+    census of destination tiles (corners / edges / interior of the dst
+    grid — where a conformal projection's curvature extremes live for
+    any monotone transform). Checked at PLAN TIME with a handful of
+    scalar transform evaluations — no Spark job. The 2-px gather pad
+    is only sound while this sag stays below it; an unusually large
+    tile_px or coarse source resolution through a composed transform
+    could bow the preimage past the pad and silently crop gather
+    windows into nodata seams (ADVICE r03) — now rejected loudly."""
+    d0, d1, d3, d5 = float(dst_gt[0]), float(dst_gt[1]), float(dst_gt[3]), float(dst_gt[5])
+    i0, i1, i3, i5 = (
+        float(src_inv[0]), float(src_inv[1]), float(src_inv[3]), float(src_inv[5])
+    )
+    T = float(tile_px)
+
+    def grid_axis(n):
+        return sorted({0, n // 4, n // 2, (3 * n) // 4, max(0, n - 1)})
+
+    sag = 0.0
+    for cy in grid_axis(tiles_y):
+        for cx in grid_axis(tiles_x):
+            # the 4 tile edges; on each, the bbox samples fracs
+            # {0, .5, 1} — test the quarter points against the linear
+            # interpolation of their bracketing samples
+            for fx0, fy0, fx1, fy1 in (
+                (0.0, 0.0, 1.0, 0.0), (0.0, 1.0, 1.0, 1.0),
+                (0.0, 0.0, 0.0, 1.0), (1.0, 0.0, 1.0, 1.0),
+            ):
+                fr = np.array([0.0, 0.25, 0.5, 0.75, 1.0])
+                wx = d0 + (cx + fx0 + (fx1 - fx0) * fr) * T * d1
+                wy = d3 + (cy + fy0 + (fy1 - fy0) * fr) * T * d5
+                sx, sy = tf.np_xy(wx, wy)
+                pc = i0 + np.asarray(sx) * i1
+                pr = i3 + np.asarray(sy) * i5
+                for mid, lo, hi in ((1, 0, 2), (3, 2, 4)):
+                    sag = max(
+                        sag,
+                        abs(pc[mid] - 0.5 * (pc[lo] + pc[hi])),
+                        abs(pr[mid] - 0.5 * (pr[lo] + pr[hi])),
+                    )
+    return sag
+
 
 def warp_tiles(
     src_tiles: DataFrame,
@@ -105,9 +154,20 @@ def warp_tiles(
     if plane:
         # non-separable transform: source bbox from a 3×3 grid of
         # boundary points (corners + edge midpoints + center) per
-        # destination tile, padded 2 px — for the registered conformal
-        # projections the edge between samples bows by far less than a
-        # pixel at any practical tile size/resolution
+        # destination tile, padded 2 px. The "curvature far below a
+        # pixel" assumption is now VERIFIED at plan time: a scalar
+        # sag census over worst-case tiles must stay within half the
+        # pad (ADVICE r03 — a huge tile_px or coarse source grid
+        # through a composed transform could otherwise bow the
+        # preimage edge past the pad and crop gathers silently)
+        sag = _plane_sag_px(tf, dst_gt, src_inv, tile_px, tiles_x, tiles_y)
+        if sag > _PLANE_PAD_PX / 2.0:
+            raise ValueError(
+                f"plane warp edge sag {sag:.2f} source px exceeds the "
+                f"{_PLANE_PAD_PX / 2.0:.1f}-px budget (pad {_PLANE_PAD_PX:.0f}): "
+                f"the 3x3 boundary sample cannot bound this transform at "
+                f"tile_px={tile_px}; use a smaller tile_px or a finer dst grid"
+            )
         fracs = (0.0, 0.5, 1.0)
         scs, srs_ = [], []
         for fx in fracs:

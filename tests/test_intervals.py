@@ -163,3 +163,21 @@ def test_stream_interval_tagging_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT pid, iid FROM stream_intervals").collect()
     )
     assert got == expected and len(got) > 0
+
+def test_fractional_domain_rejected(spark, frames):
+    """The integer-domain contract is enforced at construction — for
+    plain columns AND for SQL expressions (ADVICE r04: the old
+    dict(df.dtypes) name lookup silently skipped expressions, so a
+    fractional expression bypassed the guard and reintroduced the
+    toward-zero truncation false-negative)."""
+    points, intervals = frames
+    fp = points.withColumn("vf", F.col("v") + F.lit(0.5))
+    with pytest.raises(ValueError, match="integer domain"):
+        interval_join(fp.drop("v").withColumnRenamed("vf", "v"),
+                      intervals, "v", "lo", "hi", bin_width=8)
+    # expression form of the same fractional domain — must ALSO reject
+    with pytest.raises(ValueError, match="integer domain"):
+        interval_join(fp, intervals, "(vf) - 0.25", "lo", "hi", bin_width=8)
+    # integral EXPRESSIONS stay accepted (the documented _floor_bin use)
+    out = interval_join(points, intervals, "(v) + 0", "lo", "hi", bin_width=8)
+    assert out.count() == 5

@@ -302,3 +302,58 @@ def test_halo_convolve_poison_and_strip_traffic(spark):
             cnt += padc[ky:ky + t, kx:kx + t]
     exp = np.rint(acc / cnt).astype(np.uint8)
     assert (got[int(qcell.pack(2, 0, 0))] == exp).all()
+
+def test_halo_convolve_duplicate_cell_deterministic(spark):
+    """ADVICE r04: duplicate (dx,dy) contributions (malformed upstream
+    union — here a duplicated cell row) resolve by the same
+    deterministic rule as dem._assemble_padded: lexicographically-
+    smaller payload wins, the duplicate counts in n_bad. Previously
+    pandas row order (shuffle-dependent) picked the winner."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_drivers_spark.core import qcell
+    from gdal_drivers_spark.operators.halo import halo_convolve
+
+    t = 8
+    lo = np.full((t, t), 10, np.uint8)   # lexicographically smaller
+    hi = np.full((t, t), 200, np.uint8)
+    cell = int(qcell.pack(2, 1, 1))
+    for order in ([lo, hi], [hi, lo]):
+        tiles = spark.createDataFrame(
+            pd.DataFrame([(cell, img.tobytes()) for img in order],
+                         columns=["cell", "tile"])
+        )
+        out = {r["cell"]: r for r in halo_convolve(tiles, tile_px=t).collect()}
+        r = out[cell]
+        # every (dx,dy) offset of the duplicated cell is doubled: the
+        # center + however many in-bounds neighbor strips it feeds
+        assert r["n_bad"] >= 1
+        got = np.frombuffer(bytes(r["tile"]), np.uint8)
+        assert (got == 10).all(), "min-payload winner must be deterministic"
+
+
+def test_with_halo_strips_tile_column_param(spark):
+    """ADVICE r04: the payload column name is a parameter; a frame with
+    a differently-named payload produces the identical exchange."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_drivers_spark.core import qcell
+    from gdal_drivers_spark.operators.halo import with_halo_strips
+
+    t = 4
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            img = ((np.arange(t)[:, None] * 3 + np.arange(t)[None, :] * 7
+                    + tx + 16 * ty) % 256).astype(np.uint8)
+            rows.append((int(qcell.pack(1, tx, ty)), img.tobytes()))
+    pdf = pd.DataFrame(rows, columns=["cell", "elev"])
+    renamed = spark.createDataFrame(pdf)
+    default = spark.createDataFrame(pdf.rename(columns={"elev": "tile"}))
+    a = sorted(map(tuple, with_halo_strips(renamed, t, tile="elev").collect()))
+    b = sorted(map(tuple, with_halo_strips(default, t).collect()))
+    # 2x2 grid: every tile contributes to itself + its 3 in-bounds
+    # neighbors -> 16 exchange rows
+    assert a == b and len(a) == 16

@@ -559,3 +559,17 @@ def test_ups_south_mirror_and_roundtrip():
     tf = srs.get_transform("EPSG:4326", "EPSG:5042")
     x, _ = tf.np_xy(np.array([10.0]), np.array([-75.0]))
     assert np.isfinite(x[0])
+
+def test_warp_plane_sag_guard(spark):
+    """ADVICE r04: the 'curvature far below a pixel' assumption behind
+    the 3x3 boundary-sampled plane bbox is now CHECKED at plan time. A
+    metre-resolution source behind a 6-degree-wide destination tile
+    bows the preimage edge thousands of source pixels past the 2-px
+    pad — construction must refuse loudly instead of silently cropping
+    gather windows into nodata seams."""
+    src = _src_tiles_df(spark, np.zeros((128, 128), np.uint8), TS)
+    sgt = gt_from_extents(300000, 4400000, 300128, 4400128, 128, 128)  # 1 m/px
+    dgt = gt_from_extents(12.0, 40.0, 18.0, 48.0, 128, 128)
+    with pytest.raises(ValueError, match="sag"):
+        warp_tiles(src, sgt, dgt, (128, 128), tile_px=128, method="nearest",
+                   src_srs="EPSG:32633", dst_srs="EPSG:4326")
