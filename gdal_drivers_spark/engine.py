@@ -328,14 +328,25 @@ class EmbeddingSet:
         enc = pq_encode(self._corpus(), codewords, m)
         return pq_topk(queries, enc, codewords, m, k=k)
 
+    def ivfpq_codewords(self, centroids: DataFrame, ncodes: int = 16) -> list:
+        """Deterministic RESIDUAL PQ codebook (r04 — the codebook
+        ``ivfpq_topk``'s default residual encoding expects;
+        similarity.ivfpq_codewords_from_sample)."""
+        from .operators.similarity import ivfpq_codewords_from_sample
+
+        return ivfpq_codewords_from_sample(self._corpus(), centroids, ncodes)
+
     def ivfpq_topk(self, queries: DataFrame, centroids: DataFrame,
                    codewords: list, m: int, k: int = 5,
-                   nprobe: int = 2) -> DataFrame:
-        """IVF-PQ composition (probe reduction × code compression)."""
+                   nprobe: int = 2, residual: bool = True) -> DataFrame:
+        """IVF-PQ composition (probe reduction × code compression;
+        r04: residual encoding by default — pair with
+        ``ivfpq_codewords``, or pass ``residual=False`` with a raw
+        ``pq_codewords`` codebook)."""
         from .operators.similarity import ivfpq_topk
 
         return ivfpq_topk(queries, self._corpus(), centroids, codewords,
-                          m, k=k, nprobe=nprobe)
+                          m, k=k, nprobe=nprobe, residual=residual)
 
 
 class Engine:
