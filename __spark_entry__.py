@@ -863,6 +863,135 @@ _WARP_ORACLE_SQL = """
 """
 
 
+def _pattern_src_tiles(spark, ts: int = 32, ntiles: int = 4):
+    """Deterministic source raster for the warp-kernel contract
+    queries: global pixel (gx, gy) = (gx·3 + gy·5 + 11) % 256, tiled
+    ts px, built on executors (same pattern as q_warp_reproject)."""
+    import numpy as np
+
+    from gdal_drivers_spark.core import codecs
+
+    grid = spark.range(ntiles * ntiles).select(
+        (F.col("id") % ntiles).alias("scx"),
+        (F.col("id") / ntiles).cast("long").alias("scy"),
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                gx = np.arange(ts) + int(r.scx) * ts
+                gy = np.arange(ts) + int(r.scy) * ts
+                img = ((gx[None, :] * 3 + gy[:, None] * 5 + 11) % 256).astype(np.uint8)
+                rows.append((int(r.scx), int(r.scy), codecs.encode_raw(img[:, :, None])))
+            yield pd.DataFrame(rows, columns=["scx", "scy", "tile"])
+
+    return grid.mapInPandas(gen, "scx long, scy long, tile binary")
+
+
+def _px_sum_udf():
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def px_sum(tile: pd.Series) -> pd.Series:
+        return pd.Series(
+            [int(np.frombuffer(bytes(b), np.uint8).sum(dtype=np.int64)) for b in tile]
+        )
+
+    return px_sum
+
+
+def q_warp_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 resampling parity, r04 (reference Resampling.cubic,
+    gdaldriversmodule.cpp:205-225): 2× cubic-convolution (Keys a=−0.5)
+    upsample of the central half of a 128×128 pattern raster. On this
+    power-of-two grid every fractional tap position is 0.25/0.75, so
+    all 16 Keys weights are dyadic rationals and the whole tap sum is
+    EXACT in IEEE double — order-free, hence replayable in SQL; the
+    only rounding is the final banker's round to u8 (np.rint ↔ DuckDB
+    round_even). Tile seams exercise the widened cubic gather pad."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.warp import warp_tiles
+
+    src = _pattern_src_tiles(spark, ts=32, ntiles=4)
+    src_gt = np.array([0.0, 1 / 128, 0.0, 1.0, 0.0, -1 / 128])
+    dst_gt = np.array([0.25, 1 / 256, 0.0, 0.75, 0.0, -1 / 256])
+    out = warp_tiles(src, src_gt, dst_gt, (128, 128), tile_px=32, method="cubic")
+    return out.select("ocx", "ocy", _px_sum_udf()(F.col("tile")).alias("px_sum"))
+
+
+_WARP_CUBIC_ORACLE_SQL = """
+    WITH px AS (
+        SELECT ox.v AS ox, oy.v AS oy,
+               31.75 + ox.v * 0.5 AS tx, 31.75 + oy.v * 0.5 AS ty
+        FROM generate_series(0, 127) ox(v), generate_series(0, 127) oy(v)
+    ), fr AS (
+        SELECT ox, oy,
+               CAST(floor(tx) AS BIGINT) AS x0, tx - floor(tx) AS fx,
+               CAST(floor(ty) AS BIGINT) AS y0, ty - floor(ty) AS fy
+        FROM px
+    ), taps AS (
+        SELECT f.ox, f.oy,
+               (CASE i.v
+                    WHEN 0 THEN -0.5*(1.0+f.fx)*(1.0+f.fx)*(1.0+f.fx) + 2.5*(1.0+f.fx)*(1.0+f.fx) - 4.0*(1.0+f.fx) + 2.0
+                    WHEN 1 THEN 1.5*f.fx*f.fx*f.fx - 2.5*f.fx*f.fx + 1.0
+                    WHEN 2 THEN 1.5*(1.0-f.fx)*(1.0-f.fx)*(1.0-f.fx) - 2.5*(1.0-f.fx)*(1.0-f.fx) + 1.0
+                    ELSE -0.5*(2.0-f.fx)*(2.0-f.fx)*(2.0-f.fx) + 2.5*(2.0-f.fx)*(2.0-f.fx) - 4.0*(2.0-f.fx) + 2.0
+                END)
+               * (CASE j.v
+                    WHEN 0 THEN -0.5*(1.0+f.fy)*(1.0+f.fy)*(1.0+f.fy) + 2.5*(1.0+f.fy)*(1.0+f.fy) - 4.0*(1.0+f.fy) + 2.0
+                    WHEN 1 THEN 1.5*f.fy*f.fy*f.fy - 2.5*f.fy*f.fy + 1.0
+                    WHEN 2 THEN 1.5*(1.0-f.fy)*(1.0-f.fy)*(1.0-f.fy) - 2.5*(1.0-f.fy)*(1.0-f.fy) + 1.0
+                    ELSE -0.5*(2.0-f.fy)*(2.0-f.fy)*(2.0-f.fy) + 2.5*(2.0-f.fy)*(2.0-f.fy) - 4.0*(2.0-f.fy) + 2.0
+                END)
+               * CAST(((f.x0 - 1 + i.v) * 3 + (f.y0 - 1 + j.v) * 5 + 11) % 256 AS DOUBLE) AS term
+        FROM fr f, generate_series(0, 3) i(v), generate_series(0, 3) j(v)
+    ), pxv AS (
+        SELECT ox, oy,
+               LEAST(GREATEST(CAST(round_even(SUM(term), 0) AS BIGINT), 0), 255) AS v8
+        FROM taps GROUP BY ox, oy
+    )
+    SELECT ox // 32 AS ocx, oy // 32 AS ocy, CAST(SUM(v8) AS BIGINT) AS px_sum
+    FROM pxv GROUP BY 1, 2
+"""
+
+
+def q_warp_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 resampling parity, r04 (reference Resampling.average — the
+    overview-building kernel): exact area-weighted 2× downsample of
+    the 128×128 pattern raster. Every destination footprint is exactly
+    2×2 source pixels (unit weights, denominator 4), so the mean is an
+    exact quarter-integer and the only rounding is the final banker's
+    round (np.rint ↔ round_even — ties at .5 are COMMON here, which is
+    precisely what this oracle pins)."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.warp import warp_tiles
+
+    src = _pattern_src_tiles(spark, ts=32, ntiles=4)
+    src_gt = np.array([0.0, 1 / 128, 0.0, 1.0, 0.0, -1 / 128])
+    dst_gt = np.array([0.0, 1 / 64, 0.0, 1.0, 0.0, -1 / 64])
+    out = warp_tiles(src, src_gt, dst_gt, (64, 64), tile_px=32, method="average")
+    return out.select("ocx", "ocy", _px_sum_udf()(F.col("tile")).alias("px_sum"))
+
+
+_WARP_AVERAGE_ORACLE_SQL = """
+    WITH pxv AS (
+        SELECT x.v AS ox, y.v AS oy,
+               LEAST(GREATEST(CAST(round_even((
+                     CAST(((2*x.v)*3   + (2*y.v)*5   + 11) % 256
+                        + ((2*x.v+1)*3 + (2*y.v)*5   + 11) % 256
+                        + ((2*x.v)*3   + (2*y.v+1)*5 + 11) % 256
+                        + ((2*x.v+1)*3 + (2*y.v+1)*5 + 11) % 256 AS DOUBLE)
+                   ) / 4.0, 0) AS BIGINT), 0), 255) AS v8
+        FROM generate_series(0, 63) x(v), generate_series(0, 63) y(v)
+    )
+    SELECT ox // 32 AS ocx, oy // 32 AS ocy, CAST(SUM(v8) AS BIGINT) AS px_sum
+    FROM pxv GROUP BY 1, 2
+"""
+
+
 def q_maskfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 + S4 + S2 (quadtree mask write → magic-probe → read,
     mask.cpp:95-108/130-175/266-308): per-mask quad sets serialize to
@@ -3448,6 +3577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vectorize_roundtrip": q_vectorize_roundtrip,
         "warp_downsample": q_warp_downsample,
         "warp_reproject": q_warp_reproject,
+        "warp_cubic": q_warp_cubic,
+        "warp_average": q_warp_average,
         "warp_utm": q_warp_utm,
         "warp_lcc": q_warp_lcc,
         "maskfile_roundtrip": q_maskfile_roundtrip,
@@ -3678,6 +3809,8 @@ def oracle_sql() -> dict[str, str]:
         "vectorize_roundtrip": _VECTORIZE_ORACLE_SQL,
         "warp_downsample": _WARP_ORACLE_SQL,
         "warp_reproject": _warp_reproject_oracle_sql(),
+        "warp_cubic": _WARP_CUBIC_ORACLE_SQL,
+        "warp_average": _WARP_AVERAGE_ORACLE_SQL,
         "warp_utm": _warp_utm_oracle_sql(),
         "warp_lcc": _warp_lcc_oracle_sql(),
         "maskfile_roundtrip": _MASKFILE_ORACLE_SQL,

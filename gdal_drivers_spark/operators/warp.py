@@ -102,6 +102,13 @@ def warp_tiles(
     orthogonal (no rotation) — rejected otherwise, matching the
     reference's compatibility gate.
 
+    ``method``: ``nearest`` | ``bilinear`` | ``cubic`` (4×4 Keys
+    a=−0.5 — GDAL's Resampling.cubic) | ``average`` (exact
+    area-weighted footprint mean, GDAL's overview-building kernel;
+    axis-separable transforms only) — the four kernels of the
+    reference's Resampling enum a user hits first
+    (gdaldriversmodule.cpp:205-225).
+
     ``src_srs``/``dst_srs``: optional SRS names; when they differ, the
     dst-world→src-world hop goes through ``core.srs.get_transform``
     (the reference's ``warp(srs=...)`` binding,
@@ -118,12 +125,20 @@ def warp_tiles(
 
     if not (gt_orthogonal(src_gt) and gt_orthogonal(dst_gt)):
         raise ValueError("warp requires orthogonal geotransforms (blender.cpp:133-139)")
-    if method not in ("nearest", "bilinear"):
+    if method not in ("nearest", "bilinear", "cubic", "average"):
         raise ValueError(f"unknown resample method {method!r}")
     if src_srs != dst_srs and not (src_srs and dst_srs):
         raise ValueError("cross-SRS warp needs BOTH src_srs and dst_srs")
     tf = get_transform(dst_srs, src_srs)  # dst world → src world
     plane = isinstance(tf, PlaneTransform)
+    if method == "average" and plane:
+        # the area-weighted footprint machinery is separable-exact
+        # only; a plane transform's pixel footprint is not an
+        # axis-aligned box — refuse rather than average the wrong area
+        raise ValueError(
+            "average resampling needs an axis-separable transform; "
+            "reproject with nearest/bilinear/cubic first"
+        )
 
     dst_h, dst_w = dst_shape
     tiles_x = (dst_w + tile_px - 1) // tile_px
@@ -177,10 +192,13 @@ def warp_tiles(
                 sx, sy = tf.col_xy(wx, wy)
                 scs.append(_src_px(sx, i0, i1))
                 srs_.append(_src_px(sy, i3, i5))
-        c0 = (F.floor(F.least(*scs)) - 2).cast("long")
-        c1 = (F.ceil(F.greatest(*scs)) + 2).cast("long")
-        r0 = (F.floor(F.least(*srs_)) - 2).cast("long")
-        r1 = (F.ceil(F.greatest(*srs_)) + 2).cast("long")
+        # cubic taps reach 2.5 source px past a pixel CENTER, and the
+        # bbox bounds the tile boundary — widen the pad accordingly
+        ppad = int(_PLANE_PAD_PX) + (2 if method == "cubic" else 0)
+        c0 = (F.floor(F.least(*scs)) - ppad).cast("long")
+        c1 = (F.ceil(F.greatest(*scs)) + ppad).cast("long")
+        r0 = (F.floor(F.least(*srs_)) - ppad).cast("long")
+        r1 = (F.ceil(F.greatest(*srs_)) + ppad).cast("long")
     else:
         # the two pixel-corner world coords per axis, through the inverse
         xs0 = tf.col_x(F.lit(d0) + F.col("ocx") * F.lit(T * d1))
@@ -189,10 +207,14 @@ def warp_tiles(
         ys1 = tf.col_y(F.lit(d3) + (F.col("ocy") + 1) * F.lit(T * d5))
         sc0, sc1 = _src_px(xs0, i0, i1), _src_px(xs1, i0, i1)
         sr0, sr1 = _src_px(ys0, i3, i5), _src_px(ys1, i3, i5)
-        c0 = (F.floor(F.least(sc0, sc1)) - 1).cast("long")
-        c1 = (F.ceil(F.greatest(sc0, sc1)) + 1).cast("long")
-        r0 = (F.floor(F.least(sr0, sr1)) - 1).cast("long")
-        r1 = (F.ceil(F.greatest(sr0, sr1)) + 1).cast("long")
+        # nearest/bilinear read ≤1 px past the tile-corner bound;
+        # cubic's 4x4 taps reach 2.5 px past a pixel center; average
+        # reads the pixel-corner footprint exactly (pad 2 for slack)
+        pad = {"nearest": 1, "bilinear": 1, "cubic": 3, "average": 2}[method]
+        c0 = (F.floor(F.least(sc0, sc1)) - pad).cast("long")
+        c1 = (F.ceil(F.greatest(sc0, sc1)) + pad).cast("long")
+        r0 = (F.floor(F.least(sr0, sr1)) - pad).cast("long")
+        r1 = (F.ceil(F.greatest(sr0, sr1)) + pad).cast("long")
     bounded = base.select(
         "ocx", "ocy",
         F.greatest(F.floor(c0 / tile_px).cast("long"), F.lit(0)).alias("sx_lo"),
@@ -215,9 +237,23 @@ def warp_tiles(
     # inner join — absent tiles, not an error (mbtiles.cpp:188-192)
     joined = cover.join(src_tiles, ["scx", "scy"], "inner")
 
-    bilinear = method == "bilinear"
     sgt = tuple(float(v) for v in src_gt)
     dgt = tuple(float(v) for v in dst_gt)
+
+    def _cubic_w(f):
+        """Keys cubic-convolution weights, a = −0.5 (GDAL's cubic) for
+        taps at offsets −1, 0, 1, 2 around the sample cell; ``f`` is
+        the fractional position in [0, 1). Every term is a polynomial
+        in dyadic-rational inputs, so on dyadic grids (e.g. power-of-2
+        resolutions) the weights — hence the whole 16-tap sum — are
+        EXACT doubles, which is what makes the warp_cubic contract
+        oracle replayable in SQL."""
+        t0, t3, g = 1.0 + f, 2.0 - f, 1.0 - f
+        w0 = -0.5 * t0 * t0 * t0 + 2.5 * t0 * t0 - 4.0 * t0 + 2.0
+        w1 = 1.5 * f * f * f - 2.5 * f * f + 1.0
+        w2 = 1.5 * g * g * g - 2.5 * g * g + 1.0
+        w3 = -0.5 * t3 * t3 * t3 + 2.5 * t3 * t3 - 4.0 * t3 + 2.0
+        return w0, w1, w2, w3
 
     def _warp(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ocx, ocy = int(key[0]), int(key[1])
@@ -255,7 +291,7 @@ def warp_tiles(
         # writes nodata there). Bilinear TAPS at the boundary still
         # edge-clamp, the standard in-coverage convention.
         in_cov = (SC >= 0) & (SC < win_w) & (SR >= 0) & (SR < win_h)
-        if bilinear:
+        if method == "bilinear":
             x0 = np.floor(SC - 0.5).astype(np.int64)
             y0 = np.floor(SR - 0.5).astype(np.int64)
             fx = (SC - 0.5) - x0
@@ -270,6 +306,50 @@ def warp_tiles(
                 + win[y1c, x0c] * (1 - fx) * fy
                 + win[y1c, x1c] * fx * fy
             )
+        elif method == "cubic":
+            # 4x4 Keys taps around the sample cell, edge-clamped like
+            # bilinear's boundary taps; a NaN tap (outside assembled
+            # coverage) poisons the sum → nodata below, matching the
+            # strictest reading of "cubic needs a full support"
+            tx, ty = SC - 0.5, SR - 0.5
+            x0 = np.floor(tx).astype(np.int64)
+            y0 = np.floor(ty).astype(np.int64)
+            wx = _cubic_w(tx - x0)
+            wy = _cubic_w(ty - y0)
+            xs = [np.clip(x0 + d, 0, win_w - 1) for d in (-1, 0, 1, 2)]
+            ys = [np.clip(y0 + d, 0, win_h - 1) for d in (-1, 0, 1, 2)]
+            rows = [
+                wx[0] * win[yy, xs[0]] + wx[1] * win[yy, xs[1]]
+                + wx[2] * win[yy, xs[2]] + wx[3] * win[yy, xs[3]]
+                for yy in ys
+            ]
+            out = wy[0] * rows[0] + wy[1] * rows[1] + wy[2] * rows[2] + wy[3] * rows[3]
+        elif method == "average":
+            # area-weighted average (the overview-building kernel):
+            # the dst pixel's exact source-space footprint comes from
+            # its pixel-EDGE coords through the (separable) transform;
+            # per-axis overlap weights make it one pair of small
+            # matmuls over the assembled window. nodata (NaN) source
+            # pixels are excluded from both numerator and denominator
+            # — a footprint with no valid pixel is nodata.
+            exd = ocx * tile_px + np.arange(tile_px + 1)
+            eyd = ocy * tile_px + np.arange(tile_px + 1)
+            sce = igt[0] + tf.np_x(dgt[0] + exd * dgt[1]) * igt[1] - c0 * tile_px
+            sre = igt[3] + tf.np_y(dgt[3] + eyd * dgt[5]) * igt[5] - r0 * tile_px
+            loX = np.minimum(sce[:-1], sce[1:])[:, None]
+            hiX = np.maximum(sce[:-1], sce[1:])[:, None]
+            loY = np.minimum(sre[:-1], sre[1:])[:, None]
+            hiY = np.maximum(sre[:-1], sre[1:])[:, None]
+            Px = np.arange(win_w)[None, :]
+            Py = np.arange(win_h)[None, :]
+            Wx = np.clip(np.minimum(hiX, Px + 1) - np.maximum(loX, Px), 0.0, None)
+            Wy = np.clip(np.minimum(hiY, Py + 1) - np.maximum(loY, Py), 0.0, None)
+            valid = ~np.isnan(win)
+            vals = np.where(valid, win, 0.0)
+            num = Wy @ vals @ Wx.T
+            den = Wy @ valid.astype(np.float64) @ Wx.T
+            out = np.where(den > 0, num / np.where(den > 0, den, 1.0), np.nan)
+            in_cov = np.ones_like(out, dtype=bool)  # coverage == den>0
         else:
             xi = np.clip(np.floor(SC).astype(np.int64), 0, win_w - 1)
             yi = np.clip(np.floor(SR).astype(np.int64), 0, win_h - 1)

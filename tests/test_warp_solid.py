@@ -4,6 +4,7 @@ engine facade — parity vs scalar oracles."""
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from gdal_drivers_spark.core import codecs, maskfile, qcell
 from gdal_drivers_spark.engine import Engine, to_ini
@@ -572,4 +573,166 @@ def test_warp_plane_sag_guard(spark):
     dgt = gt_from_extents(12.0, 40.0, 18.0, 48.0, 128, 128)
     with pytest.raises(ValueError, match="sag"):
         warp_tiles(src, sgt, dgt, (128, 128), tile_px=128, method="nearest",
+                   src_srs="EPSG:32633", dst_srs="EPSG:4326")
+
+# ---------------------------------------------------- cubic / average (r04)
+
+def _warp_oracle_cubic(full, tf_np_xy, sgt, dgt, dst_shape, nodata=0.0):
+    """Scalar reference for the cubic warp — same Keys a=-0.5 weight
+    expression (imported from the operator so the nesting is
+    identical; all elementwise, no reduction-order ambiguity), taps
+    edge-clamped to the FULL image, nodata outside coverage."""
+    from gdal_drivers_spark.core.geometry import gt_invert
+
+    igt = gt_invert(np.asarray(sgt, np.float64))
+    H, W = dst_shape
+    cols = np.arange(W) + 0.5
+    rows = np.arange(H) + 0.5
+    WX, WY = np.meshgrid(dgt[0] + cols * dgt[1], dgt[3] + rows * dgt[5])
+    sx, sy = tf_np_xy(WX, WY)
+    SC = igt[0] + sx * igt[1]
+    SR = igt[3] + sy * igt[5]
+    h, w = full.shape
+    f = full.astype(np.float64)
+    tx, ty = SC - 0.5, SR - 0.5
+    x0 = np.floor(tx).astype(np.int64)
+    y0 = np.floor(ty).astype(np.int64)
+
+    def cubic_w(fr):
+        t0, t3, g = 1.0 + fr, 2.0 - fr, 1.0 - fr
+        return (-0.5 * t0 * t0 * t0 + 2.5 * t0 * t0 - 4.0 * t0 + 2.0,
+                1.5 * fr * fr * fr - 2.5 * fr * fr + 1.0,
+                1.5 * g * g * g - 2.5 * g * g + 1.0,
+                -0.5 * t3 * t3 * t3 + 2.5 * t3 * t3 - 4.0 * t3 + 2.0)
+
+    wx = cubic_w(tx - x0)
+    wy = cubic_w(ty - y0)
+    xs = [np.clip(x0 + d, 0, w - 1) for d in (-1, 0, 1, 2)]
+    ys = [np.clip(y0 + d, 0, h - 1) for d in (-1, 0, 1, 2)]
+    rws = [wx[0] * f[yy, xs[0]] + wx[1] * f[yy, xs[1]]
+           + wx[2] * f[yy, xs[2]] + wx[3] * f[yy, xs[3]] for yy in ys]
+    out = wy[0] * rws[0] + wy[1] * rws[1] + wy[2] * rws[2] + wy[3] * rws[3]
+    in_cov = (SC >= 0) & (SC < w) & (SR >= 0) & (SR < h)
+    out = np.where(in_cov, out, nodata)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def _collect_warp(spark_rows, dst_shape, ts):
+    got = np.zeros(dst_shape, np.uint8)
+    for r in spark_rows:
+        t = np.frombuffer(r["tile"], np.uint8).reshape(ts, ts)
+        got[r["ocy"] * ts:(r["ocy"] + 1) * ts, r["ocx"] * ts:(r["ocx"] + 1) * ts] = t
+    return got
+
+
+def test_warp_cubic_matches_scalar_oracle_with_seams(spark):
+    """Cubic (Keys a=-0.5) 2x upsample of a random source: every output
+    pixel — including across dst AND src tile seams, where the 4x4 taps
+    read neighbor tiles through the cover join's widened pad — equals
+    the whole-image scalar oracle exactly."""
+    from gdal_drivers_spark.core.srs import get_transform
+
+    rng = np.random.default_rng(9)
+    full = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+    src = _src_tiles_df(spark, full, TS)
+    sgt = gt_from_extents(0, 0, 1, 1, 128, 128)
+    dgt = gt_from_extents(0, 0, 1, 1, 256, 256)
+    tf = get_transform("", "")
+    exp = _warp_oracle_cubic(full, lambda x, y: (x, y), sgt, dgt, (256, 256))
+    got = _collect_warp(
+        warp_tiles(src, sgt, dgt, (256, 256), tile_px=TS, method="cubic").collect(),
+        (256, 256), TS)
+    assert (got == exp).all(), int((got != exp).sum())
+
+
+def test_warp_cubic_through_plane_transform(spark):
+    """Cubic through the UTM PlaneTransform path (non-dyadic fractions,
+    widened plane pad): exact equality with the scalar oracle built
+    from the identical weight expression."""
+    from gdal_drivers_spark.core import srs
+
+    rng = np.random.default_rng(41)
+    full = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+    src = _src_tiles_df(spark, full, TS)
+    sgt = gt_from_extents(300000, 4400000, 700000, 5400000, 128, 128)
+    dgt = gt_from_extents(12.5, 40.5, 17.5, 47.5, 128, 128)
+    tf = srs.get_transform("EPSG:4326", "EPSG:32633")
+    exp = _warp_oracle_cubic(full, tf.np_xy, sgt, dgt, (128, 128))
+    got = _collect_warp(
+        warp_tiles(src, sgt, dgt, (128, 128), tile_px=TS, method="cubic",
+                   src_srs="EPSG:32633", dst_srs="EPSG:4326").collect(),
+        (128, 128), TS)
+    assert (got == exp).all(), int((got != exp).sum())
+
+
+def test_warp_average_exact_2x_and_sparse_nodata(spark):
+    """Area-weighted average, 2x downsample: every footprint is exactly
+    2x2 source pixels, so out == round_even(sum/4) — checked exactly;
+    with one source tile ABSENT the footprints inside it are nodata and
+    everything else is untouched (NaN exclusion semantics)."""
+    rng = np.random.default_rng(10)
+    full = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+    sgt = gt_from_extents(0, 0, 1, 1, 128, 128)
+    dgt = gt_from_extents(0, 0, 1, 1, 64, 64)
+    exp = np.rint(
+        full.astype(np.float64).reshape(64, 2, 64, 2).mean(axis=(1, 3))
+    ).astype(np.uint8)
+
+    src = _src_tiles_df(spark, full, 32)
+    got = _collect_warp(
+        warp_tiles(src, sgt, dgt, (64, 64), tile_px=32, method="average").collect(),
+        (64, 64), 32)
+    assert (got == exp).all()
+
+    # drop source tile (scx=1, scy=2) -> dst block [32:48, 16:32] nodata=7
+    sparse = src.filter(~((F.col("scx") == 1) & (F.col("scy") == 2)))
+    got2 = _collect_warp(
+        warp_tiles(sparse, sgt, dgt, (64, 64), tile_px=32, method="average",
+                   nodata=7.0).collect(),
+        (64, 64), 32)
+    exp2 = exp.copy()
+    exp2[32:48, 16:32] = 7
+    assert (got2 == exp2).all()
+
+
+def test_warp_average_fractional_footprints(spark):
+    """Non-integer scale (108 -> 72 px, footprint 1.5 src px per axis):
+    the per-axis overlap weights must integrate partial pixels (src and
+    dst share tile_px=36 — the operator's one-tile-size contract).
+    Scalar per-pixel oracle with independent Python-loop summation; u8 results
+    may differ only on knife-edge rounding (tolerance 1, and at most a
+    handful of pixels)."""
+    rng = np.random.default_rng(12)
+    full = rng.integers(0, 256, (108, 108)).astype(np.uint8)
+    sgt = gt_from_extents(0, 0, 1, 1, 108, 108)
+    dgt = gt_from_extents(0, 0, 1, 1, 72, 72)
+    s = 108 / 72
+    exp = np.zeros((72, 72))
+    for r in range(72):
+        for c in range(72):
+            x0, x1 = c * s, (c + 1) * s
+            y0, y1 = r * s, (r + 1) * s
+            num = den = 0.0
+            for p in range(int(np.floor(y0)), int(np.ceil(y1))):
+                wy = min(y1, p + 1) - max(y0, p)
+                for q in range(int(np.floor(x0)), int(np.ceil(x1))):
+                    wx = min(x1, q + 1) - max(x0, q)
+                    num += wx * wy * full[p, q]
+                    den += wx * wy
+            exp[r, c] = num / den
+    exp_u8 = np.clip(np.rint(exp), 0, 255).astype(np.uint8)
+    src = _src_tiles_df(spark, full, 36)
+    got = _collect_warp(
+        warp_tiles(src, sgt, dgt, (72, 72), tile_px=36, method="average").collect(),
+        (72, 72), 36)
+    diff = np.abs(got.astype(int) - exp_u8.astype(int))
+    assert diff.max() <= 1 and (diff > 0).sum() <= 5, (diff.max(), (diff > 0).sum())
+
+
+def test_warp_average_rejects_plane_transform(spark):
+    src = _src_tiles_df(spark, np.zeros((128, 128), np.uint8), TS)
+    sgt = gt_from_extents(300000, 4400000, 700000, 5400000, 128, 128)
+    dgt = gt_from_extents(12.0, 40.0, 18.0, 48.0, 128, 128)
+    with pytest.raises(ValueError, match="separable"):
+        warp_tiles(src, sgt, dgt, (128, 128), tile_px=TS, method="average",
                    src_srs="EPSG:32633", dst_srs="EPSG:4326")
