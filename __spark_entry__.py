@@ -992,6 +992,78 @@ _WARP_AVERAGE_ORACLE_SQL = """
 """
 
 
+def q_warp_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 mask propagation, r04 (the reference's warp(withMask=True)
+    returning (data, mask) — gdaldriversmodule.cpp:126-158): nearest
+    2× downsample of the pattern raster whose source mask invalidates
+    pixels with (gx·7+gy·11)%13 < 3. The mask band rides the same
+    gather as the data; per destination tile the oracle replays the
+    sampled source pixel's validity and value — n_valid counts mask
+    pixels, px_sum sums data (nodata 0 at invalid), so a mask that
+    leaked values or a data band that kept values at invalid pixels
+    both break the hash."""
+    import numpy as np
+
+    from gdal_drivers_spark.core import codecs
+    from gdal_drivers_spark.operators.warp import warp_tiles
+
+    ts, ntiles = 32, 4
+    grid = spark.range(ntiles * ntiles).select(
+        (F.col("id") % ntiles).alias("scx"),
+        (F.col("id") / ntiles).cast("long").alias("scy"),
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                gx = np.arange(ts) + int(r.scx) * ts
+                gy = np.arange(ts) + int(r.scy) * ts
+                img = ((gx[None, :] * 3 + gy[:, None] * 5 + 11) % 256).astype(np.uint8)
+                m = (((gx[None, :] * 7 + gy[:, None] * 11) % 13) >= 3).astype(np.uint8) * 255
+                rows.append((int(r.scx), int(r.scy),
+                             codecs.encode_raw(img[:, :, None]),
+                             np.ascontiguousarray(m).tobytes()))
+            yield pd.DataFrame(rows, columns=["scx", "scy", "tile", "mask"])
+
+    src = grid.mapInPandas(gen, "scx long, scy long, tile binary, mask binary")
+    src_gt = np.array([0.0, 1 / 128, 0.0, 1.0, 0.0, -1 / 128])
+    dst_gt = np.array([0.0, 1 / 64, 0.0, 1.0, 0.0, -1 / 64])
+    out = warp_tiles(src, src_gt, dst_gt, (64, 64), tile_px=32, method="nearest",
+                     with_mask=True)
+
+    @F.pandas_udf("long")
+    def n_valid(mask: pd.Series) -> pd.Series:
+        return pd.Series(
+            [int((np.frombuffer(bytes(b), np.uint8) > 0).sum()) for b in mask]
+        )
+
+    return out.select(
+        "ocx", "ocy",
+        _px_sum_udf()(F.col("tile")).alias("px_sum"),
+        n_valid(F.col("mask")).alias("n_valid"),
+    )
+
+
+_WARP_MASK_ORACLE_SQL = """
+    WITH px AS (
+        SELECT x.v AS ox, y.v AS oy,
+               2 * x.v + 1 AS sx, 2 * y.v + 1 AS sy
+        FROM generate_series(0, 63) x(v), generate_series(0, 63) y(v)
+    ), v AS (
+        SELECT ox, oy,
+               CASE WHEN (sx * 7 + sy * 11) % 13 >= 3
+                    THEN (sx * 3 + sy * 5 + 11) % 256 ELSE 0 END AS val,
+               CASE WHEN (sx * 7 + sy * 11) % 13 >= 3 THEN 1 ELSE 0 END AS ok
+        FROM px
+    )
+    SELECT ox // 32 AS ocx, oy // 32 AS ocy,
+           CAST(SUM(val) AS BIGINT) AS px_sum,
+           CAST(SUM(ok) AS BIGINT) AS n_valid
+    FROM v GROUP BY 1, 2
+"""
+
+
 def q_maskfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 + S4 + S2 (quadtree mask write → magic-probe → read,
     mask.cpp:95-108/130-175/266-308): per-mask quad sets serialize to
@@ -3579,6 +3651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_reproject": q_warp_reproject,
         "warp_cubic": q_warp_cubic,
         "warp_average": q_warp_average,
+        "warp_mask": q_warp_mask,
         "warp_utm": q_warp_utm,
         "warp_lcc": q_warp_lcc,
         "maskfile_roundtrip": q_maskfile_roundtrip,
@@ -3811,6 +3884,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_reproject": _warp_reproject_oracle_sql(),
         "warp_cubic": _WARP_CUBIC_ORACLE_SQL,
         "warp_average": _WARP_AVERAGE_ORACLE_SQL,
+        "warp_mask": _WARP_MASK_ORACLE_SQL,
         "warp_utm": _warp_utm_oracle_sql(),
         "warp_lcc": _warp_lcc_oracle_sql(),
         "maskfile_roundtrip": _MASKFILE_ORACLE_SQL,

@@ -59,7 +59,13 @@ def blend_tiles(
 
     ``contribs`` rows: (cell:long, band:int, source_id, tile:binary
     [raw-encoded pixels for the full cell span], vx0,vy0,vx1,vy1:double
-    [source valid extents, world coords]).
+    [source valid extents, world coords]) — plus an OPTIONAL ``mask``
+    column (raw u8 tile_px² per contribution, 255=valid, NULL =
+    all-valid; r04): a contribution's per-pixel validity (e.g. a
+    warp's ``with_mask=True`` output) multiplies its feather weight,
+    so warp-introduced nodata neither dilutes the blend with nodata
+    VALUES nor contributes weight — exactly the reference's
+    mask-aware accumulation (blender.cpp:626-646).
 
     Returns one row per (cell, band): blended tile + validity mask.
     """
@@ -100,6 +106,11 @@ def blend_tiles(
             w = np.outer(
                 _ramp(pys, r.vy0, r.vy1, overlap), _ramp(pxs, r.vx0, r.vx1, overlap)
             )
+            rm = getattr(r, "mask", None)
+            if rm is not None:
+                w = w * (
+                    np.frombuffer(bytes(rm), np.uint8).reshape(img.shape) > 0
+                )
             acc += img * w
             wacc += w
         valid = wacc > 0

@@ -30,6 +30,7 @@ from ..core import codecs
 from ..core.geometry import gt_invert, gt_orthogonal
 
 WARP_SCHEMA = "ocx long, ocy long, tile binary, ts int, n_src int"
+WARP_MASK_SCHEMA = WARP_SCHEMA + ", mask binary"
 
 # the plane-transform source bbox uses a 3×3 boundary sample + 2-px
 # pad; the pad absorbs at most this much edge bowing between samples
@@ -91,6 +92,7 @@ def warp_tiles(
     nodata: float = 0.0,
     src_srs: str = "",
     dst_srs: str = "",
+    with_mask: bool = False,
 ) -> DataFrame:
     """Resample source tiles onto the destination grid.
 
@@ -108,6 +110,21 @@ def warp_tiles(
     axis-separable transforms only) — the four kernels of the
     reference's Resampling enum a user hits first
     (gdaldriversmodule.cpp:205-225).
+
+    ``with_mask=True`` (r04 — the reference's ``warp(withMask=True)``
+    returning ``(data, mask)``, gdaldriversmodule.cpp:126-158/182-204):
+    the output gains a ``mask`` binary column (raw u8, 255=valid per
+    pixel) and the gather PROPAGATES validity instead of flattening it
+    into the nodata value — downstream blend can then tell "warped
+    nodata" from "genuinely zero". ``src_tiles`` may carry its own
+    optional ``mask`` column (raw u8 tile_px², NULL = all-valid);
+    absent source coverage is invalid as before. Per-kernel policy
+    (documented choice): nearest GATHERS the mask; bilinear
+    WEIGHT-RENORMALIZES over valid taps (a pixel is valid while ≥1 tap
+    is); cubic requires a FULLY-VALID 4×4 support (negative-lobe
+    weights renormalize badly); average excludes invalid pixels from
+    numerator and denominator (valid while the footprint holds ≥1
+    valid pixel). Data still carries ``nodata`` at invalid pixels.
 
     ``src_srs``/``dst_srs``: optional SRS names; when they differ, the
     dst-world→src-world hop goes through ``core.srs.get_transform``
@@ -265,11 +282,20 @@ def warp_tiles(
         win_w = (c1 - c0 + 1) * tile_px
         win_h = (r1 - r0 + 1) * tile_px
         win = np.full((win_h, win_w), np.nan)
+        Mw = np.zeros((win_h, win_w), np.float64) if with_mask else None
         for r in pdf.itertuples():
             img = codecs.decode(bytes(r.tile))[:, :, 0].astype(np.float64)
             oy = (int(r.scy) - r0) * tile_px
             ox = (int(r.scx) - c0) * tile_px
             win[oy : oy + img.shape[0], ox : ox + img.shape[1]] = img
+            if with_mask:
+                mpatch = np.ones(img.shape, np.float64)
+                rm = getattr(r, "mask", None)
+                if rm is not None:
+                    mpatch = (
+                        np.frombuffer(bytes(rm), np.uint8).reshape(img.shape) > 0
+                    ).astype(np.float64)
+                Mw[oy : oy + img.shape[0], ox : ox + img.shape[1]] = mpatch
         # destination pixel centers → world → source pixel coords
         cols = ocx * tile_px + np.arange(tile_px) + 0.5
         rws = ocy * tile_px + np.arange(tile_px) + 0.5
@@ -291,6 +317,80 @@ def warp_tiles(
         # writes nodata there). Bilinear TAPS at the boundary still
         # edge-clamp, the standard in-coverage convention.
         in_cov = (SC >= 0) & (SC < win_w) & (SR >= 0) & (SR < win_h)
+        if with_mask:
+            # mask-PROPAGATING gather (policies in the docstring):
+            # Vz zeroes invalid/absent pixels so no NaN reaches the
+            # arithmetic; validity travels in Mw instead
+            Vz = np.where(Mw > 0, np.where(np.isnan(win), 0.0, win), 0.0)
+            if method == "nearest":
+                xi = np.clip(np.floor(SC).astype(np.int64), 0, win_w - 1)
+                yi = np.clip(np.floor(SR).astype(np.int64), 0, win_h - 1)
+                out = Vz[yi, xi]
+                valid = (Mw[yi, xi] > 0) & in_cov
+            elif method == "bilinear":
+                x0 = np.floor(SC - 0.5).astype(np.int64)
+                y0 = np.floor(SR - 0.5).astype(np.int64)
+                fx = (SC - 0.5) - x0
+                fy = (SR - 0.5) - y0
+                x0c = np.clip(x0, 0, win_w - 1)
+                x1c = np.clip(x0 + 1, 0, win_w - 1)
+                y0c = np.clip(y0, 0, win_h - 1)
+                y1c = np.clip(y0 + 1, 0, win_h - 1)
+                w00 = (1 - fx) * (1 - fy) * Mw[y0c, x0c]
+                w10 = fx * (1 - fy) * Mw[y0c, x1c]
+                w01 = (1 - fx) * fy * Mw[y1c, x0c]
+                w11 = fx * fy * Mw[y1c, x1c]
+                num = (Vz[y0c, x0c] * w00 + Vz[y0c, x1c] * w10
+                       + Vz[y1c, x0c] * w01 + Vz[y1c, x1c] * w11)
+                den = w00 + w10 + w01 + w11
+                valid = (den > 0) & in_cov
+                out = num / np.where(den > 0, den, 1.0)
+            elif method == "cubic":
+                tx, ty = SC - 0.5, SR - 0.5
+                x0 = np.floor(tx).astype(np.int64)
+                y0 = np.floor(ty).astype(np.int64)
+                wx = _cubic_w(tx - x0)
+                wy = _cubic_w(ty - y0)
+                xs = [np.clip(x0 + d, 0, win_w - 1) for d in (-1, 0, 1, 2)]
+                ys = [np.clip(y0 + d, 0, win_h - 1) for d in (-1, 0, 1, 2)]
+                rows_ = [
+                    wx[0] * Vz[yy, xs[0]] + wx[1] * Vz[yy, xs[1]]
+                    + wx[2] * Vz[yy, xs[2]] + wx[3] * Vz[yy, xs[3]]
+                    for yy in ys
+                ]
+                out = (wy[0] * rows_[0] + wy[1] * rows_[1]
+                       + wy[2] * rows_[2] + wy[3] * rows_[3])
+                sup = np.ones_like(out, dtype=bool)
+                for yy in ys:
+                    for xx in xs:
+                        sup &= Mw[yy, xx] > 0
+                valid = sup & in_cov
+            else:  # average
+                exd = ocx * tile_px + np.arange(tile_px + 1)
+                eyd = ocy * tile_px + np.arange(tile_px + 1)
+                sce = igt[0] + tf.np_x(dgt[0] + exd * dgt[1]) * igt[1] - c0 * tile_px
+                sre = igt[3] + tf.np_y(dgt[3] + eyd * dgt[5]) * igt[5] - r0 * tile_px
+                loX = np.minimum(sce[:-1], sce[1:])[:, None]
+                hiX = np.maximum(sce[:-1], sce[1:])[:, None]
+                loY = np.minimum(sre[:-1], sre[1:])[:, None]
+                hiY = np.maximum(sre[:-1], sre[1:])[:, None]
+                Px = np.arange(win_w)[None, :]
+                Py = np.arange(win_h)[None, :]
+                Wx = np.clip(np.minimum(hiX, Px + 1) - np.maximum(loX, Px), 0.0, None)
+                Wy = np.clip(np.minimum(hiY, Py + 1) - np.maximum(loY, Py), 0.0, None)
+                num = Wy @ (Vz * Mw) @ Wx.T
+                den = Wy @ Mw @ Wx.T
+                valid = den > 0
+                out = np.where(valid, num / np.where(valid, den, 1.0), 0.0)
+            out = np.where(valid, out, nodata)
+            tile = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+            return pd.DataFrame(
+                {
+                    "ocx": [ocx], "ocy": [ocy],
+                    "tile": [tile.tobytes()], "ts": [tile_px], "n_src": [len(pdf)],
+                    "mask": [(valid.astype(np.uint8) * 255).tobytes()],
+                }
+            )
         if method == "bilinear":
             x0 = np.floor(SC - 0.5).astype(np.int64)
             y0 = np.floor(SR - 0.5).astype(np.int64)
@@ -363,4 +463,6 @@ def warp_tiles(
             }
         )
 
-    return joined.groupBy("ocx", "ocy").applyInPandas(_warp, WARP_SCHEMA)
+    return joined.groupBy("ocx", "ocy").applyInPandas(
+        _warp, WARP_MASK_SCHEMA if with_mask else WARP_SCHEMA
+    )
