@@ -2737,6 +2737,54 @@ _ANN_LSH_ORACLE_SQL = """
 """
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph construction (r04, VERDICT #5): corpus self-kNN via
+    multi-table sign-LSH with NO broadcast on either side — queries ==
+    corpus, so the candidate generator is a shuffle join on the
+    (table, bucket) equi-key (the no-broadcast plan shape is asserted
+    in test_pipeline_ops::test_knn_graph_*). Self-edges excluded,
+    k=3 neighbors per vector. Deterministic plane family → the oracle
+    replays buckets, candidate union, scoring and ranking."""
+    from gdal_drivers_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    return knn_graph(corpus, dim=64, k=3, n_tables=4)
+
+
+_KNN_GRAPH_ORACLE_SQL = """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
+        FROM embeddings
+    ), tb AS (SELECT t FROM generate_series(0, 3) g(t)),
+    bk AS (
+        SELECT vec_id, q, t,
+               list_sum(list_transform(generate_series(0, 7), p ->
+                   CASE WHEN list_sum(list_transform(generate_series(0, 63), j ->
+                        q[j + 1] * (CASE WHEN ((j + 1) * 69 + (t * 8 + p) * 131) * 48271 % 65536 < 32768 THEN 1 ELSE -1 END)
+                   )) > 0 THEN (1 << (7 - p)) ELSE 0 END
+               )) AS b
+        FROM e, tb
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS qid, c.vec_id AS cid
+        FROM bk a JOIN bk c ON a.t = c.t AND a.b = c.b
+        WHERE a.vec_id <> c.vec_id
+    ),
+    scored AS (
+        SELECT cand.qid, cand.cid,
+               CAST(list_sum(list_transform(generate_series(1, 64), i -> eq.q[i] * ec.q[i])) AS BIGINT) AS dot_q
+        FROM cand
+        JOIN e eq ON eq.vec_id = cand.qid
+        JOIN e ec ON ec.vec_id = cand.cid
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, cid) AS rank
+        FROM scored
+    )
+    SELECT qid, cid, dot_q, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+"""
+
+
 def q_overview_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/A5 overview halving chain (solid.cpp:352-369): per part-
     derived raster size, levels halve (ceil) until ≤ one 256-px tile;
@@ -3691,6 +3739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "ann_ivfpq": q_ann_ivfpq,
         "ann_index_reuse": q_ann_index_reuse,
+        "knn_graph": q_knn_graph,
         "audio_features": q_audio_features,
         "ann_cosine": q_ann_cosine,
         "unknown_filter": q_unknown_filter,
@@ -3866,6 +3915,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": _ANN_PQ_ORACLE_SQL,
         "ann_ivfpq": _ANN_IVFPQ_ORACLE_SQL,
         "ann_index_reuse": _ANN_INDEX_REUSE_ORACLE_SQL,
+        "knn_graph": _KNN_GRAPH_ORACLE_SQL,
         "audio_features": _AUDIO_ORACLE_SQL,
         "ann_cosine": _ANN_COSINE_ORACLE_SQL,
         "unknown_filter": _UNKNOWN_FILTER_ORACLE_SQL,
