@@ -406,8 +406,154 @@ def scaling() -> dict:
     }
 
 
+def _plan_shape(df) -> list[str]:
+    """Sorted multiset of physical-plan node types (ids stripped) — the
+    'same plan at 4× the data' invariance certificate."""
+    import re
+    from collections import Counter
+
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    nodes = re.findall(r"^[\s+:*-]*\(?\d*\)?\s*([A-Za-z]+[A-Za-z ]*?)[\s(\[]", txt, re.M)
+    skip = {"Arguments", "Input", "Output", "Keys", "Functions", "Results", "Condition"}
+    counts = Counter(n.strip() for n in nodes)
+    return sorted(f"{k}:{v}" for k, v in counts.items() if k not in skip)
+
+
+def stress() -> dict:
+    """One decade of measured scale headroom past the per-round bench
+    (VERDICT r03 #6): flagship at mult=256 → 1024 (≈0.5 B assignments),
+    brute ANN over a ×64 → ×256 replicated corpus, exact dedup over a
+    ×256 → ×1024 replicated+perturbed documents table. For each pair:
+    throughput(large) must hold ≥0.8× throughput(small) AND the
+    executed-plan node multiset must be UNCHANGED (no nested-loop /
+    broadcast flip at scale) — plans that merely "work" at test size
+    but re-shape at 4× fail this gate."""
+    from pyspark.sql import functions as F
+
+    from gdal_drivers_spark import get_spark
+
+    spark = get_spark("stress", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()
+    out: dict = {"metric": "stress throughput (large vs small mult) + plan-shape invariance",
+                 "unit": "ratio", "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                 "cpus": CPUS, "cases": {}}
+
+    def case(name, small_mult, large_mult, build, work_unit):
+        rows = {}
+        shapes = {}
+        for mult in (small_mult, large_mult):
+            df = build(mult)
+            shapes[mult] = _plan_shape(df)
+            t0 = time.time()
+            n = df.count()
+            dtv = time.time() - t0
+            rows[mult] = {"mult": mult, "sec": round(dtv, 2), work_unit: n,
+                          "per_sec": round(n / dtv)}
+        thr_ratio = rows[large_mult]["per_sec"] / rows[small_mult]["per_sec"]
+        out["cases"][name] = {
+            "small": rows[small_mult], "large": rows[large_mult],
+            "throughput_ratio_large_vs_small": round(thr_ratio, 3),
+            "holds_0.8x": thr_ratio >= 0.8,
+            "plan_invariant": shapes[small_mult] == shapes[large_mult],
+        }
+
+    # flagship: count the JOINED assignments (the flagship action,
+    # minus the driver-side rollup collect so count() is the measure)
+    def build_flagship(mult):
+        from gdal_drivers_spark.operators.assign import (
+            explode_cells, pack_cell, with_footprint,
+        )
+
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_orderkey")
+        orders = orders.repartition(CPUS * 3).withColumn(
+            "_r", F.explode(F.sequence(F.lit(1), F.lit(mult)))
+        ).withColumn("o_orderkey", F.col("o_orderkey") * mult + F.col("_r"))
+        imgs = orders.select(
+            F.col("o_orderkey").alias("k"),
+            ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(1 << 40)
+             + (F.col("o_orderkey") % F.lit(1024)) * F.lit(1 << 40)).alias("phash"),
+        )
+        assigned = explode_cells(with_footprint(imgs), Z_BENCH)
+        n = 1 << Z_BENCH
+        bounds = spark.range(n * n).select(
+            (F.col("id").cast("long") / n).cast("long").alias("bx"),
+            (F.col("id") % n).alias("by"),
+        ).select(
+            pack_cell(Z_BENCH, F.col("bx"), F.col("by")).alias("cell"),
+            F.concat(F.lit("r"), ((F.col("bx") + F.col("by")) % 64)).alias("region"),
+        )
+        return assigned.join(F.broadcast(bounds), "cell", "inner")
+
+    case("flagship_join", 256, 1024, build_flagship, "join_rows")
+
+    # ANN: brute top-k over a replicated corpus (scoring throughput —
+    # the candidate-scoring inner loop every ANN variant shares)
+    def build_ann(mult):
+        from gdal_drivers_spark.operators.similarity import brute_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        corpus = emb.repartition(CPUS * 2).withColumn(
+            "_r", F.explode(F.sequence(F.lit(1), F.lit(mult)))
+        ).select(
+            (F.col("vec_id") * mult + F.col("_r")).alias("cid"),
+            F.col("embedding").alias("cvec"),
+        )
+        qs = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        return brute_topk(qs, corpus, k=5)
+
+    case("ann_brute_score", 256, 1024, build_ann, "topk_rows")
+
+    # dedup: exact hash-groupBy over a replicated documents table with
+    # per-replica perturbation (17 distinct variants per doc → real
+    # duplicate groups, no degenerate single-group collapse)
+    def build_dedup(mult):
+        from gdal_drivers_spark.operators.dedup import exact_dedup
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        rep = docs.repartition(CPUS * 2).withColumn(
+            "_r", F.explode(F.sequence(F.lit(1), F.lit(mult)))
+        ).select(
+            F.concat(F.col("doc_id"), F.lit("#"), F.col("_r")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" v"), (F.col("_r") % 17)).alias("text"),
+        )
+        return exact_dedup(rep, id_col="doc_id", text="text")
+
+    case("dedup_exact", 256, 1024, build_dedup, "survivor_rows")
+
+    # ann throughput is per SCORED candidate, not per output row —
+    # rescale so the ratio compares work, not the constant |Q|·k output
+    nemb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    c = out["cases"]["ann_brute_score"]
+    c["small"]["scored_per_sec"] = round(nemb * 256 * 8 / c["small"]["sec"])
+    c["large"]["scored_per_sec"] = round(nemb * 1024 * 8 / c["large"]["sec"])
+    r = c["large"]["scored_per_sec"] / c["small"]["scored_per_sec"]
+    c["throughput_ratio_large_vs_small"] = round(r, 3)
+    c["holds_0.8x"] = r >= 0.8
+    # dedup likewise: work = input rows, not survivors
+    c = out["cases"]["dedup_exact"]
+    ndocs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    c["small"]["input_rows_per_sec"] = round(ndocs * 256 / c["small"]["sec"])
+    c["large"]["input_rows_per_sec"] = round(ndocs * 1024 / c["large"]["sec"])
+    r = c["large"]["input_rows_per_sec"] / c["small"]["input_rows_per_sec"]
+    c["throughput_ratio_large_vs_small"] = round(r, 3)
+    c["holds_0.8x"] = r >= 0.8
+
+    out["value"] = min(
+        v["throughput_ratio_large_vs_small"] for v in out["cases"].values()
+    )
+    out["all_hold_0.8x"] = all(v["holds_0.8x"] for v in out["cases"].values())
+    out["all_plans_invariant"] = all(v["plan_invariant"] for v in out["cases"].values())
+    spark.stop()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(scaling()))
+    elif "--stress" in sys.argv:
+        print(json.dumps(stress()))
     else:
         print(json.dumps(run(SF_DIR, CPUS)))
