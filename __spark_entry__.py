@@ -2199,14 +2199,21 @@ def q_ann_index_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") / 64).cast("long").alias("list_id"),
         F.col("embedding").alias("center"),
     )
-    # index build + persist (once; overwrite keeps the query rerunnable)
+    # index build + persist (once; overwrite keeps the query
+    # rerunnable). Path and table are KEYED BY SCALE DIR so two
+    # harness runs at different scales can never clobber each other's
+    # live index mid-read (r04 review)
+    import re as _re
+
+    tag = _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    table = f"gds_ann_index_reuse_{tag}"
     write_ivf_index(
         ivf_assign(corpus, cents),
-        table="gds_ann_index_reuse",
-        path="/tmp/gds_ann_index_reuse",
+        table=table,
+        path=f"/tmp/{table}",
         buckets=8,
     )
-    lists = read_ivf_index(spark, "gds_ann_index_reuse")
+    lists = read_ivf_index(spark, table)
     out = []
     for batch, (lo, hi) in enumerate(((0, 10), (10, 20)), start=1):
         qs = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).select(

@@ -443,12 +443,22 @@ def stress() -> dict:
         rows = {}
         shapes = {}
         for mult in (small_mult, large_mult):
-            df = build(mult)
-            shapes[mult] = _plan_shape(df)
+            # count through a select() on the SAME QueryExecution we
+            # inspect, and inspect it AFTER the collect: with AQE on,
+            # the pre-execution plan is the static skeleton
+            # (isFinalPlan=false) and would miss exactly the runtime
+            # broadcast/SMJ flips this gate exists to catch (r04
+            # review)
+            cnt = build(mult).select(F.count(F.lit(1)).alias("n"))
             t0 = time.time()
-            n = df.count()
+            n = int(cnt.collect()[0]["n"])
             dtv = time.time() - t0
-            rows[mult] = {"mult": mult, "sec": round(dtv, 2), work_unit: n,
+            plan_txt = cnt._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=false" not in plan_txt, "plan captured pre-execution"
+            shapes[mult] = _plan_shape(cnt)
+            # sec rounded to 4 places (display) but divisions use dtv —
+            # a 2-decimal 0.00 once crashed the rescale below
+            rows[mult] = {"mult": mult, "sec": round(dtv, 4), work_unit: n,
                           "per_sec": round(n / dtv)}
         thr_ratio = rows[large_mult]["per_sec"] / rows[small_mult]["per_sec"]
         out["cases"][name] = {

@@ -28,6 +28,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _spread_key(cid: str):
+    """Engine-portable deterministic spread hash over an id column —
+    the shared no-RNG sampler behind ivf_train init and both codebook
+    samplers (factored r04: three copies had drifted into existence).
+    Integer-castable ids use the `_mix` the SQL oracles replay;
+    non-numeric ids fall back to xxhash64 (same spread property,
+    Spark-only) instead of try_cast→NULL collapsing the sample to the
+    lexicographic head."""
+    from gdal_drivers_spark.operators.sample import _mix
+
+    key_long = F.expr(f"try_cast({cid} AS BIGINT)")
+    return F.when(key_long.isNotNull(), _mix(key_long)).otherwise(
+        F.pmod(F.xxhash64(F.col(cid)), F.lit(1 << 32))
+    )
+
+
 def quantize(col, scale: int = 10_000):
     """array<float> → array<long> (round(v·scale)) — exact scoring.
     The float32→float64 promotion happens *before* the multiply so any
@@ -259,17 +275,7 @@ def ivf_train(
     one groupBy(list) of dim-component partial sums — both map-side
     combined; nothing quadratic, nothing driver-side except the
     n_lists×dim centroid table itself."""
-    from gdal_drivers_spark.operators.sample import _mix
-
-    # integer-castable ids use the engine-portable mix (what the SQL
-    # oracle replays); non-numeric string ids would try_cast to NULL
-    # and silently collapse the "spread sample" to the lexicographic
-    # head — fall back to xxhash64 for them (same spread property,
-    # Spark-only)
-    key_long = F.expr(f"try_cast({cid} AS BIGINT)")
-    spread = F.when(key_long.isNotNull(), _mix(key_long)).otherwise(
-        F.pmod(F.xxhash64(F.col(cid)), F.lit(1 << 32))
-    )
+    spread = _spread_key(cid)
     init = (
         corpus.select(
             F.col(cid).alias("_cid"),
@@ -512,12 +518,7 @@ def pq_codewords_from_sample(
     ivf_train), quantized. Returns a Python list (ncodes × dim ints) —
     the codebook is the ONLY driver-side object, bounded at
     ncodes·dim ints just like IVF's centroid table."""
-    from gdal_drivers_spark.operators.sample import _mix
-
-    key_long = F.expr(f"try_cast({cid} AS BIGINT)")
-    spread = F.when(key_long.isNotNull(), _mix(key_long)).otherwise(
-        F.pmod(F.xxhash64(F.col(cid)), F.lit(1 << 32))
-    )
+    spread = _spread_key(cid)
     rows = (
         corpus.select(quantize(F.col(cvec)).alias("_q"), spread.alias("_h"),
                       F.col(cid).alias("_cid"))
@@ -682,10 +683,15 @@ def ivfpq_encode(
     beyond the assignment's one row per vector. ``codewords`` must
     then quantize residuals (``ivfpq_codewords_from_sample``)."""
     assigned = ivf_assign(corpus, centroids, cid=cid, cvec=cvec)
+    # the `_residual` literal rides along (constant-folded, RLE'd on
+    # disk) so a PERSISTED index remembers which scoring decomposition
+    # its codes expect — ivfpq_topk(encoded=...) refuses a mismatch
+    # instead of silently mis-ranking (r04 review)
     if not residual:
         return assigned.select(
             F.col(cid), "list_id",
             _pq_codes_expr(F.col("_cv"), codewords, m).alias("codes"),
+            F.lit(False).alias("_residual"),
         )
     cents = centroids.select(
         F.col("list_id"), quantize(F.col("center")).alias("_ctv")
@@ -698,6 +704,7 @@ def ivfpq_encode(
                 F.zip_with(F.col("_cv"), F.col("_ctv"), lambda a, b: a - b),
                 codewords, m,
             ).alias("codes"),
+            F.lit(True).alias("_residual"),
         )
     )
 
@@ -713,14 +720,9 @@ def ivfpq_codewords_from_sample(
     residuals (x − assigned centroid, exact ints) of the ``ncodes``
     corpus vectors with the smallest engine-portable spread hash —
     the residual-space analogue of ``pq_codewords_from_sample``."""
-    from gdal_drivers_spark.operators.sample import _mix
-
     assigned = ivf_assign(corpus, centroids, cid=cid, cvec=cvec)
     cents = centroids.select(F.col("list_id"), quantize(F.col("center")).alias("_ctv"))
-    key_long = F.expr(f"try_cast({cid} AS BIGINT)")
-    spread = F.when(key_long.isNotNull(), _mix(key_long)).otherwise(
-        F.pmod(F.xxhash64(F.col(cid)), F.lit(1 << 32))
-    )
+    spread = _spread_key(cid)
     rows = (
         assigned.join(F.broadcast(cents), "list_id")
         .select(
@@ -782,6 +784,17 @@ def ivfpq_topk(
         missing = {cid, "list_id", "codes"} - set(encoded.columns)
         if missing:
             raise ValueError(f"prebuilt encoded index lacks columns {sorted(missing)}")
+        if "_residual" in encoded.columns:
+            # refuse an index whose codes were built under the OTHER
+            # scoring decomposition — the mismatch would mis-rank
+            # silently (raw codes + centroid offset, or vice versa)
+            flag = encoded.select("_residual").first()
+            if flag is not None and bool(flag["_residual"]) != residual:
+                raise ValueError(
+                    f"encoded index was built with residual="
+                    f"{bool(flag['_residual'])} but ivfpq_topk was called "
+                    f"with residual={residual}"
+                )
     cents = centroids.select(
         F.col("list_id").alias("_lid"), quantize(F.col("center")).alias("_ctv")
     )

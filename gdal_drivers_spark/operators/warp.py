@@ -37,6 +37,23 @@ WARP_MASK_SCHEMA = WARP_SCHEMA + ", mask binary"
 _PLANE_PAD_PX = 2.0
 
 
+def _cubic_w(f):
+    """Keys cubic-convolution weights, a = −0.5 (GDAL's cubic) for
+    taps at offsets −1, 0, 1, 2 around the sample cell; ``f`` is the
+    fractional position in [0, 1). Every term is a polynomial in
+    dyadic-rational inputs, so on dyadic grids (e.g. power-of-2
+    resolutions) the weights — hence the whole 16-tap sum — are EXACT
+    doubles, which is what makes the warp_cubic contract oracle
+    replayable in SQL. Module-level so the scalar-oracle tests import
+    THIS expression rather than keeping a divergeable copy."""
+    t0, t3, g = 1.0 + f, 2.0 - f, 1.0 - f
+    w0 = -0.5 * t0 * t0 * t0 + 2.5 * t0 * t0 - 4.0 * t0 + 2.0
+    w1 = 1.5 * f * f * f - 2.5 * f * f + 1.0
+    w2 = 1.5 * g * g * g - 2.5 * g * g + 1.0
+    w3 = -0.5 * t3 * t3 * t3 + 2.5 * t3 * t3 - 4.0 * t3 + 2.0
+    return w0, w1, w2, w3
+
+
 def _plane_sag_px(tf, dst_gt, src_inv, tile_px, tiles_x, tiles_y) -> float:
     """Worst observed deviation (in source pixels) of the true tile
     edge from the chord of the 3×3 boundary samples, over a coarse
@@ -257,21 +274,6 @@ def warp_tiles(
     sgt = tuple(float(v) for v in src_gt)
     dgt = tuple(float(v) for v in dst_gt)
 
-    def _cubic_w(f):
-        """Keys cubic-convolution weights, a = −0.5 (GDAL's cubic) for
-        taps at offsets −1, 0, 1, 2 around the sample cell; ``f`` is
-        the fractional position in [0, 1). Every term is a polynomial
-        in dyadic-rational inputs, so on dyadic grids (e.g. power-of-2
-        resolutions) the weights — hence the whole 16-tap sum — are
-        EXACT doubles, which is what makes the warp_cubic contract
-        oracle replayable in SQL."""
-        t0, t3, g = 1.0 + f, 2.0 - f, 1.0 - f
-        w0 = -0.5 * t0 * t0 * t0 + 2.5 * t0 * t0 - 4.0 * t0 + 2.0
-        w1 = 1.5 * f * f * f - 2.5 * f * f + 1.0
-        w2 = 1.5 * g * g * g - 2.5 * g * g + 1.0
-        w3 = -0.5 * t3 * t3 * t3 + 2.5 * t3 * t3 - 4.0 * t3 + 2.0
-        return w0, w1, w2, w3
-
     def _warp(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ocx, ocy = int(key[0]), int(key[1])
         # assemble the needed source window from contributed tiles
@@ -281,21 +283,26 @@ def warp_tiles(
         r0, r1 = int(scys.min()), int(scys.max())
         win_w = (c1 - c0 + 1) * tile_px
         win_h = (r1 - r0 + 1) * tile_px
+        # win carries values (NaN where no tile pasted), Mw carries
+        # validity 0/1. Without with_mask, Mw is pure PRESENCE (a
+        # pasted tile is u8-decoded, never NaN — Mw ≡ ~isnan(win)), so
+        # ONE kernel implementation serves both modes; per-pixel
+        # source masks refine Mw only when with_mask asked for them.
         win = np.full((win_h, win_w), np.nan)
-        Mw = np.zeros((win_h, win_w), np.float64) if with_mask else None
+        Mw = np.zeros((win_h, win_w), np.float64)
         for r in pdf.itertuples():
             img = codecs.decode(bytes(r.tile))[:, :, 0].astype(np.float64)
             oy = (int(r.scy) - r0) * tile_px
             ox = (int(r.scx) - c0) * tile_px
             win[oy : oy + img.shape[0], ox : ox + img.shape[1]] = img
+            mpatch = np.ones(img.shape, np.float64)
             if with_mask:
-                mpatch = np.ones(img.shape, np.float64)
                 rm = getattr(r, "mask", None)
                 if rm is not None:
                     mpatch = (
                         np.frombuffer(bytes(rm), np.uint8).reshape(img.shape) > 0
                     ).astype(np.float64)
-                Mw[oy : oy + img.shape[0], ox : ox + img.shape[1]] = mpatch
+            Mw[oy : oy + img.shape[0], ox : ox + img.shape[1]] = mpatch
         # destination pixel centers → world → source pixel coords
         cols = ocx * tile_px + np.arange(tile_px) + 0.5
         rws = ocy * tile_px + np.arange(tile_px) + 0.5
@@ -317,25 +324,31 @@ def warp_tiles(
         # writes nodata there). Bilinear TAPS at the boundary still
         # edge-clamp, the standard in-coverage convention.
         in_cov = (SC >= 0) & (SC < win_w) & (SR >= 0) & (SR < win_h)
-        if with_mask:
-            # mask-PROPAGATING gather (policies in the docstring):
-            # Vz zeroes invalid/absent pixels so no NaN reaches the
-            # arithmetic; validity travels in Mw instead
-            Vz = np.where(Mw > 0, np.where(np.isnan(win), 0.0, win), 0.0)
-            if method == "nearest":
-                xi = np.clip(np.floor(SC).astype(np.int64), 0, win_w - 1)
-                yi = np.clip(np.floor(SR).astype(np.int64), 0, win_h - 1)
-                out = Vz[yi, xi]
-                valid = (Mw[yi, xi] > 0) & in_cov
-            elif method == "bilinear":
-                x0 = np.floor(SC - 0.5).astype(np.int64)
-                y0 = np.floor(SR - 0.5).astype(np.int64)
-                fx = (SC - 0.5) - x0
-                fy = (SR - 0.5) - y0
-                x0c = np.clip(x0, 0, win_w - 1)
-                x1c = np.clip(x0 + 1, 0, win_w - 1)
-                y0c = np.clip(y0, 0, win_h - 1)
-                y1c = np.clip(y0 + 1, 0, win_h - 1)
+        # ONE mask-carrying implementation per kernel (r04 review: the
+        # earlier masked/unmasked twin branches were a divergence
+        # hazard). Vz zeroes invalid/absent pixels so no NaN reaches
+        # the arithmetic; validity travels in (Vz, Mw, valid). With
+        # with_mask=False, Mw is presence, and each kernel's output is
+        # value-identical to the historical NaN-poisoning code (same
+        # FP expressions over the same finite inputs) — the only
+        # POLICY split is bilinear: masked renormalizes over valid
+        # taps, unmasked keeps any-absent-tap → nodata.
+        Vz = np.where(Mw > 0, np.where(np.isnan(win), 0.0, win), 0.0)
+        if method == "nearest":
+            xi = np.clip(np.floor(SC).astype(np.int64), 0, win_w - 1)
+            yi = np.clip(np.floor(SR).astype(np.int64), 0, win_h - 1)
+            out = Vz[yi, xi]
+            valid = (Mw[yi, xi] > 0) & in_cov
+        elif method == "bilinear":
+            x0 = np.floor(SC - 0.5).astype(np.int64)
+            y0 = np.floor(SR - 0.5).astype(np.int64)
+            fx = (SC - 0.5) - x0
+            fy = (SR - 0.5) - y0
+            x0c = np.clip(x0, 0, win_w - 1)
+            x1c = np.clip(x0 + 1, 0, win_w - 1)
+            y0c = np.clip(y0, 0, win_h - 1)
+            y1c = np.clip(y0 + 1, 0, win_h - 1)
+            if with_mask:
                 w00 = (1 - fx) * (1 - fy) * Mw[y0c, x0c]
                 w10 = fx * (1 - fy) * Mw[y0c, x1c]
                 w01 = (1 - fx) * fy * Mw[y1c, x0c]
@@ -345,72 +358,19 @@ def warp_tiles(
                 den = w00 + w10 + w01 + w11
                 valid = (den > 0) & in_cov
                 out = num / np.where(den > 0, den, 1.0)
-            elif method == "cubic":
-                tx, ty = SC - 0.5, SR - 0.5
-                x0 = np.floor(tx).astype(np.int64)
-                y0 = np.floor(ty).astype(np.int64)
-                wx = _cubic_w(tx - x0)
-                wy = _cubic_w(ty - y0)
-                xs = [np.clip(x0 + d, 0, win_w - 1) for d in (-1, 0, 1, 2)]
-                ys = [np.clip(y0 + d, 0, win_h - 1) for d in (-1, 0, 1, 2)]
-                rows_ = [
-                    wx[0] * Vz[yy, xs[0]] + wx[1] * Vz[yy, xs[1]]
-                    + wx[2] * Vz[yy, xs[2]] + wx[3] * Vz[yy, xs[3]]
-                    for yy in ys
-                ]
-                out = (wy[0] * rows_[0] + wy[1] * rows_[1]
-                       + wy[2] * rows_[2] + wy[3] * rows_[3])
-                sup = np.ones_like(out, dtype=bool)
-                for yy in ys:
-                    for xx in xs:
-                        sup &= Mw[yy, xx] > 0
-                valid = sup & in_cov
-            else:  # average
-                exd = ocx * tile_px + np.arange(tile_px + 1)
-                eyd = ocy * tile_px + np.arange(tile_px + 1)
-                sce = igt[0] + tf.np_x(dgt[0] + exd * dgt[1]) * igt[1] - c0 * tile_px
-                sre = igt[3] + tf.np_y(dgt[3] + eyd * dgt[5]) * igt[5] - r0 * tile_px
-                loX = np.minimum(sce[:-1], sce[1:])[:, None]
-                hiX = np.maximum(sce[:-1], sce[1:])[:, None]
-                loY = np.minimum(sre[:-1], sre[1:])[:, None]
-                hiY = np.maximum(sre[:-1], sre[1:])[:, None]
-                Px = np.arange(win_w)[None, :]
-                Py = np.arange(win_h)[None, :]
-                Wx = np.clip(np.minimum(hiX, Px + 1) - np.maximum(loX, Px), 0.0, None)
-                Wy = np.clip(np.minimum(hiY, Py + 1) - np.maximum(loY, Py), 0.0, None)
-                num = Wy @ (Vz * Mw) @ Wx.T
-                den = Wy @ Mw @ Wx.T
-                valid = den > 0
-                out = np.where(valid, num / np.where(valid, den, 1.0), 0.0)
-            out = np.where(valid, out, nodata)
-            tile = np.clip(np.rint(out), 0, 255).astype(np.uint8)
-            return pd.DataFrame(
-                {
-                    "ocx": [ocx], "ocy": [ocy],
-                    "tile": [tile.tobytes()], "ts": [tile_px], "n_src": [len(pdf)],
-                    "mask": [(valid.astype(np.uint8) * 255).tobytes()],
-                }
-            )
-        if method == "bilinear":
-            x0 = np.floor(SC - 0.5).astype(np.int64)
-            y0 = np.floor(SR - 0.5).astype(np.int64)
-            fx = (SC - 0.5) - x0
-            fy = (SR - 0.5) - y0
-            x0c = np.clip(x0, 0, win_w - 1)
-            x1c = np.clip(x0 + 1, 0, win_w - 1)
-            y0c = np.clip(y0, 0, win_h - 1)
-            y1c = np.clip(y0 + 1, 0, win_h - 1)
-            out = (
-                win[y0c, x0c] * (1 - fx) * (1 - fy)
-                + win[y0c, x1c] * fx * (1 - fy)
-                + win[y1c, x0c] * (1 - fx) * fy
-                + win[y1c, x1c] * fx * fy
-            )
+            else:
+                out = (
+                    win[y0c, x0c] * (1 - fx) * (1 - fy)
+                    + win[y0c, x1c] * fx * (1 - fy)
+                    + win[y1c, x0c] * (1 - fx) * fy
+                    + win[y1c, x1c] * fx * fy
+                )
+                valid = ~np.isnan(out) & in_cov
         elif method == "cubic":
-            # 4x4 Keys taps around the sample cell, edge-clamped like
-            # bilinear's boundary taps; a NaN tap (outside assembled
-            # coverage) poisons the sum → nodata below, matching the
-            # strictest reading of "cubic needs a full support"
+            # 4x4 Keys taps, edge-clamped like bilinear's boundary
+            # taps; validity requires the FULL support (any absent or
+            # masked tap invalidates — the strictest reading of
+            # "cubic needs a full support")
             tx, ty = SC - 0.5, SR - 0.5
             x0 = np.floor(tx).astype(np.int64)
             y0 = np.floor(ty).astype(np.int64)
@@ -418,20 +378,26 @@ def warp_tiles(
             wy = _cubic_w(ty - y0)
             xs = [np.clip(x0 + d, 0, win_w - 1) for d in (-1, 0, 1, 2)]
             ys = [np.clip(y0 + d, 0, win_h - 1) for d in (-1, 0, 1, 2)]
-            rows = [
-                wx[0] * win[yy, xs[0]] + wx[1] * win[yy, xs[1]]
-                + wx[2] * win[yy, xs[2]] + wx[3] * win[yy, xs[3]]
+            rows_ = [
+                wx[0] * Vz[yy, xs[0]] + wx[1] * Vz[yy, xs[1]]
+                + wx[2] * Vz[yy, xs[2]] + wx[3] * Vz[yy, xs[3]]
                 for yy in ys
             ]
-            out = wy[0] * rows[0] + wy[1] * rows[1] + wy[2] * rows[2] + wy[3] * rows[3]
-        elif method == "average":
+            out = (wy[0] * rows_[0] + wy[1] * rows_[1]
+                   + wy[2] * rows_[2] + wy[3] * rows_[3])
+            sup = np.ones_like(out, dtype=bool)
+            for yy in ys:
+                for xx in xs:
+                    sup &= Mw[yy, xx] > 0
+            valid = sup & in_cov
+        else:  # average
             # area-weighted average (the overview-building kernel):
             # the dst pixel's exact source-space footprint comes from
             # its pixel-EDGE coords through the (separable) transform;
             # per-axis overlap weights make it one pair of small
-            # matmuls over the assembled window. nodata (NaN) source
-            # pixels are excluded from both numerator and denominator
-            # — a footprint with no valid pixel is nodata.
+            # matmuls over the assembled window. Invalid (absent or
+            # masked) source pixels are excluded from numerator AND
+            # denominator — a footprint with no valid pixel is nodata.
             exd = ocx * tile_px + np.arange(tile_px + 1)
             eyd = ocy * tile_px + np.arange(tile_px + 1)
             sce = igt[0] + tf.np_x(dgt[0] + exd * dgt[1]) * igt[1] - c0 * tile_px
@@ -444,24 +410,19 @@ def warp_tiles(
             Py = np.arange(win_h)[None, :]
             Wx = np.clip(np.minimum(hiX, Px + 1) - np.maximum(loX, Px), 0.0, None)
             Wy = np.clip(np.minimum(hiY, Py + 1) - np.maximum(loY, Py), 0.0, None)
-            valid = ~np.isnan(win)
-            vals = np.where(valid, win, 0.0)
-            num = Wy @ vals @ Wx.T
-            den = Wy @ valid.astype(np.float64) @ Wx.T
-            out = np.where(den > 0, num / np.where(den > 0, den, 1.0), np.nan)
-            in_cov = np.ones_like(out, dtype=bool)  # coverage == den>0
-        else:
-            xi = np.clip(np.floor(SC).astype(np.int64), 0, win_w - 1)
-            yi = np.clip(np.floor(SR).astype(np.int64), 0, win_h - 1)
-            out = win[yi, xi]
-        out = np.where(np.isnan(out) | ~in_cov, nodata, out)
+            num = Wy @ Vz @ Wx.T
+            den = Wy @ Mw @ Wx.T
+            valid = den > 0
+            out = np.where(valid, num / np.where(valid, den, 1.0), 0.0)
+        out = np.where(valid, out, nodata)
         tile = np.clip(np.rint(out), 0, 255).astype(np.uint8)
-        return pd.DataFrame(
-            {
-                "ocx": [ocx], "ocy": [ocy],
-                "tile": [tile.tobytes()], "ts": [tile_px], "n_src": [len(pdf)],
-            }
-        )
+        row = {
+            "ocx": [ocx], "ocy": [ocy],
+            "tile": [tile.tobytes()], "ts": [tile_px], "n_src": [len(pdf)],
+        }
+        if with_mask:
+            row["mask"] = [(valid.astype(np.uint8) * 255).tobytes()]
+        return pd.DataFrame(row)
 
     return joined.groupBy("ocx", "ocy").applyInPandas(
         _warp, WARP_MASK_SCHEMA if with_mask else WARP_SCHEMA

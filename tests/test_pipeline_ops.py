@@ -893,6 +893,12 @@ def test_ivf_index_reuse_no_corpus_rescan(spark, tmp_path):
     # guard: a frame missing index columns is rejected loudly
     with pytest.raises(ValueError, match="lacks columns"):
         ivf_topk(qs, None, cents, lists=qs)
+    # guard: an index persisted under the OTHER scoring decomposition
+    # is refused (the _residual tag rides the index — r04 review: a
+    # silent mismatch costs ~10x recall with no error)
+    with pytest.raises(ValueError, match="residual"):
+        ivfpq_topk(qs, None, cents, cw, m=4, k=3, nprobe=2,
+                   encoded=enc, residual=False)
 
 def test_knn_graph_no_broadcast_plan_and_recall(spark):
     """VERDICT r03 #5: kNN-graph construction (queries == corpus) must

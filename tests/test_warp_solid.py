@@ -578,11 +578,13 @@ def test_warp_plane_sag_guard(spark):
 # ---------------------------------------------------- cubic / average (r04)
 
 def _warp_oracle_cubic(full, tf_np_xy, sgt, dgt, dst_shape, nodata=0.0):
-    """Scalar reference for the cubic warp — same Keys a=-0.5 weight
-    expression (imported from the operator so the nesting is
-    identical; all elementwise, no reduction-order ambiguity), taps
-    edge-clamped to the FULL image, nodata outside coverage."""
+    """Scalar reference for the cubic warp — the Keys a=-0.5 weight
+    expression is IMPORTED from the operator (module-level _cubic_w)
+    so oracle and kernel can never diverge; all elementwise, no
+    reduction-order ambiguity; taps edge-clamped to the FULL image,
+    nodata outside coverage."""
     from gdal_drivers_spark.core.geometry import gt_invert
+    from gdal_drivers_spark.operators.warp import _cubic_w as cubic_w
 
     igt = gt_invert(np.asarray(sgt, np.float64))
     H, W = dst_shape
@@ -597,13 +599,6 @@ def _warp_oracle_cubic(full, tf_np_xy, sgt, dgt, dst_shape, nodata=0.0):
     tx, ty = SC - 0.5, SR - 0.5
     x0 = np.floor(tx).astype(np.int64)
     y0 = np.floor(ty).astype(np.int64)
-
-    def cubic_w(fr):
-        t0, t3, g = 1.0 + fr, 2.0 - fr, 1.0 - fr
-        return (-0.5 * t0 * t0 * t0 + 2.5 * t0 * t0 - 4.0 * t0 + 2.0,
-                1.5 * fr * fr * fr - 2.5 * fr * fr + 1.0,
-                1.5 * g * g * g - 2.5 * g * g + 1.0,
-                -0.5 * t3 * t3 * t3 + 2.5 * t3 * t3 - 4.0 * t3 + 2.0)
 
     wx = cubic_w(tx - x0)
     wy = cubic_w(ty - y0)
