@@ -2088,14 +2088,18 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") / 64).cast("long").alias("list_id"),
         F.col("embedding").alias("center"),
     )
-    # residual codebook: residuals of every 32nd vector w.r.t. its
-    # assigned centroid, in vec_id order (code_id = vec_id // 32 —
-    # the ordering the oracle replays; the spread-hash sampler
-    # ivfpq_codewords_from_sample is the production entry, exercised
-    # with a recall property in test_pipeline_ops)
+    # residual codebook: residuals of the first 16 every-32nd vectors
+    # w.r.t. their assigned centroids, in vec_id order (code_id =
+    # vec_id // 32 — the ordering the oracle replays; the spread-hash
+    # sampler ivfpq_codewords_from_sample is the production entry,
+    # exercised with a recall property in test_pipeline_ops). ncodes
+    # is CAPPED at 16 like a real deployment — an uncapped %32 rule
+    # grew the codebook (hence the per-subspace argmin expression)
+    # linearly with corpus size, which is codegen blow-up, not the
+    # serving path (r04 bench: 13.6 s → expression-bound)
     from gdal_drivers_spark.operators.similarity import ivf_assign, quantize
 
-    sub = emb.filter((F.col("vec_id") % 32) == 0).select(
+    sub = emb.filter(((F.col("vec_id") % 32) == 0) & (F.col("vec_id") < 512)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
     qcents = cents.select("list_id", quantize(F.col("center")).alias("_ctv"))
@@ -2137,7 +2141,8 @@ _ANN_IVFPQ_ORACLE_SQL = """
                list_transform(generate_series(1, 64), i -> e.q[i] - c.cv[i]) AS r
         FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN cents c ON c.lid = a.lid
     ), cb AS (
-        SELECT vec_id // 32 AS code_id, r AS bv FROM res WHERE vec_id % 32 = 0
+        SELECT vec_id // 32 AS code_id, r AS bv
+        FROM res WHERE vec_id % 32 = 0 AND vec_id < 512
     ), enc AS (
         SELECT vec_id, sub, code_id FROM (
             SELECT res.vec_id, s.sub, cb.code_id,
@@ -2340,8 +2345,11 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_drivers_spark.operators.similarity import pq_encode, pq_topk, quantize
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # ncodes capped at 16 like a real deployment (r04 — an uncapped
+    # %32 rule grew the per-subspace argmin expression with corpus
+    # size: codegen blow-up, not the serving path)
     cb_rows = (
-        emb.filter((F.col("vec_id") % 32) == 0)
+        emb.filter(((F.col("vec_id") % 32) == 0) & (F.col("vec_id") < 512))
         .select("vec_id", quantize(F.col("embedding")).alias("q"))
         .orderBy("vec_id")
         .collect()
@@ -2361,7 +2369,8 @@ _ANN_PQ_ORACLE_SQL = """
                list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
         FROM embeddings
     ), cb AS (
-        SELECT vec_id // 32 AS code_id, q AS bv FROM e WHERE vec_id % 32 = 0
+        SELECT vec_id // 32 AS code_id, q AS bv
+        FROM e WHERE vec_id % 32 = 0 AND vec_id < 512
     ), enc AS (
         SELECT vec_id, sub, code_id FROM (
             SELECT e.vec_id, s.sub, cb.code_id,

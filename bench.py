@@ -279,6 +279,12 @@ def run(sf_dir: str, cpus: int) -> dict:
         # exchange ships ~raster bytes, not 9x — BENCH.md r03) and the
         # generated-oracle UTM transform chain (pure codegen trig)
         "horn_gradients", "warp_utm",
+        # round-4: residual IVF-PQ (ADC serving path), corpus self-kNN
+        # graph (shuffle-join LSH — the no-broadcast shape), cubic
+        # resample (4x4 taps through the widened seam pad). Reference
+        # entries self-anchor at r04 (see BENCH.md caveat) and are
+        # regression guards from r05 on.
+        "ann_ivfpq", "knn_graph", "warp_cubic",
     ]:
         q = entry_mod.queries()[name]
         dt, dt_min, _ = timed_reps(lambda: q(spark, sf_dir).count())

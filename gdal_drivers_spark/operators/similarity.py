@@ -531,8 +531,14 @@ def pq_codewords_from_sample(
 
 def _pq_codebook_col(codewords: list[list[int]]):
     """ncodes × dim literal nested array Column (tiny — broadcast with
-    the task binary, like solid's constant tile)."""
-    return F.array(*[F.array(*[F.lit(int(v)) for v in cw]) for cw in codewords])
+    the task binary, like solid's constant tile). ONE nested Literal
+    node, not ncodes·dim F.lit nodes (r04: the element-wise form cost
+    Catalyst seconds of ANALYSIS per query on a 16×64 codebook — a
+    fixed driver cost, but a silly one); cast pins bigint so the
+    exact-integer arithmetic contract is inference-independent."""
+    return F.lit([[int(v) for v in cw] for cw in codewords]).cast(
+        "array<array<bigint>>"
+    )
 
 
 def _pq_codes_expr(cv, codewords: list[list[int]], m: int):
