@@ -298,6 +298,34 @@ class EmbeddingSet:
         )
         return ivf_topk(queries, self._corpus(), cents, k=k, nprobe=nprobe)
 
+    def knn_graph(self, dim: int, k: int = 5, **kw) -> DataFrame:
+        """Corpus self-kNN graph via shuffle-join LSH (r04 — no
+        broadcast of either side, self-edges excluded;
+        similarity.knn_graph)."""
+        from .operators.similarity import knn_graph
+
+        return knn_graph(self._corpus(), dim=dim, k=k, **kw)
+
+    def build_ivf_index(self, centroids: DataFrame, table: str, path: str,
+                        buckets: int = 16, codewords: list | None = None,
+                        m: int = 8, residual: bool = True) -> DataFrame:
+        """Index-build half of the ANN serving path (r04): assign (and,
+        with ``codewords``, PQ-encode) the corpus and persist it
+        bucketed by list_id; returns the read-back index frame for the
+        ``lists=``/``encoded=`` query-time arguments."""
+        from .operators.similarity import (
+            ivf_assign, ivfpq_encode, read_ivf_index, write_ivf_index,
+        )
+
+        idx = (
+            ivf_assign(self._corpus(), centroids)
+            if codewords is None
+            else ivfpq_encode(self._corpus(), centroids, codewords, m,
+                              residual=residual)
+        )
+        write_ivf_index(idx, table, path, buckets)
+        return read_ivf_index(self.spark, table)
+
     def train_ivf(self, n_lists: int = 16, iters: int = 2) -> DataFrame:
         """Lloyd-trained IVF centroids (deterministic distributed
         k-means, similarity.ivf_train) — feed the result to

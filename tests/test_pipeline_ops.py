@@ -941,3 +941,36 @@ def test_knn_graph_no_broadcast_plan_and_recall(spark):
     got_mp = {(r["qid"], r["cid"]) for r in knn_graph(
         corpus, dim=64, k=5, n_tables=4, probe_bits=1).collect()}
     assert len(got_mp & brute) / len(brute) >= recall
+
+def test_embeddingset_knn_graph_and_index_facade(spark, tmp_path):
+    """r04 facade verbs: EmbeddingSet.knn_graph and build_ivf_index
+    delegate to the operators unchanged (IVF-Flat and IVF-PQ index
+    forms both servable)."""
+    from gdal_drivers_spark.engine import Engine
+    from gdal_drivers_spark.operators.similarity import (
+        ivfpq_codewords_from_sample, ivfpq_topk, ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    es = Engine(spark).embeddings(emb)
+    g = es.knn_graph(dim=64, k=2, n_tables=2)
+    rows = g.collect()
+    assert rows and all(r["qid"] != r["cid"] and r["rank"] <= 2 for r in rows)
+
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        (F.col("vec_id") / 64).cast("long").alias("list_id"),
+        F.col("embedding").alias("center"),
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    lists = es.build_ivf_index(cents, "t_es_ivf", str(tmp_path / "es_ivf"), buckets=4)
+    out = ivf_topk(qs, None, cents, k=3, lists=lists).collect()
+    assert len(out) == 9
+    cw = ivfpq_codewords_from_sample(
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
+        cents, ncodes=8)
+    enc = es.build_ivf_index(cents, "t_es_ivfpq", str(tmp_path / "es_ivfpq"),
+                             buckets=4, codewords=cw, m=8)
+    out2 = ivfpq_topk(qs, None, cents, cw, m=8, k=3, encoded=enc).collect()
+    assert len(out2) == 9
