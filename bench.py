@@ -42,6 +42,12 @@ REFERENCE_LINE = {
     "asof_join": 0.395, "interval_join": 0.694, "zonal_stats": 1.969,
     # entries below measured r03 (quiet window, BENCH_r03_local.json)
     "horn_gradients": 2.633, "warp_utm": 0.605,
+    # entries below measured r04 (quiet window — BENCH_r04_local.json
+    # for knn_graph/warp_cubic; ann_ivfpq re-measured after the
+    # codebook cap, median of 3 in the same window). Self-anchored:
+    # their vs_reference is ~1.0 in r04 by construction (BENCH.md
+    # caveat) and meaningful from r05 on.
+    "ann_ivfpq": 5.4, "knn_graph": 10.84, "warp_cubic": 0.80,
 }
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 Z_BENCH = 8  # 256x256 grid: heavier explode than the correctness queries
