@@ -957,6 +957,50 @@ _WARP_CUBIC_ORACLE_SQL = """
 """
 
 
+def q_warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 resampling parity, r04: 2× bilinear upsample of the central
+    half of the pattern raster — same dyadic grid as warp_cubic (tap
+    fractions 0.25/0.75), so all four tap weights and the weighted sum
+    are EXACT doubles; the only rounding is the final banker's round
+    (np.rint ↔ round_even). With warp_downsample (nearest), warp_cubic
+    and warp_average this puts ALL FOUR resampling kernels under the
+    hash gate."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.warp import warp_tiles
+
+    src = _pattern_src_tiles(spark, ts=32, ntiles=4)
+    src_gt = np.array([0.0, 1 / 128, 0.0, 1.0, 0.0, -1 / 128])
+    dst_gt = np.array([0.25, 1 / 256, 0.0, 0.75, 0.0, -1 / 256])
+    out = warp_tiles(src, src_gt, dst_gt, (128, 128), tile_px=32, method="bilinear")
+    return out.select("ocx", "ocy", _px_sum_udf()(F.col("tile")).alias("px_sum"))
+
+
+_WARP_BILINEAR_ORACLE_SQL = """
+    WITH px AS (
+        SELECT ox.v AS ox, oy.v AS oy,
+               31.75 + ox.v * 0.5 AS tx, 31.75 + oy.v * 0.5 AS ty
+        FROM generate_series(0, 127) ox(v), generate_series(0, 127) oy(v)
+    ), fr AS (
+        SELECT ox, oy,
+               CAST(floor(tx) AS BIGINT) AS x0, tx - floor(tx) AS fx,
+               CAST(floor(ty) AS BIGINT) AS y0, ty - floor(ty) AS fy
+        FROM px
+    ), pxv AS (
+        SELECT ox, oy,
+               LEAST(GREATEST(CAST(round_even(
+                     CAST((x0*3     + y0*5     + 11) % 256 AS DOUBLE) * (1.0-fx) * (1.0-fy)
+                   + CAST(((x0+1)*3 + y0*5     + 11) % 256 AS DOUBLE) * fx * (1.0-fy)
+                   + CAST((x0*3     + (y0+1)*5 + 11) % 256 AS DOUBLE) * (1.0-fx) * fy
+                   + CAST(((x0+1)*3 + (y0+1)*5 + 11) % 256 AS DOUBLE) * fx * fy
+                   , 0) AS BIGINT), 0), 255) AS v8
+        FROM fr
+    )
+    SELECT ox // 32 AS ocx, oy // 32 AS ocy, CAST(SUM(v8) AS BIGINT) AS px_sum
+    FROM pxv GROUP BY 1, 2
+"""
+
+
 def q_warp_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U6 resampling parity, r04 (reference Resampling.average — the
     overview-building kernel): exact area-weighted 2× downsample of
@@ -3714,6 +3758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_downsample": q_warp_downsample,
         "warp_reproject": q_warp_reproject,
         "warp_cubic": q_warp_cubic,
+        "warp_bilinear": q_warp_bilinear,
         "warp_average": q_warp_average,
         "warp_mask": q_warp_mask,
         "warp_utm": q_warp_utm,
@@ -3949,6 +3994,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_downsample": _WARP_ORACLE_SQL,
         "warp_reproject": _warp_reproject_oracle_sql(),
         "warp_cubic": _WARP_CUBIC_ORACLE_SQL,
+        "warp_bilinear": _WARP_BILINEAR_ORACLE_SQL,
         "warp_average": _WARP_AVERAGE_ORACLE_SQL,
         "warp_mask": _WARP_MASK_ORACLE_SQL,
         "warp_utm": _warp_utm_oracle_sql(),
