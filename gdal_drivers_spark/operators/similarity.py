@@ -832,6 +832,39 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_train(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    ncodes: int = 16,
+    m: int = 8,
+    iters: int = 2,
+    cid: str = "cid",
+    cvec: str = "cvec",
+) -> list[list[int]]:
+    """Lloyd-refined RESIDUAL codebooks for IVF-PQ (r04 — the training
+    half of the residual design, Jégou §III): materialize the residual
+    x − centroid(list) frame once (one ``ivf_assign`` pass + a
+    broadcast centroid subtract, exact ints), rescale it into the
+    quantizer's float domain (÷10⁴ — exact in double, so ``quantize``
+    recovers the identical ints), and run the standard per-subspace
+    Lloyd (``pq_train``) over it. Same bounded-driver contract: only
+    the m·ncodes·d codebook leaves the cluster. Feed the result to
+    ``ivfpq_encode``/``ivfpq_topk`` with ``residual=True``."""
+    cents = centroids.select(F.col("list_id"), quantize(F.col("center")).alias("_ctv"))
+    res = (
+        ivf_assign(corpus, centroids, cid=cid, cvec=cvec)
+        .join(F.broadcast(cents), "list_id")
+        .select(
+            F.col(cid),
+            F.transform(
+                F.zip_with(F.col("_cv"), F.col("_ctv"), lambda a, b: a - b),
+                lambda v: v.cast("double") / 10000.0,
+            ).alias(cvec),
+        )
+    )
+    return pq_train(res, ncodes=ncodes, m=m, iters=iters, cid=cid, cvec=cvec)
+
+
 def pq_train(
     corpus: DataFrame,
     ncodes: int = 16,
