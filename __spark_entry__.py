@@ -1036,6 +1036,96 @@ _WARP_AVERAGE_ORACLE_SQL = """
 """
 
 
+def q_warp_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 resampling parity, r04 continuation (reference Resampling
+    min/max): unweighted extrema over every contributing source pixel
+    of the 2× footprint (exactly 2×2 per dst pixel — exact integers
+    end-to-end). Both kernels in one contract frame joined on the
+    tile key."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.warp import warp_tiles
+
+    src = _pattern_src_tiles(spark, ts=32, ntiles=4)
+    src_gt = np.array([0.0, 1 / 128, 0.0, 1.0, 0.0, -1 / 128])
+    dst_gt = np.array([0.0, 1 / 64, 0.0, 1.0, 0.0, -1 / 64])
+    px = _px_sum_udf()
+    mn = warp_tiles(src, src_gt, dst_gt, (64, 64), tile_px=32, method="min").select(
+        "ocx", "ocy", px(F.col("tile")).alias("min_sum")
+    )
+    mx = warp_tiles(src, src_gt, dst_gt, (64, 64), tile_px=32, method="max").select(
+        "ocx", "ocy", px(F.col("tile")).alias("max_sum")
+    )
+    return mn.join(mx, ["ocx", "ocy"])
+
+
+_WARP_MINMAX_ORACLE_SQL = """
+    WITH pxv AS (
+        SELECT x.v AS ox, y.v AS oy,
+               LEAST(LEAST(((2*x.v)*3   + (2*y.v)*5   + 11) % 256,
+                           ((2*x.v+1)*3 + (2*y.v)*5   + 11) % 256),
+                     LEAST(((2*x.v)*3   + (2*y.v+1)*5 + 11) % 256,
+                           ((2*x.v+1)*3 + (2*y.v+1)*5 + 11) % 256)) AS vmin,
+               GREATEST(GREATEST(((2*x.v)*3   + (2*y.v)*5   + 11) % 256,
+                                 ((2*x.v+1)*3 + (2*y.v)*5   + 11) % 256),
+                        GREATEST(((2*x.v)*3   + (2*y.v+1)*5 + 11) % 256,
+                                 ((2*x.v+1)*3 + (2*y.v+1)*5 + 11) % 256)) AS vmax
+        FROM generate_series(0, 63) x(v), generate_series(0, 63) y(v)
+    )
+    SELECT ox // 32 AS ocx, oy // 32 AS ocy,
+           CAST(SUM(vmin) AS BIGINT) AS min_sum,
+           CAST(SUM(vmax) AS BIGINT) AS max_sum
+    FROM pxv GROUP BY 1, 2
+"""
+
+
+def q_warp_sumrms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 resampling parity, r04 continuation (reference Resampling
+    sum/rms): area-weighted sum (u8-saturated) and quadratic mean of
+    the exact 2×2 footprints. rms = sqrt(sumsq/4) is one
+    correctly-rounded IEEE expression over exact ints — identical in
+    Spark/numpy and DuckDB; the final u8 is banker's-rounded in both
+    (np.rint ↔ round_even)."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.warp import warp_tiles
+
+    src = _pattern_src_tiles(spark, ts=32, ntiles=4)
+    src_gt = np.array([0.0, 1 / 128, 0.0, 1.0, 0.0, -1 / 128])
+    dst_gt = np.array([0.0, 1 / 64, 0.0, 1.0, 0.0, -1 / 64])
+    px = _px_sum_udf()
+    sm = warp_tiles(src, src_gt, dst_gt, (64, 64), tile_px=32, method="sum").select(
+        "ocx", "ocy", px(F.col("tile")).alias("sum_sum")
+    )
+    rm = warp_tiles(src, src_gt, dst_gt, (64, 64), tile_px=32, method="rms").select(
+        "ocx", "ocy", px(F.col("tile")).alias("rms_sum")
+    )
+    return sm.join(rm, ["ocx", "ocy"])
+
+
+_WARP_SUMRMS_ORACLE_SQL = """
+    WITH v AS (
+        SELECT x.v AS ox, y.v AS oy,
+               ((2*x.v)*3   + (2*y.v)*5   + 11) % 256 AS v00,
+               ((2*x.v+1)*3 + (2*y.v)*5   + 11) % 256 AS v10,
+               ((2*x.v)*3   + (2*y.v+1)*5 + 11) % 256 AS v01,
+               ((2*x.v+1)*3 + (2*y.v+1)*5 + 11) % 256 AS v11
+        FROM generate_series(0, 63) x(v), generate_series(0, 63) y(v)
+    ), pxv AS (
+        SELECT ox, oy,
+               LEAST(v00 + v10 + v01 + v11, 255) AS vsum,
+               LEAST(GREATEST(CAST(round_even(sqrt(
+                   CAST(v00*v00 + v10*v10 + v01*v01 + v11*v11 AS DOUBLE) / 4.0
+               ), 0) AS BIGINT), 0), 255) AS vrms
+        FROM v
+    )
+    SELECT ox // 32 AS ocx, oy // 32 AS ocy,
+           CAST(SUM(vsum) AS BIGINT) AS sum_sum,
+           CAST(SUM(vrms) AS BIGINT) AS rms_sum
+    FROM pxv GROUP BY 1, 2
+"""
+
+
 def q_warp_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U6 mask propagation, r04 (the reference's warp(withMask=True)
     returning (data, mask) — gdaldriversmodule.cpp:126-158): nearest
@@ -3760,6 +3850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_cubic": q_warp_cubic,
         "warp_bilinear": q_warp_bilinear,
         "warp_average": q_warp_average,
+        "warp_minmax": q_warp_minmax,
+        "warp_sumrms": q_warp_sumrms,
         "warp_mask": q_warp_mask,
         "warp_utm": q_warp_utm,
         "warp_lcc": q_warp_lcc,
@@ -3996,6 +4088,8 @@ def oracle_sql() -> dict[str, str]:
         "warp_cubic": _WARP_CUBIC_ORACLE_SQL,
         "warp_bilinear": _WARP_BILINEAR_ORACLE_SQL,
         "warp_average": _WARP_AVERAGE_ORACLE_SQL,
+        "warp_minmax": _WARP_MINMAX_ORACLE_SQL,
+        "warp_sumrms": _WARP_SUMRMS_ORACLE_SQL,
         "warp_mask": _WARP_MASK_ORACLE_SQL,
         "warp_utm": _warp_utm_oracle_sql(),
         "warp_lcc": _warp_lcc_oracle_sql(),

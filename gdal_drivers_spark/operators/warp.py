@@ -122,11 +122,13 @@ def warp_tiles(
     reference's compatibility gate.
 
     ``method``: ``nearest`` | ``bilinear`` | ``cubic`` (4×4 Keys
-    a=−0.5 — GDAL's Resampling.cubic) | ``average`` (exact
-    area-weighted footprint mean, GDAL's overview-building kernel;
-    axis-separable transforms only) — the four kernels of the
-    reference's Resampling enum a user hits first
-    (gdaldriversmodule.cpp:205-225).
+    a=−0.5 — GDAL's Resampling.cubic) | footprint kernels
+    ``average`` / ``sum`` / ``rms`` (exact area-weighted mean /
+    weighted sum / quadratic mean) and ``min`` / ``max`` (unweighted
+    extrema over contributing pixels) — the overview-building family
+    of the reference's Resampling enum
+    (gdaldriversmodule.cpp:205-225); footprint kernels need an
+    axis-separable transform.
 
     ``with_mask=True`` (r04 — the reference's ``warp(withMask=True)``
     returning ``(data, mask)``, gdaldriversmodule.cpp:126-158/182-204):
@@ -159,18 +161,19 @@ def warp_tiles(
 
     if not (gt_orthogonal(src_gt) and gt_orthogonal(dst_gt)):
         raise ValueError("warp requires orthogonal geotransforms (blender.cpp:133-139)")
-    if method not in ("nearest", "bilinear", "cubic", "average"):
+    _FOOTPRINT = ("average", "sum", "rms", "min", "max")
+    if method not in ("nearest", "bilinear", "cubic") + _FOOTPRINT:
         raise ValueError(f"unknown resample method {method!r}")
     if src_srs != dst_srs and not (src_srs and dst_srs):
         raise ValueError("cross-SRS warp needs BOTH src_srs and dst_srs")
     tf = get_transform(dst_srs, src_srs)  # dst world → src world
     plane = isinstance(tf, PlaneTransform)
-    if method == "average" and plane:
-        # the area-weighted footprint machinery is separable-exact
-        # only; a plane transform's pixel footprint is not an
-        # axis-aligned box — refuse rather than average the wrong area
+    if method in _FOOTPRINT and plane:
+        # the footprint machinery is separable-exact only; a plane
+        # transform's pixel footprint is not an axis-aligned box —
+        # refuse rather than reduce over the wrong area
         raise ValueError(
-            "average resampling needs an axis-separable transform; "
+            f"{method} resampling needs an axis-separable transform; "
             "reproject with nearest/bilinear/cubic first"
         )
 
@@ -242,9 +245,10 @@ def warp_tiles(
         sc0, sc1 = _src_px(xs0, i0, i1), _src_px(xs1, i0, i1)
         sr0, sr1 = _src_px(ys0, i3, i5), _src_px(ys1, i3, i5)
         # nearest/bilinear read ≤1 px past the tile-corner bound;
-        # cubic's 4x4 taps reach 2.5 px past a pixel center; average
-        # reads the pixel-corner footprint exactly (pad 2 for slack)
-        pad = {"nearest": 1, "bilinear": 1, "cubic": 3, "average": 2}[method]
+        # cubic's 4x4 taps reach 2.5 px past a pixel center; the
+        # footprint kernels read the pixel-corner footprint exactly
+        # (pad 2 for slack)
+        pad = {"nearest": 1, "bilinear": 1, "cubic": 3}.get(method, 2)
         c0 = (F.floor(F.least(sc0, sc1)) - pad).cast("long")
         c1 = (F.ceil(F.greatest(sc0, sc1)) + pad).cast("long")
         r0 = (F.floor(F.least(sr0, sr1)) - pad).cast("long")
@@ -390,14 +394,14 @@ def warp_tiles(
                 for xx in xs:
                     sup &= Mw[yy, xx] > 0
             valid = sup & in_cov
-        else:  # average
-            # area-weighted average (the overview-building kernel):
-            # the dst pixel's exact source-space footprint comes from
-            # its pixel-EDGE coords through the (separable) transform;
-            # per-axis overlap weights make it one pair of small
-            # matmuls over the assembled window. Invalid (absent or
-            # masked) source pixels are excluded from numerator AND
-            # denominator — a footprint with no valid pixel is nodata.
+        else:
+            # footprint kernels (average / sum / rms / min / max —
+            # the overview-building family of the reference Resampling
+            # enum): the dst pixel's exact source-space footprint
+            # comes from its pixel-EDGE coords through the (separable)
+            # transform. Invalid (absent or masked) source pixels are
+            # excluded everywhere — a footprint with no valid pixel is
+            # nodata.
             exd = ocx * tile_px + np.arange(tile_px + 1)
             eyd = ocy * tile_px + np.arange(tile_px + 1)
             sce = igt[0] + tf.np_x(dgt[0] + exd * dgt[1]) * igt[1] - c0 * tile_px
@@ -406,14 +410,65 @@ def warp_tiles(
             hiX = np.maximum(sce[:-1], sce[1:])[:, None]
             loY = np.minimum(sre[:-1], sre[1:])[:, None]
             hiY = np.maximum(sre[:-1], sre[1:])[:, None]
-            Px = np.arange(win_w)[None, :]
-            Py = np.arange(win_h)[None, :]
-            Wx = np.clip(np.minimum(hiX, Px + 1) - np.maximum(loX, Px), 0.0, None)
-            Wy = np.clip(np.minimum(hiY, Py + 1) - np.maximum(loY, Py), 0.0, None)
-            num = Wy @ Vz @ Wx.T
-            den = Wy @ Mw @ Wx.T
-            valid = den > 0
-            out = np.where(valid, num / np.where(valid, den, 1.0), 0.0)
+            if method in ("average", "sum", "rms"):
+                # area-WEIGHTED linear/quadratic reductions: per-axis
+                # overlap weights, one pair of small matmuls per tile
+                Px = np.arange(win_w)[None, :]
+                Py = np.arange(win_h)[None, :]
+                Wx = np.clip(np.minimum(hiX, Px + 1) - np.maximum(loX, Px), 0.0, None)
+                Wy = np.clip(np.minimum(hiY, Py + 1) - np.maximum(loY, Py), 0.0, None)
+                den = Wy @ Mw @ Wx.T
+                valid = den > 0
+                dsafe = np.where(valid, den, 1.0)
+                if method == "average":
+                    out = np.where(valid, (Wy @ Vz @ Wx.T) / dsafe, 0.0)
+                elif method == "sum":
+                    out = np.where(valid, Wy @ Vz @ Wx.T, 0.0)
+                else:  # rms — quadratic mean of contributions
+                    out = np.where(
+                        valid, np.sqrt((Wy @ (Vz * Vz) @ Wx.T) / dsafe), 0.0
+                    )
+            else:
+                # min/max: UNWEIGHTED extrema over every valid source
+                # pixel the footprint touches (overlap > 0 — GDAL's
+                # contributing-pixel rule). Vectorized as a bounded
+                # loop over the footprint span (≤ ceil(scale)+1 per
+                # axis), each step one fancy-indexed gather.
+                # membership threshold: edge coords carry FP jitter on
+                # non-dyadic grids (e.g. pixel size 1/48), giving
+                # neighbor pixels ~1e-15 overlap. Weighted kernels are
+                # immune (the weight IS the measure) but an unweighted
+                # extremum would count such a pixel FULLY — so a pixel
+                # contributes only above a 1e-9-px overlap (no real
+                # footprint is that thin; caught by the 1/48-grid test)
+                EPS = 1e-9
+                xlo = np.floor(loX[:, 0]).astype(np.int64)
+                ylo = np.floor(loY[:, 0]).astype(np.int64)
+                Sx = int(np.max(np.ceil(hiX[:, 0]) - xlo))
+                Sy = int(np.max(np.ceil(hiY[:, 0]) - ylo))
+                acc = np.full((tile_px, tile_px),
+                              np.inf if method == "min" else -np.inf)
+                cnt = np.zeros((tile_px, tile_px))
+                for dy in range(Sy):
+                    yi = ylo + dy
+                    wyl = np.minimum(hiY[:, 0], yi + 1) - np.maximum(loY[:, 0], yi)
+                    rowok = (wyl > EPS) & (yi >= 0) & (yi < win_h)
+                    yic = np.clip(yi, 0, win_h - 1)
+                    for dx in range(Sx):
+                        xi = xlo + dx
+                        wxl = np.minimum(hiX[:, 0], xi + 1) - np.maximum(loX[:, 0], xi)
+                        colok = (wxl > EPS) & (xi >= 0) & (xi < win_w)
+                        xic = np.clip(xi, 0, win_w - 1)
+                        ok = (rowok[:, None] & colok[None, :]
+                              & (Mw[yic[:, None], xic[None, :]] > 0))
+                        v = Vz[yic[:, None], xic[None, :]]
+                        if method == "min":
+                            acc = np.where(ok, np.minimum(acc, v), acc)
+                        else:
+                            acc = np.where(ok, np.maximum(acc, v), acc)
+                        cnt += ok
+                valid = cnt > 0
+                out = np.where(valid, acc, 0.0)
         out = np.where(valid, out, nodata)
         tile = np.clip(np.rint(out), 0, 255).astype(np.uint8)
         row = {

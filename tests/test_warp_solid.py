@@ -900,3 +900,84 @@ def test_warp_mask_feeds_blend_no_dilution(spark):
     out2 = blend_tiles(df2, tile_px=T, nodata=0.0).collect()[0]
     tile2 = np.frombuffer(out2["tile"], np.uint8).reshape(T, T)
     assert (tile2[:, 40:] == 100).all()      # (0 + 200) / 2 — the dilution
+
+def test_warp_footprint_reductions_min_max_sum_rms(spark):
+    """r04 continuation — the rest of the overview-kernel family:
+    min/max (unweighted extrema over every contributing pixel) and
+    sum/rms (area-weighted) at an integer 2x AND a fractional 1.5x
+    scale, vs per-pixel scalar oracles. At 1.5x the partial overlaps
+    are multiples of 0.5 (dyadic), so even sum/rms compare exactly."""
+    rng = np.random.default_rng(21)
+    full = rng.integers(0, 256, (96, 96)).astype(np.uint8)
+    sgt = gt_from_extents(0, 0, 1, 1, 96, 96)
+
+    # one tile_px tiles BOTH grids (the operator contract): 2x uses
+    # 48-px tiles (96 = 2x48), 1.5x uses 32-px tiles (96 = 3x32)
+    for dst_px, s, ts in ((48, 2.0, 48), (64, 1.5, 32)):
+        src = _src_tiles_df(spark, full, ts)
+        dgt = gt_from_extents(0, 0, 1, 1, dst_px, dst_px)
+        exp = {m: np.zeros((dst_px, dst_px)) for m in ("min", "max", "sum", "rms")}
+        for r in range(dst_px):
+            for c in range(dst_px):
+                x0, x1 = c * s, (c + 1) * s
+                y0, y1 = r * s, (r + 1) * s
+                vmin, vmax, wsum, wsq, den = 1e9, -1e9, 0.0, 0.0, 0.0
+                for p in range(int(np.floor(y0)), int(np.ceil(y1))):
+                    wy = min(y1, p + 1) - max(y0, p)
+                    if wy <= 0:
+                        continue
+                    for q in range(int(np.floor(x0)), int(np.ceil(x1))):
+                        wx = min(x1, q + 1) - max(x0, q)
+                        if wx <= 0:
+                            continue
+                        v = float(full[p, q])
+                        vmin, vmax = min(vmin, v), max(vmax, v)
+                        wsum += wx * wy * v
+                        wsq += wx * wy * v * v
+                        den += wx * wy
+                exp["min"][r, c] = vmin
+                exp["max"][r, c] = vmax
+                exp["sum"][r, c] = wsum
+                exp["rms"][r, c] = np.sqrt(wsq / den)
+        for m in ("min", "max", "sum", "rms"):
+            got = _collect_warp(
+                warp_tiles(src, sgt, dgt, (dst_px, dst_px),
+                           tile_px=ts, method=m).collect(),
+                (dst_px, dst_px), ts)
+            e = np.clip(np.rint(exp[m]), 0, 255).astype(np.uint8)
+            assert (got == e).all(), (m, s, int((got != e).sum()))
+
+
+def test_warp_footprint_reductions_respect_masks(spark):
+    """min/max/sum/rms exclude masked pixels; an all-masked footprint
+    is nodata with mask 0 (same contract as average)."""
+    src = _masked_pattern_src(spark)
+    sgt = gt_from_extents(0, 0, 1, 1, 128, 128)
+    dgt = gt_from_extents(0, 0, 1, 1, 64, 64)
+    for m in ("min", "max", "sum", "rms"):
+        out = {(r["ocx"], r["ocy"]): r for r in warp_tiles(
+            src, sgt, dgt, (64, 64), tile_px=32, method=m,
+            with_mask=True, nodata=3.0).collect()}
+        r0 = out[(0, 0)]
+        t = np.frombuffer(r0["tile"], np.uint8).reshape(32, 32)
+        mk = np.frombuffer(r0["mask"], np.uint8).reshape(32, 32)
+        for dy in range(8):
+            for dx in range(8):
+                vals = [((sx * 3 + sy * 5 + 11) % 256)
+                        for sy in (2 * dy, 2 * dy + 1)
+                        for sx in (2 * dx, 2 * dx + 1)
+                        if (sx * 7 + sy * 11) % 13 >= 3]
+                if not vals:
+                    assert t[dy, dx] == 3 and mk[dy, dx] == 0, (m, dx, dy)
+                    continue
+                assert mk[dy, dx] == 255
+                if m == "min":
+                    e = min(vals)
+                elif m == "max":
+                    e = max(vals)
+                elif m == "sum":
+                    e = min(255, sum(vals))
+                else:
+                    e = np.clip(np.rint(np.sqrt(
+                        sum(v * v for v in vals) / len(vals))), 0, 255)
+                assert t[dy, dx] == e, (m, dx, dy, vals, t[dy, dx])
