@@ -1004,3 +1004,148 @@ def test_ivfpq_train_residual_codebook(spark):
     # recall noise bounded at 10%)
     assert r_t >= r_s - 0.1, (r_t, r_s)
     assert r_t >= 0.3, r_t
+
+
+def test_append_to_ivf_index_incremental(spark, tmp_path):
+    """VERDICT r04 #5: incremental index append. Build the index over
+    the base corpus, append the delta's assignments — serving from the
+    union must equal the one-shot full-corpus build bit-exactly; the
+    append touches delta-sized data only (the base index's parquet
+    files are byte-untouched on disk — never re-scanned or
+    rewritten); appended files land in the table's bucket layout."""
+    import glob
+    import os
+
+    from gdal_drivers_spark.operators.similarity import (
+        append_to_ivf_index, ivf_assign, ivf_topk, read_ivf_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.integers(-500, 500, size=(400, 16)) * 1e-4
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"cid": np.arange(400), "cvec": list(vecs)}))
+    base = corpus.filter(F.col("cid") < 300)
+    delta = corpus.filter(F.col("cid") >= 300)
+    cents = spark.createDataFrame(
+        pd.DataFrame({"list_id": np.arange(8), "center": list(vecs[::50][:8])}))
+    qs = spark.createDataFrame(
+        pd.DataFrame({"qid": np.arange(5), "qvec": list(vecs[100:105])}))
+
+    idx_path = str(tmp_path / "app_idx")
+    write_ivf_index(ivf_assign(base, cents), "t_app_idx", idx_path, buckets=4)
+    before = {f: os.path.getmtime(f)
+              for f in glob.glob(idx_path + "/**/*.parquet", recursive=True)}
+    append_to_ivf_index(ivf_assign(delta, cents), "t_app_idx")
+    after = set(glob.glob(idx_path + "/**/*.parquet", recursive=True))
+    # base files byte-untouched (same paths, same mtimes), new files added
+    assert set(before) < after
+    for f, mt in before.items():
+        assert os.path.getmtime(f) == mt, f"base file rewritten: {f}"
+
+    lists = read_ivf_index(spark, "t_app_idx")
+    served = ivf_topk(qs, None, cents, k=3, nprobe=2, lists=lists)
+    oneshot = ivf_topk(qs, corpus, cents, k=3, nprobe=2)
+    assert sorted(map(tuple, served.collect())) == \
+        sorted(map(tuple, oneshot.collect()))
+
+
+def test_append_to_ivf_index_residual_mismatch_refused(spark, tmp_path):
+    """ADVICE r04: residual compatibility is enforced from table
+    metadata at append time — a delta encoded under the OTHER
+    decomposition is refused (the mixed index would mis-rank
+    silently); and a heterogeneous encoded frame (union mixing
+    residual flags) is refused at serving time by the aggregate
+    validation, which the old sampled .first() check let through."""
+    from gdal_drivers_spark.operators.similarity import (
+        append_to_ivf_index, ivfpq_codewords_from_sample, ivfpq_encode,
+        ivfpq_topk, write_ivf_index,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.integers(-500, 500, size=(200, 16)) * 1e-4
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"cid": np.arange(200), "cvec": list(vecs)}))
+    cents = spark.createDataFrame(
+        pd.DataFrame({"list_id": np.arange(4), "center": list(vecs[::50][:4])}))
+    qs = spark.createDataFrame(
+        pd.DataFrame({"qid": np.arange(2), "qvec": list(vecs[10:12])}))
+    cw = ivfpq_codewords_from_sample(corpus, cents, ncodes=8)
+
+    enc_res = ivfpq_encode(corpus, cents, cw, m=4, residual=True)
+    enc_raw = ivfpq_encode(corpus, cents, cw, m=4, residual=False)
+
+    write_ivf_index(enc_res, "t_app_res", str(tmp_path / "app_res"), buckets=4)
+    with pytest.raises(ValueError, match="residual"):
+        append_to_ivf_index(enc_raw, "t_app_res")
+
+    mixed = enc_res.unionByName(enc_raw)
+    with pytest.raises(ValueError, match="mixes residual"):
+        ivfpq_topk(qs, None, cents, cw, m=4, k=3, nprobe=2,
+                   encoded=mixed, residual=True).collect()
+
+
+def test_ivf_probe_shuffle_join_for_bulk_queries(spark):
+    """VERDICT r04 #2: broadcast_probes=False drops the probe-side
+    broadcast hint in ivf_topk AND ivfpq_topk so a bulk |Q| re-scoring
+    batch compiles to a shuffle join on the list_id equi-key (with
+    auto-broadcast off: SortMergeJoin/ShuffledHashJoin, no
+    BroadcastExchange carrying the probe frame); results are identical
+    either way."""
+    from gdal_drivers_spark.operators.similarity import (
+        ivfpq_codewords_from_sample, ivfpq_topk, ivf_topk,
+    )
+
+    rng = np.random.default_rng(9)
+    vecs = rng.integers(-500, 500, size=(300, 16)) * 1e-4
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"cid": np.arange(300), "cvec": list(vecs)}))
+    cents = spark.createDataFrame(
+        pd.DataFrame({"list_id": np.arange(6), "center": list(vecs[::50][:6])}))
+    qs = spark.createDataFrame(
+        pd.DataFrame({"qid": np.arange(8), "qvec": list(vecs[40:48])}))
+    cw = ivfpq_codewords_from_sample(corpus, cents, ncodes=8)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn, kw in ((ivf_topk, {}), (ivfpq_topk, {"codewords": cw, "m": 4})):
+            hinted = fn(qs, corpus, cents, k=3, nprobe=2, **kw)
+            bulk = fn(qs, corpus, cents, k=3, nprobe=2,
+                      broadcast_probes=False, **kw)
+            p_h = hinted._jdf.queryExecution().executedPlan().toString()
+            p_b = bulk._jdf.queryExecution().executedPlan().toString()
+            # hinted: every join is broadcast despite threshold=-1
+            assert "SortMergeJoin" not in p_h and "ShuffledHashJoin" not in p_h
+            # bulk: the probe×lists join became a shuffle join
+            assert "SortMergeJoin" in p_b or "ShuffledHashJoin" in p_b, p_b[:800]
+            assert sorted(map(tuple, hinted.collect())) == \
+                sorted(map(tuple, bulk.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_read_ivf_index_by_path_catalog_free(spark, tmp_path):
+    """VERDICT r04 "wrong" #4: read_ivf_index(path=) reads the
+    persisted parquet directly — no shared session-catalog name to
+    race on; same rows as the catalog read; exactly one of
+    table=/path= is required."""
+    from gdal_drivers_spark.operators.similarity import (
+        ivf_assign, read_ivf_index, write_ivf_index,
+    )
+
+    rng = np.random.default_rng(13)
+    vecs = rng.integers(-500, 500, size=(100, 16)) * 1e-4
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"cid": np.arange(100), "cvec": list(vecs)}))
+    cents = spark.createDataFrame(
+        pd.DataFrame({"list_id": np.arange(4), "center": list(vecs[::25][:4])}))
+    p = str(tmp_path / "bypath")
+    write_ivf_index(ivf_assign(corpus, cents), "t_bypath", p, buckets=4)
+    via_table = sorted(map(tuple, read_ivf_index(spark, "t_bypath").collect()))
+    via_path = sorted(map(tuple, read_ivf_index(spark, path=p).collect()))
+    assert via_table == via_path and len(via_path) == 100
+    with pytest.raises(ValueError, match="exactly one"):
+        read_ivf_index(spark)
+    with pytest.raises(ValueError, match="exactly one"):
+        read_ivf_index(spark, "t_bypath", path=p)
