@@ -54,48 +54,94 @@ def _cubic_w(f):
     return w0, w1, w2, w3
 
 
+def _lanczos_w(f, a: int = 3):
+    """Lanczos windowed-sinc weights (GDAL's Resampling.lanczos,
+    a = 3 lobes) for the 2a taps at offsets −(a−1)…a around the sample
+    cell; ``f`` is the fractional position in [0, 1). Each weight is
+    sinc(d)·sinc(d/a) for tap distance d = f − offset (zero outside
+    |d| < a); the caller normalizes the 2a weights to sum 1 — the
+    truncated window's sum drifts from 1 by O(1%), and unnormalized
+    weights would shift constant fields. np.sinc is the normalized
+    sin(πx)/(πx), so integer f hits exact {1, 0, …} and the kernel
+    interpolates. Transcendental weights → NOT SQL-replayable (unlike
+    cubic's dyadic polynomials): the oracle is rows-only, bit-parity
+    is pinned against the scalar numpy reference in pytest.
+    Module-level so those tests import THIS expression."""
+    ws = []
+    for j in range(-a + 1, a + 1):
+        d = f - j
+        w = np.sinc(d) * np.sinc(d / a)
+        ws.append(np.where(np.abs(d) < a, w, 0.0))
+    return ws
+
+
 def _plane_sag_px(tf, dst_gt, src_inv, tile_px, tiles_x, tiles_y) -> float:
     """Worst observed deviation (in source pixels) of the true tile
-    edge from the chord of the 3×3 boundary samples, over a coarse
-    census of destination tiles (corners / edges / interior of the dst
-    grid — where a conformal projection's curvature extremes live for
-    any monotone transform). Checked at PLAN TIME with a handful of
-    scalar transform evaluations — no Spark job. The 2-px gather pad
-    is only sound while this sag stays below it; an unusually large
-    tile_px or coarse source resolution through a composed transform
-    could bow the preimage past the pad and silently crop gather
-    windows into nodata seams (ADVICE r03) — now rejected loudly."""
+    edge from the chord of the 3×3 boundary samples, over a census of
+    destination tiles (corners / edges / interior of the dst grid —
+    where a conformal projection's curvature extremes live for any
+    monotone transform). Checked at PLAN TIME with a handful of scalar
+    transform evaluations — no Spark job.
+
+    This is a HEURISTIC bound, not a hard one (ADVICE r04): the census
+    samples a finite tile/frac grid, so a composed transform whose
+    curvature peaks BETWEEN sampled tiles or fracs can in principle
+    bow past the observed figure. Two mitigations: (a) for the smooth,
+    monotone projections the registry admits, curvature varies slowly
+    across the grid, so the coarse census lands within a small factor
+    of the true extreme; (b) when the first pass reads sag above a
+    quarter of the pad — close enough to the ½-pad budget that the
+    sampling error could matter — the census ADAPTIVELY DENSIFIES
+    (every-tile-axis quartiles → 9 axis points, fracs 0.25 → 0.125)
+    and the denser figure is used. The warp caller still rejects any
+    figure above half the pad, keeping a 2× observed-vs-budget margin
+    for what the densified census might miss."""
     d0, d1, d3, d5 = float(dst_gt[0]), float(dst_gt[1]), float(dst_gt[3]), float(dst_gt[5])
     i0, i1, i3, i5 = (
         float(src_inv[0]), float(src_inv[1]), float(src_inv[3]), float(src_inv[5])
     )
     T = float(tile_px)
 
-    def grid_axis(n):
-        return sorted({0, n // 4, n // 2, (3 * n) // 4, max(0, n - 1)})
+    def census(n_axis: int, frac_step: float) -> float:
+        def grid_axis(n):
+            if n <= 0:
+                return [0]
+            ticks = {round(i * (n - 1) / (n_axis - 1)) for i in range(n_axis)}
+            return sorted(ticks | {0, max(0, n - 1)})
 
-    sag = 0.0
-    for cy in grid_axis(tiles_y):
-        for cx in grid_axis(tiles_x):
-            # the 4 tile edges; on each, the bbox samples fracs
-            # {0, .5, 1} — test the quarter points against the linear
-            # interpolation of their bracketing samples
-            for fx0, fy0, fx1, fy1 in (
-                (0.0, 0.0, 1.0, 0.0), (0.0, 1.0, 1.0, 1.0),
-                (0.0, 0.0, 0.0, 1.0), (1.0, 0.0, 1.0, 1.0),
-            ):
-                fr = np.array([0.0, 0.25, 0.5, 0.75, 1.0])
-                wx = d0 + (cx + fx0 + (fx1 - fx0) * fr) * T * d1
-                wy = d3 + (cy + fy0 + (fy1 - fy0) * fr) * T * d5
-                sx, sy = tf.np_xy(wx, wy)
-                pc = i0 + np.asarray(sx) * i1
-                pr = i3 + np.asarray(sy) * i5
-                for mid, lo, hi in ((1, 0, 2), (3, 2, 4)):
-                    sag = max(
-                        sag,
-                        abs(pc[mid] - 0.5 * (pc[lo] + pc[hi])),
-                        abs(pr[mid] - 0.5 * (pr[lo] + pr[hi])),
-                    )
+        # on each tile edge the bbox samples fracs {0, .5, 1}; test the
+        # intermediate points against the linear interpolation of
+        # their bracketing samples
+        fr = np.arange(0.0, 1.0 + frac_step / 2, frac_step)
+        n_pts = len(fr)
+        sag = 0.0
+        for cy in grid_axis(tiles_y):
+            for cx in grid_axis(tiles_x):
+                for fx0, fy0, fx1, fy1 in (
+                    (0.0, 0.0, 1.0, 0.0), (0.0, 1.0, 1.0, 1.0),
+                    (0.0, 0.0, 0.0, 1.0), (1.0, 0.0, 1.0, 1.0),
+                ):
+                    wx = d0 + (cx + fx0 + (fx1 - fx0) * fr) * T * d1
+                    wy = d3 + (cy + fy0 + (fy1 - fy0) * fr) * T * d5
+                    sx, sy = tf.np_xy(wx, wy)
+                    pc = i0 + np.asarray(sx) * i1
+                    pr = i3 + np.asarray(sy) * i5
+                    # chord endpoints are the bbox's own samples at
+                    # fracs {0, .5, 1}: indices 0, mid, last
+                    half = (n_pts - 1) // 2
+                    for lo, hi in ((0, half), (half, n_pts - 1)):
+                        for mid in range(lo + 1, hi):
+                            t = (mid - lo) / (hi - lo)
+                            sag = max(
+                                sag,
+                                abs(pc[mid] - ((1 - t) * pc[lo] + t * pc[hi])),
+                                abs(pr[mid] - ((1 - t) * pr[lo] + t * pr[hi])),
+                            )
+        return sag
+
+    sag = census(5, 0.25)
+    if sag > _PLANE_PAD_PX / 4.0:
+        sag = max(sag, census(9, 0.125))
     return sag
 
 
@@ -122,11 +168,13 @@ def warp_tiles(
     reference's compatibility gate.
 
     ``method``: ``nearest`` | ``bilinear`` | ``cubic`` (4×4 Keys
-    a=−0.5 — GDAL's Resampling.cubic) | footprint kernels
+    a=−0.5 — GDAL's Resampling.cubic) | ``lanczos`` (6×6 windowed
+    sinc, a=3 — the quality upsampler; r05) | footprint kernels
     ``average`` / ``sum`` / ``rms`` (exact area-weighted mean /
-    weighted sum / quadratic mean) and ``min`` / ``max`` (unweighted
-    extrema over contributing pixels) — the overview-building family
-    of the reference's Resampling enum
+    weighted sum / quadratic mean), ``min`` / ``max`` (unweighted
+    extrema over contributing pixels) and ``mode`` (majority vote,
+    ties → lowest value — the categorical downsampler; r05) — the
+    full resampling family of the reference's Resampling enum
     (gdaldriversmodule.cpp:205-225); footprint kernels need an
     axis-separable transform.
 
@@ -140,10 +188,10 @@ def warp_tiles(
     absent source coverage is invalid as before. Per-kernel policy
     (documented choice): nearest GATHERS the mask; bilinear
     WEIGHT-RENORMALIZES over valid taps (a pixel is valid while ≥1 tap
-    is); cubic requires a FULLY-VALID 4×4 support (negative-lobe
-    weights renormalize badly); average excludes invalid pixels from
-    numerator and denominator (valid while the footprint holds ≥1
-    valid pixel). Data still carries ``nodata`` at invalid pixels.
+    is); cubic and lanczos require a FULLY-VALID support (negative-lobe
+    weights renormalize badly); average/mode exclude invalid pixels
+    from the reduction (valid while the footprint holds ≥1 valid
+    pixel). Data still carries ``nodata`` at invalid pixels.
 
     ``src_srs``/``dst_srs``: optional SRS names; when they differ, the
     dst-world→src-world hop goes through ``core.srs.get_transform``
@@ -161,8 +209,8 @@ def warp_tiles(
 
     if not (gt_orthogonal(src_gt) and gt_orthogonal(dst_gt)):
         raise ValueError("warp requires orthogonal geotransforms (blender.cpp:133-139)")
-    _FOOTPRINT = ("average", "sum", "rms", "min", "max")
-    if method not in ("nearest", "bilinear", "cubic") + _FOOTPRINT:
+    _FOOTPRINT = ("average", "sum", "rms", "min", "max", "mode")
+    if method not in ("nearest", "bilinear", "cubic", "lanczos") + _FOOTPRINT:
         raise ValueError(f"unknown resample method {method!r}")
     if src_srs != dst_srs and not (src_srs and dst_srs):
         raise ValueError("cross-SRS warp needs BOTH src_srs and dst_srs")
@@ -229,9 +277,10 @@ def warp_tiles(
                 sx, sy = tf.col_xy(wx, wy)
                 scs.append(_src_px(sx, i0, i1))
                 srs_.append(_src_px(sy, i3, i5))
-        # cubic taps reach 2.5 source px past a pixel CENTER, and the
-        # bbox bounds the tile boundary — widen the pad accordingly
-        ppad = int(_PLANE_PAD_PX) + (2 if method == "cubic" else 0)
+        # cubic taps reach 2.5 source px past a pixel CENTER (lanczos
+        # a=3: 3.5), and the bbox bounds the tile boundary — widen the
+        # pad accordingly
+        ppad = int(_PLANE_PAD_PX) + {"cubic": 2, "lanczos": 3}.get(method, 0)
         c0 = (F.floor(F.least(*scs)) - ppad).cast("long")
         c1 = (F.ceil(F.greatest(*scs)) + ppad).cast("long")
         r0 = (F.floor(F.least(*srs_)) - ppad).cast("long")
@@ -245,10 +294,10 @@ def warp_tiles(
         sc0, sc1 = _src_px(xs0, i0, i1), _src_px(xs1, i0, i1)
         sr0, sr1 = _src_px(ys0, i3, i5), _src_px(ys1, i3, i5)
         # nearest/bilinear read ≤1 px past the tile-corner bound;
-        # cubic's 4x4 taps reach 2.5 px past a pixel center; the
-        # footprint kernels read the pixel-corner footprint exactly
-        # (pad 2 for slack)
-        pad = {"nearest": 1, "bilinear": 1, "cubic": 3}.get(method, 2)
+        # cubic's 4x4 taps reach 2.5 px past a pixel center (lanczos
+        # a=3's 6x6: 3.5 → pad 4); the footprint kernels read the
+        # pixel-corner footprint exactly (pad 2 for slack)
+        pad = {"nearest": 1, "bilinear": 1, "cubic": 3, "lanczos": 4}.get(method, 2)
         c0 = (F.floor(F.least(sc0, sc1)) - pad).cast("long")
         c1 = (F.ceil(F.greatest(sc0, sc1)) + pad).cast("long")
         r0 = (F.floor(F.least(sr0, sr1)) - pad).cast("long")
@@ -394,6 +443,35 @@ def warp_tiles(
                 for xx in xs:
                     sup &= Mw[yy, xx] > 0
             valid = sup & in_cov
+        elif method == "lanczos":
+            # 6x6 Lanczos-3 windowed-sinc taps (the quality upsampler
+            # of the reference Resampling enum,
+            # gdaldriversmodule.cpp:205-225), per-axis weight
+            # normalization, edge-clamped boundary taps; validity
+            # requires the FULL support like cubic (negative lobes
+            # renormalize badly)
+            A = 3
+            tx, ty = SC - 0.5, SR - 0.5
+            x0 = np.floor(tx).astype(np.int64)
+            y0 = np.floor(ty).astype(np.int64)
+            wx = _lanczos_w(tx - x0, A)
+            wy = _lanczos_w(ty - y0, A)
+            wxs = sum(wx)
+            wys = sum(wy)
+            wx = [w / wxs for w in wx]
+            wy = [w / wys for w in wy]
+            offs = range(-A + 1, A + 1)
+            xs = [np.clip(x0 + d, 0, win_w - 1) for d in offs]
+            ys = [np.clip(y0 + d, 0, win_h - 1) for d in offs]
+            rows_ = [
+                sum(wx[i] * Vz[yy, xs[i]] for i in range(2 * A)) for yy in ys
+            ]
+            out = sum(wy[i] * rows_[i] for i in range(2 * A))
+            sup = np.ones_like(out, dtype=bool)
+            for yy in ys:
+                for xx in xs:
+                    sup &= Mw[yy, xx] > 0
+            valid = sup & in_cov
         else:
             # footprint kernels (average / sum / rms / min / max —
             # the overview-building family of the reference Resampling
@@ -428,7 +506,7 @@ def warp_tiles(
                     out = np.where(
                         valid, np.sqrt((Wy @ (Vz * Vz) @ Wx.T) / dsafe), 0.0
                     )
-            else:
+            elif method in ("min", "max"):
                 # min/max: UNWEIGHTED extrema over every valid source
                 # pixel the footprint touches (overlap > 0 — GDAL's
                 # contributing-pixel rule). Vectorized as a bounded
@@ -469,6 +547,58 @@ def warp_tiles(
                         cnt += ok
                 valid = cnt > 0
                 out = np.where(valid, acc, 0.0)
+            else:
+                # mode: MAJORITY VOTE over every valid contributing
+                # pixel (overlap > EPS — same membership rule as
+                # min/max) — the categorical-raster downsampler of the
+                # reference Resampling enum. Tie-break: the LOWEST
+                # value wins (GDAL's rule: among equal counts the
+                # first-encountered smallest value is kept), encoded
+                # as score = count·256 + (255 − value) so one argmax
+                # resolves both count and tie deterministically —
+                # exact integers, hence a bit-exact SQL oracle (unlike
+                # lanczos). Mask policy: ≥1 valid pixel, like average.
+                # Cost: O(S²) comparisons over the footprint span S
+                # (= Sy·Sx ≤ (scale+1)² per axis product), vectorized
+                # per tile — fine for overview factors; for extreme
+                # single-step downsamples build a pyramid instead.
+                EPS = 1e-9
+                xlo = np.floor(loX[:, 0]).astype(np.int64)
+                ylo = np.floor(loY[:, 0]).astype(np.int64)
+                Sx = int(np.max(np.ceil(hiX[:, 0]) - xlo))
+                Sy = int(np.max(np.ceil(hiY[:, 0]) - ylo))
+                vals = np.full((tile_px, tile_px, Sy * Sx), -1.0)
+                s = 0
+                for dy in range(Sy):
+                    yi = ylo + dy
+                    wyl = np.minimum(hiY[:, 0], yi + 1) - np.maximum(loY[:, 0], yi)
+                    rowok = (wyl > EPS) & (yi >= 0) & (yi < win_h)
+                    yic = np.clip(yi, 0, win_h - 1)
+                    for dx in range(Sx):
+                        xi = xlo + dx
+                        wxl = np.minimum(hiX[:, 0], xi + 1) - np.maximum(loX[:, 0], xi)
+                        colok = (wxl > EPS) & (xi >= 0) & (xi < win_w)
+                        xic = np.clip(xi, 0, win_w - 1)
+                        ok = (rowok[:, None] & colok[None, :]
+                              & (Mw[yic[:, None], xic[None, :]] > 0))
+                        vals[:, :, s] = np.where(
+                            ok, Vz[yic[:, None], xic[None, :]], -1.0
+                        )
+                        s += 1
+                present = vals >= 0
+                best_score = np.full((tile_px, tile_px), -1.0)
+                best_val = np.zeros((tile_px, tile_px))
+                for i in range(s):
+                    vi = vals[:, :, i]
+                    cnt_i = ((vals == vi[:, :, None]) & present).sum(axis=2)
+                    score = np.where(
+                        vi >= 0, cnt_i * 256.0 + (255.0 - vi), -1.0
+                    )
+                    upd = score > best_score
+                    best_score = np.where(upd, score, best_score)
+                    best_val = np.where(upd, vi, best_val)
+                valid = best_score >= 0
+                out = np.where(valid, best_val, 0.0)
         out = np.where(valid, out, nodata)
         tile = np.clip(np.rint(out), 0, 255).astype(np.uint8)
         row = {

@@ -981,3 +981,181 @@ def test_warp_footprint_reductions_respect_masks(spark):
                     e = np.clip(np.rint(np.sqrt(
                         sum(v * v for v in vals) / len(vals))), 0, 255)
                 assert t[dy, dx] == e, (m, dx, dy, vals, t[dy, dx])
+
+
+# ---------------------------------------------------- lanczos / mode (r05)
+
+def _warp_oracle_lanczos(full, tf_np_xy, sgt, dgt, dst_shape, nodata=0.0):
+    """Scalar reference for the Lanczos-3 warp — the windowed-sinc
+    weight expression is IMPORTED from the operator (module-level
+    _lanczos_w) so oracle and kernel can never diverge; same per-axis
+    normalization, edge-clamped taps, nodata outside coverage."""
+    from gdal_drivers_spark.core.geometry import gt_invert
+    from gdal_drivers_spark.operators.warp import _lanczos_w as lanczos_w
+
+    A = 3
+    igt = gt_invert(np.asarray(sgt, np.float64))
+    H, W = dst_shape
+    cols = np.arange(W) + 0.5
+    rows = np.arange(H) + 0.5
+    WX, WY = np.meshgrid(dgt[0] + cols * dgt[1], dgt[3] + rows * dgt[5])
+    sx, sy = tf_np_xy(WX, WY)
+    SC = igt[0] + sx * igt[1]
+    SR = igt[3] + sy * igt[5]
+    h, w = full.shape
+    f = full.astype(np.float64)
+    tx, ty = SC - 0.5, SR - 0.5
+    x0 = np.floor(tx).astype(np.int64)
+    y0 = np.floor(ty).astype(np.int64)
+    wx = lanczos_w(tx - x0, A)
+    wy = lanczos_w(ty - y0, A)
+    wxs, wys = sum(wx), sum(wy)
+    wx = [v / wxs for v in wx]
+    wy = [v / wys for v in wy]
+    offs = range(-A + 1, A + 1)
+    xs = [np.clip(x0 + d, 0, w - 1) for d in offs]
+    ys = [np.clip(y0 + d, 0, h - 1) for d in offs]
+    rws = [sum(wx[i] * f[yy, xs[i]] for i in range(2 * A)) for yy in ys]
+    out = sum(wy[i] * rws[i] for i in range(2 * A))
+    in_cov = (SC >= 0) & (SC < w) & (SR >= 0) & (SR < h)
+    out = np.where(in_cov, out, nodata)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def test_warp_lanczos_matches_scalar_oracle_with_seams(spark):
+    """Lanczos-3 (6x6 windowed sinc) 2x upsample of a random source:
+    every output pixel — including across dst AND src tile seams,
+    where the taps reach 3.5 source px through the widened pad 4 —
+    equals the whole-image scalar oracle exactly."""
+    rng = np.random.default_rng(17)
+    full = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+    src = _src_tiles_df(spark, full, TS)
+    sgt = gt_from_extents(0, 0, 1, 1, 128, 128)
+    dgt = gt_from_extents(0, 0, 1, 1, 256, 256)
+    exp = _warp_oracle_lanczos(full, lambda x, y: (x, y), sgt, dgt, (256, 256))
+    got = _collect_warp(
+        warp_tiles(src, sgt, dgt, (256, 256), tile_px=TS, method="lanczos").collect(),
+        (256, 256), TS)
+    assert (got == exp).all(), int((got != exp).sum())
+
+
+def test_warp_lanczos_through_plane_transform(spark):
+    """Lanczos through the UTM PlaneTransform path (non-dyadic
+    fractions, plane pad widened by 3): exact equality with the scalar
+    oracle built from the identical weight expression."""
+    from gdal_drivers_spark.core import srs
+
+    rng = np.random.default_rng(43)
+    full = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+    src = _src_tiles_df(spark, full, TS)
+    sgt = gt_from_extents(300000, 4400000, 700000, 5400000, 128, 128)
+    dgt = gt_from_extents(12.5, 40.5, 17.5, 47.5, 128, 128)
+    tf = srs.get_transform("EPSG:4326", "EPSG:32633")
+    exp = _warp_oracle_lanczos(full, tf.np_xy, sgt, dgt, (128, 128))
+    got = _collect_warp(
+        warp_tiles(src, sgt, dgt, (128, 128), tile_px=TS, method="lanczos",
+                   src_srs="EPSG:32633", dst_srs="EPSG:4326").collect(),
+        (128, 128), TS)
+    assert (got == exp).all(), int((got != exp).sum())
+
+
+def test_warp_lanczos_interpolates_and_mask_full_support(spark):
+    """(a) At integer sample positions the normalized Lanczos kernel
+    interpolates (a constant field stays constant; exact source-pixel
+    hits reproduce the source). (b) with_mask: like cubic, lanczos
+    requires its FULL 6x6 support valid — the valid region shrinks by
+    the 2.5+1 tap radius vs bilinear's."""
+    ts = 32
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            img = np.full((ts, ts), 100, np.uint8)
+            gxs = np.arange(ts) + tx * ts
+            m = np.repeat(((gxs < 32).astype(np.uint8) * 255)[None, :], ts, axis=0)
+            rows.append((tx, ty, codecs.encode_raw(img[:, :, None]),
+                         np.ascontiguousarray(m).tobytes()))
+    src = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["scx", "scy", "tile", "mask"]))
+    sgt = gt_from_extents(0, 0, 1, 1, 64, 64)
+    dgt = gt_from_extents(0, 0, 1, 1, 128, 128)
+    t = np.zeros((128, 128), np.uint8)
+    mk = np.zeros((128, 128), np.uint8)
+    for r in warp_tiles(src, sgt, dgt, (128, 128), tile_px=ts, method="lanczos",
+                        with_mask=True, nodata=7.0).collect():
+        sl = np.s_[r["ocy"] * ts:(r["ocy"] + 1) * ts,
+                   r["ocx"] * ts:(r["ocx"] + 1) * ts]
+        t[sl] = np.frombuffer(r["tile"], np.uint8).reshape(ts, ts)
+        mk[sl] = np.frombuffer(r["mask"], np.uint8).reshape(ts, ts)
+    # constant field: every valid pixel reads exactly 100 (weights
+    # normalized to sum 1 — unnormalized sinc taps would drift O(1%))
+    assert (t[mk == 255] == 100).all()
+    # full-support: 2x upsample taps sit at tx = ox/2 - 0.25; the last
+    # dst col whose SIX taps (x0-2 .. x0+3) all fall < 32 is 58
+    assert (mk[:, :59] == 255).all()
+    assert (mk[:, 61:] == 0).all() and (t[:, 61:] == 7).all()
+
+
+def test_warp_mode_majority_tiebreak(spark):
+    """Mode (majority) downsample of a categorical raster at integer
+    2x AND fractional 1.5x scales vs a per-pixel scalar oracle:
+    contributing pixels are those with overlap > EPS (the min/max
+    membership rule); among equal counts the LOWEST value wins
+    (GDAL's tie rule)."""
+    rng = np.random.default_rng(23)
+    full = rng.integers(0, 5, (96, 96)).astype(np.uint8) * 17  # few classes → ties
+    sgt = gt_from_extents(0, 0, 1, 1, 96, 96)
+    EPS = 1e-9
+    for dst_px, s, ts in ((48, 2.0, 48), (64, 1.5, 32)):
+        src = _src_tiles_df(spark, full, ts)
+        dgt = gt_from_extents(0, 0, 1, 1, dst_px, dst_px)
+        exp = np.zeros((dst_px, dst_px), np.uint8)
+        for r in range(dst_px):
+            for c in range(dst_px):
+                x0, x1 = c * s, (c + 1) * s
+                y0, y1 = r * s, (r + 1) * s
+                cnt = {}
+                for p in range(int(np.floor(y0)), int(np.ceil(y1))):
+                    wy = min(y1, p + 1) - max(y0, p)
+                    if wy <= EPS:
+                        continue
+                    for q in range(int(np.floor(x0)), int(np.ceil(x1))):
+                        wx = min(x1, q + 1) - max(x0, q)
+                        if wx <= EPS:
+                            continue
+                        v = int(full[p, q])
+                        cnt[v] = cnt.get(v, 0) + 1
+                # majority; ties → lowest value
+                exp[r, c] = min(
+                    (v for v in cnt if cnt[v] == max(cnt.values()))
+                )
+        got = _collect_warp(
+            warp_tiles(src, sgt, dgt, (dst_px, dst_px),
+                       tile_px=ts, method="mode").collect(),
+            (dst_px, dst_px), ts)
+        assert (got == exp).all(), (s, int((got != exp).sum()))
+
+
+def test_warp_mode_respects_masks(spark):
+    """Mode excludes masked pixels from the vote; an all-masked
+    footprint is nodata with mask 0 (same contract as average)."""
+    src = _masked_pattern_src(spark)
+    sgt = gt_from_extents(0, 0, 1, 1, 128, 128)
+    dgt = gt_from_extents(0, 0, 1, 1, 64, 64)
+    out = {(r["ocx"], r["ocy"]): r for r in warp_tiles(
+        src, sgt, dgt, (64, 64), tile_px=32, method="mode",
+        with_mask=True, nodata=3.0).collect()}
+    r0 = out[(0, 0)]
+    t = np.frombuffer(r0["tile"], np.uint8).reshape(32, 32)
+    mk = np.frombuffer(r0["mask"], np.uint8).reshape(32, 32)
+    for dy in range(8):
+        for dx in range(8):
+            vals = [((sx * 3 + sy * 5 + 11) % 256)
+                    for sy in (2 * dy, 2 * dy + 1)
+                    for sx in (2 * dx, 2 * dx + 1)
+                    if (sx * 7 + sy * 11) % 13 >= 3]
+            if not vals:
+                assert t[dy, dx] == 3 and mk[dy, dx] == 0, (dx, dy)
+                continue
+            cnt = {v: vals.count(v) for v in vals}
+            e = min(v for v in cnt if cnt[v] == max(cnt.values()))
+            assert mk[dy, dx] == 255 and t[dy, dx] == e, (dx, dy, vals)
