@@ -27,24 +27,82 @@ here it is the same protocol over the minimal manifest log.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..plans.checkpoint import CheckpointedWriter
+
+
+def _stream_query_id(checkpoint_dir: str) -> str | None:
+    """The Structured Streaming query ``id`` from the checkpoint's
+    ``metadata`` file — STABLE across restarts of the same
+    checkpointLocation (unlike ``runId``), regenerated only when the
+    checkpoint dir is deleted or changed. Exactly the identity under
+    which epoch ids are comparable."""
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+            return json.loads(fh.read()).get("id")
+    except (OSError, ValueError):
+        return None
+
+
+def _check_stream_identity(writer: CheckpointedWriter, checkpoint_dir: str) -> None:
+    """Guard the exactly-once contract's hidden assumption (ADVICE
+    r04, medium): epoch ids are only meaningful within ONE stream
+    checkpoint lineage. If the checkpointLocation is deleted/changed
+    while the same writer output dir is reused, epoch ids restart at 0
+    and the manifest anti-join would silently drop genuinely-new
+    micro-batches as "already committed" — data loss, not a replay
+    skip. The stream's stable query id is pinned in a sidecar next to
+    the manifest; a DIFFERENT id arriving at a manifest that already
+    holds committed batches fails fast instead."""
+    qid = _stream_query_id(checkpoint_dir)
+    if qid is None:
+        return
+    marker = os.path.join(writer.manifest_dir, "_stream_id")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            prev = fh.read().strip()
+        if prev == qid:
+            return
+        if writer.committed():
+            raise RuntimeError(
+                f"output dir {writer.out} holds batches committed by stream "
+                f"query {prev}, but this run is query {qid} (new/changed "
+                "checkpointLocation): its epoch ids restart at 0 and are NOT "
+                "comparable to the manifest's — resuming would silently skip "
+                "new data. Use a fresh output dir, or restore the original "
+                "checkpointLocation."
+            )
+    with open(marker, "w") as fh:
+        fh.write(qid)
 
 
 def checkpointed_sink(
     writer: CheckpointedWriter,
     key: str = "image_id",
     fail_after_commit_of: int | None = None,
+    checkpoint_dir: str | None = None,
 ):
     """``foreachBatch`` callable committing each epoch as one
     checkpoint batch. ``fail_after_commit_of`` is the test kill-switch:
     raise right AFTER that epoch's manifest commit — the state a real
     crash leaves when it dies between the engine commit and Spark's own
     offset commit, which forces an epoch REPLAY on restart (the
-    replayed epoch must be skipped by the manifest, not re-applied)."""
+    replayed epoch must be skipped by the manifest, not re-applied).
+
+    ``checkpoint_dir`` (when known — ``start_checkpointed_ingest``
+    always passes it) arms the stream-identity guard: the first epoch
+    of each run verifies the manifest was written under the SAME
+    stream query id before any anti-join skip can fire."""
+    checked: list[bool] = []
 
     def _sink(df: DataFrame, epoch_id: int) -> None:
+        if checkpoint_dir is not None and not checked:
+            _check_stream_identity(writer, checkpoint_dir)
+            checked.append(True)
         b = int(epoch_id)
         kill = fail_after_commit_of is not None and b == fail_after_commit_of
         writer.write_batches(
@@ -73,7 +131,8 @@ def start_checkpointed_ingest(
     return (
         assigned.writeStream.foreachBatch(
             checkpointed_sink(writer, key=key,
-                              fail_after_commit_of=fail_after_commit_of)
+                              fail_after_commit_of=fail_after_commit_of,
+                              checkpoint_dir=checkpoint_dir)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

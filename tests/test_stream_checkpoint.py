@@ -85,3 +85,104 @@ def test_stream_kill_restart_is_exactly_once_and_byte_identical(spark, tmp_path)
     batch = assign_tiles(decode_stats(images).filter("dec_ok"), z=6)
     expected = sorted(map(tuple, batch.select("image_id", "cell", "cx", "cy").collect()))
     assert rows_a == expected
+
+
+def test_stream_identity_guard_refuses_new_checkpoint_lineage(spark, tmp_path):
+    """ADVICE r05 (medium): epoch ids are only comparable within ONE
+    streaming-checkpoint lineage. If the checkpointLocation is deleted
+    or changed while the same output dir is reused, epoch ids restart
+    at 0 and the manifest anti-join would silently skip genuinely-new
+    micro-batches as 'already committed' — silent data loss. The sink
+    pins the stream's stable query id next to the manifest and FAILS
+    FAST when a different id targets a manifest with committed
+    batches; re-running under the ORIGINAL checkpoint still resumes
+    cleanly."""
+    images = synth.images_df(spark, 80, partitions=2)
+    stream_dir = str(tmp_path / "imgs")
+    _stream_files(spark, images, stream_dir, n_files=2)
+    out = str(tmp_path / "out")
+    ckpt_a = str(tmp_path / "ckpt_a")
+    w = CheckpointedWriter(spark, out)
+
+    def run(ckpt):
+        stream = read_images_stream(spark, stream_dir, max_files=1)
+        q = start_checkpointed_ingest(
+            assign_images_stream(stream, z=6), w, ckpt)
+        q.awaitTermination()
+
+    run(ckpt_a)
+    committed = w.committed()
+    assert committed == {0, 1}
+
+    # same checkpoint lineage again: no-op resume, no error
+    run(ckpt_a)
+    assert w.committed() == committed
+
+    # NEW checkpoint dir (epoch ids restart at 0) + committed manifest
+    # → the guard must refuse instead of silently skipping epoch 0/1
+    with pytest.raises(Exception, match="epoch ids restart"):
+        run(str(tmp_path / "ckpt_b"))
+    assert w.committed() == committed, "guard must not mutate the manifest"
+
+
+def test_stream_compaction_preserves_validate_and_resume(spark, tmp_path):
+    """VERDICT r04 #7: 10⁴ availableNow epochs accrete 10⁴ small file
+    sets — the writer's ``compact()`` must compose with the STREAM
+    manifest. After streaming N epochs: compact → validate() green and
+    committed content identical; a restart under the same checkpoint
+    is still a no-op (replayed epochs skipped); NEW files arriving
+    after compaction commit as new epochs on top of the compacted
+    layout, and validate() stays green across the mixed
+    compacted/uncompacted batches."""
+    images = synth.images_df(spark, 160, partitions=4)
+    stream_dir = str(tmp_path / "imgs")
+    _stream_files(spark, images, stream_dir, n_files=4)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    w = CheckpointedWriter(spark, out)
+
+    def run():
+        stream = read_images_stream(spark, stream_dir, max_files=1)
+        # repartition(4) makes each epoch land 4 small files — the
+        # accretion pattern compact() exists for (a 1-file epoch is
+        # already compact and gets skipped)
+        q = start_checkpointed_ingest(
+            assign_images_stream(stream, z=6).repartition(4), w, ckpt)
+        q.awaitTermination()
+
+    run()
+    assert w.committed() == {0, 1, 2, 3}
+    before = sorted(map(tuple, w.read_committed()
+                        .select("image_id", "cell", "cx", "cy").collect()))
+
+    stats = w.compact("image_id")
+    assert stats["compacted"] >= 1, stats
+    assert stats["files_after"] < stats["files_before"], stats
+    # content identical, manifest still verifies against rewritten bytes
+    assert w.validate("image_id")
+    assert sorted(map(tuple, w.read_committed()
+                      .select("image_id", "cell", "cx", "cy").collect())) == before
+
+    # restart under the same checkpoint: nothing new → no-op resume,
+    # no epoch re-applied onto the compacted dirs
+    run()
+    assert w.committed() == {0, 1, 2, 3}
+    assert w.validate("image_id")
+
+    # new arrivals post-compaction commit as fresh epochs
+    more = synth.images_df(spark, 80, partitions=2)
+    tmp = tempfile.mkdtemp()
+    more.coalesce(2).write.mode("overwrite").parquet(tmp + "/d")
+    for i, part in enumerate(sorted(glob.glob(tmp + "/d/part-*.parquet"))):
+        shutil.copy(part, f"{stream_dir}/g{i}.parquet")
+    shutil.rmtree(tmp)
+    run()
+    assert w.committed() == {0, 1, 2, 3, 4, 5}
+    assert w.validate("image_id")
+    both = assign_tiles(
+        decode_stats(images.unionByName(more)).filter("dec_ok"), z=6)
+    expected = sorted(map(tuple, both.select(
+        "image_id", "cell", "cx", "cy").collect()))
+    got = sorted(map(tuple, w.read_committed()
+                     .select("image_id", "cell", "cx", "cy").collect()))
+    assert got == expected
