@@ -863,10 +863,12 @@ _WARP_ORACLE_SQL = """
 """
 
 
-def _pattern_src_tiles(spark, ts: int = 32, ntiles: int = 4):
+def _pattern_src_tiles(spark, ts: int = 32, ntiles: int = 4, quant: int = 1):
     """Deterministic source raster for the warp-kernel contract
     queries: global pixel (gx, gy) = (gx·3 + gy·5 + 11) % 256, tiled
-    ts px, built on executors (same pattern as q_warp_reproject)."""
+    ts px, built on executors (same pattern as q_warp_reproject).
+    ``quant`` floors values to multiples of quant — quant=64 gives the
+    4-class categorical raster the mode kernel votes over."""
     import numpy as np
 
     from gdal_drivers_spark.core import codecs
@@ -883,6 +885,7 @@ def _pattern_src_tiles(spark, ts: int = 32, ntiles: int = 4):
                 gx = np.arange(ts) + int(r.scx) * ts
                 gy = np.arange(ts) + int(r.scy) * ts
                 img = ((gx[None, :] * 3 + gy[:, None] * 5 + 11) % 256).astype(np.uint8)
+                img = (img // quant) * quant
                 rows.append((int(r.scx), int(r.scy), codecs.encode_raw(img[:, :, None])))
             yield pd.DataFrame(rows, columns=["scx", "scy", "tile"])
 
@@ -1196,6 +1199,65 @@ _WARP_MASK_ORACLE_SQL = """
            CAST(SUM(ok) AS BIGINT) AS n_valid
     FROM v GROUP BY 1, 2
 """
+
+
+def q_warp_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 resampling parity, r05 (reference Resampling.mode,
+    gdaldriversmodule.cpp:205-225): majority-vote 2× downsample of a
+    4-class categorical raster (the pattern quantized to multiples of
+    64). Each dst pixel's footprint is exactly 2×2 source pixels;
+    ties (common with 4 classes) resolve to the LOWEST value — GDAL's
+    rule — making the whole kernel exact integer arithmetic and the
+    oracle a count/argmax in plain SQL."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.warp import warp_tiles
+
+    src = _pattern_src_tiles(spark, ts=32, ntiles=4, quant=64)
+    src_gt = np.array([0.0, 1 / 128, 0.0, 1.0, 0.0, -1 / 128])
+    dst_gt = np.array([0.0, 1 / 64, 0.0, 1.0, 0.0, -1 / 64])
+    out = warp_tiles(src, src_gt, dst_gt, (64, 64), tile_px=32, method="mode")
+    return out.select("ocx", "ocy", _px_sum_udf()(F.col("tile")).alias("mode_sum"))
+
+
+_WARP_MODE_ORACLE_SQL = """
+    WITH src AS (
+        SELECT x.v AS sx, y.v AS sy,
+               (((x.v * 3 + y.v * 5 + 11) % 256) // 64) * 64 AS v
+        FROM generate_series(0, 127) x(v), generate_series(0, 127) y(v)
+    ), cnt AS (
+        SELECT sx // 2 AS ox, sy // 2 AS oy, v, COUNT(*) AS c
+        FROM src GROUP BY 1, 2, 3
+    ), pick AS (
+        SELECT ox, oy, v,
+               row_number() OVER (PARTITION BY ox, oy ORDER BY c DESC, v) AS rn
+        FROM cnt
+    )
+    SELECT ox // 32 AS ocx, oy // 32 AS ocy, CAST(SUM(v) AS BIGINT) AS mode_sum
+    FROM pick WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+def q_warp_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 resampling parity, r05 (reference Resampling.lanczos,
+    gdaldriversmodule.cpp:205-225): 2× Lanczos-3 (6×6 windowed-sinc)
+    upsample of the central half of the pattern raster — the quality
+    upsampler, taps through the widened pad 4 across tile seams.
+    ROWS-ONLY oracle by design: the sinc weights are transcendental
+    (sin(πx)/(πx)), so no closed-form integer SQL replay exists —
+    bit-parity vs the scalar numpy reference (including every seam)
+    is pinned in tests/test_warp_solid.py::
+    test_warp_lanczos_matches_scalar_oracle_with_seams instead."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.warp import warp_tiles
+
+    src = _pattern_src_tiles(spark, ts=32, ntiles=4)
+    src_gt = np.array([0.0, 1 / 128, 0.0, 1.0, 0.0, -1 / 128])
+    dst_gt = np.array([0.25, 1 / 256, 0.0, 0.75, 0.0, -1 / 256])
+    out = warp_tiles(src, src_gt, dst_gt, (128, 128), tile_px=32, method="lanczos")
+    return out.select("ocx", "ocy", _px_sum_udf()(F.col("tile")).alias("px_sum"))
+
 
 
 def q_maskfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2341,11 +2403,16 @@ def q_ann_index_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index build + persist (once; overwrite keeps the query
     # rerunnable). Path and table are KEYED BY SCALE DIR so two
     # harness runs at different scales can never clobber each other's
-    # live index mid-read (r04 review)
+    # live index mid-read (r04 review), AND by pid so two CONCURRENT
+    # harness runs at the same scale don't overwrite each other's live
+    # /tmp index / shared-warehouse catalog entry mid-read — a
+    # saveAsTable overwrite from a run that dies mid-write could also
+    # leave a stale catalog entry under a shared name (ADVICE r04)
+    import os as _os
     import re as _re
 
     tag = _re.sub(r"\W+", "_", sf_dir.strip("/"))
-    table = f"gds_ann_index_reuse_{tag}"
+    table = f"gds_ann_index_reuse_{tag}_p{_os.getpid()}"
     write_ivf_index(
         ivf_assign(corpus, cents),
         table=table,
@@ -2405,6 +2472,89 @@ _ANN_INDEX_REUSE_ORACLE_SQL = """
         FROM scored
     )
     SELECT qid, cid, dot_q, CAST(rank AS INT) AS rank, CAST(batch AS INT) AS batch
+    FROM r WHERE rank <= 5
+"""
+
+
+def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN incremental index append (r05, VERDICT #5): a 100 TB corpus
+    ingests continuously — the index over the BASE corpus (vec_id % 4
+    != 0) is built and persisted once; the DELTA (vec_id % 4 == 0,
+    interleaved so it lands in every inverted list) is assigned alone
+    and appended into the same bucketed layout
+    (``append_to_ivf_index`` — base files byte-untouched, asserted in
+    tests/test_pipeline_ops.py::test_append_to_ivf_index_incremental);
+    a query batch served from the union must equal the ONE-SHOT
+    full-corpus build bit-exactly, which is what the oracle replays
+    (inline IVF over the whole corpus — base ∪ delta IS the corpus)."""
+    from gdal_drivers_spark.operators.similarity import (
+        append_to_ivf_index, ivf_assign, ivf_topk, read_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        (F.col("vec_id") / 64).cast("long").alias("list_id"),
+        F.col("embedding").alias("center"),
+    )
+    import os as _os
+    import re as _re
+
+    tag = _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    table = f"gds_ann_index_append_{tag}_p{_os.getpid()}"
+    write_ivf_index(
+        ivf_assign(corpus.filter(F.col("cid") % 4 != 0), cents),
+        table=table, path=f"/tmp/{table}", buckets=8,
+    )
+    append_to_ivf_index(
+        ivf_assign(corpus.filter(F.col("cid") % 4 == 0), cents), table
+    )
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(qs, None, cents, k=5, nprobe=2,
+                    lists=read_ivf_index(spark, table))
+
+
+_ANN_INDEX_APPEND_ORACLE_SQL = """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
+        FROM embeddings
+    ), cents AS (
+        SELECT vec_id // 64 AS lid, q AS cv FROM e WHERE vec_id % 64 = 0
+    ), asg AS (
+        SELECT vec_id, q, lid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, lid) AS rn
+        FROM (
+            SELECT e.vec_id, e.q, c.lid,
+                   CAST(list_sum(list_transform(generate_series(1, 64), i -> e.q[i] * c.cv[i])) AS BIGINT) AS dot
+            FROM e, cents c
+        )
+    ), lists AS (
+        SELECT vec_id AS cid, q AS cv, lid FROM asg WHERE rn = 1
+    ), qs AS (
+        SELECT vec_id AS qid, q AS qv FROM e WHERE vec_id < 10
+    ), probes AS (
+        SELECT qid, qv, lid FROM (
+            SELECT qs.qid, qs.qv, c.lid,
+                   row_number() OVER (
+                       PARTITION BY qs.qid
+                       ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> qs.qv[i] * c.cv[i])) AS BIGINT) DESC,
+                                c.lid
+                   ) AS rn
+            FROM qs, cents c
+        ) WHERE rn <= 2
+    ), scored AS (
+        SELECT p.qid, l.cid,
+               CAST(list_sum(list_transform(generate_series(1, 64), i -> p.qv[i] * l.cv[i])) AS BIGINT) AS dot_q
+        FROM probes p JOIN lists l ON p.lid = l.lid
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, cid) AS rank
+        FROM scored
+    )
+    SELECT qid, cid, dot_q, CAST(rank AS INT) AS rank
     FROM r WHERE rank <= 5
 """
 
@@ -3848,6 +3998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_downsample": q_warp_downsample,
         "warp_reproject": q_warp_reproject,
         "warp_cubic": q_warp_cubic,
+        "warp_lanczos": q_warp_lanczos,
+        "warp_mode": q_warp_mode,
         "warp_bilinear": q_warp_bilinear,
         "warp_average": q_warp_average,
         "warp_minmax": q_warp_minmax,
@@ -3892,6 +4044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "ann_ivfpq": q_ann_ivfpq,
         "ann_index_reuse": q_ann_index_reuse,
+        "ann_index_append": q_ann_index_append,
         "knn_graph": q_knn_graph,
         "audio_features": q_audio_features,
         "ann_cosine": q_ann_cosine,
@@ -4068,6 +4221,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": _ANN_PQ_ORACLE_SQL,
         "ann_ivfpq": _ANN_IVFPQ_ORACLE_SQL,
         "ann_index_reuse": _ANN_INDEX_REUSE_ORACLE_SQL,
+        "ann_index_append": _ANN_INDEX_APPEND_ORACLE_SQL,
         "knn_graph": _KNN_GRAPH_ORACLE_SQL,
         "audio_features": _AUDIO_ORACLE_SQL,
         "ann_cosine": _ANN_COSINE_ORACLE_SQL,
@@ -4086,6 +4240,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_downsample": _WARP_ORACLE_SQL,
         "warp_reproject": _warp_reproject_oracle_sql(),
         "warp_cubic": _WARP_CUBIC_ORACLE_SQL,
+        "warp_mode": _WARP_MODE_ORACLE_SQL,
         "warp_bilinear": _WARP_BILINEAR_ORACLE_SQL,
         "warp_average": _WARP_AVERAGE_ORACLE_SQL,
         "warp_minmax": _WARP_MINMAX_ORACLE_SQL,
