@@ -1238,6 +1238,53 @@ _WARP_MODE_ORACLE_SQL = """
 """
 
 
+def q_warp_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 resampling parity, r05 (reference Resampling med/q1/q3,
+    gdaldriversmodule.cpp:205-225): order-statistic 2× downsample —
+    each dst pixel's footprint is exactly 2×2 source pixels, and the
+    type-7 quantile (linear interpolation at p·(n−1), the rule Spark
+    percentile and DuckDB quantile_cont share) lands on dyadic
+    fractions of integers → exact in IEEE, bit-exact SQL oracle.
+    The only rounding is banker's (np.rint ↔ round_even)."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.warp import warp_tiles
+
+    src = _pattern_src_tiles(spark, ts=32, ntiles=4)
+    src_gt = np.array([0.0, 1 / 128, 0.0, 1.0, 0.0, -1 / 128])
+    dst_gt = np.array([0.0, 1 / 64, 0.0, 1.0, 0.0, -1 / 64])
+    px = _px_sum_udf()
+    parts = [
+        warp_tiles(src, src_gt, dst_gt, (64, 64), tile_px=32, method=m).select(
+            "ocx", "ocy", px(F.col("tile")).alias(f"{m}_sum")
+        )
+        for m in ("med", "q1", "q3")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.join(p, ["ocx", "ocy"])
+    return out
+
+
+_WARP_QUANTILES_ORACLE_SQL = """
+    WITH src AS (
+        SELECT x.v AS sx, y.v AS sy, ((x.v * 3 + y.v * 5 + 11) % 256) AS v
+        FROM generate_series(0, 127) x(v), generate_series(0, 127) y(v)
+    ), g AS (
+        SELECT sx // 2 AS ox, sy // 2 AS oy,
+               quantile_cont(v, 0.5)  AS medv,
+               quantile_cont(v, 0.25) AS q1v,
+               quantile_cont(v, 0.75) AS q3v
+        FROM src GROUP BY 1, 2
+    )
+    SELECT ox // 32 AS ocx, oy // 32 AS ocy,
+           CAST(SUM(CAST(round_even(medv, 0) AS BIGINT)) AS BIGINT) AS med_sum,
+           CAST(SUM(CAST(round_even(q1v, 0) AS BIGINT)) AS BIGINT) AS q1_sum,
+           CAST(SUM(CAST(round_even(q3v, 0) AS BIGINT)) AS BIGINT) AS q3_sum
+    FROM g GROUP BY 1, 2
+"""
+
+
 def q_warp_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U6 resampling parity, r05 (reference Resampling.lanczos,
     gdaldriversmodule.cpp:205-225): 2× Lanczos-3 (6×6 windowed-sinc)
@@ -4000,6 +4047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_cubic": q_warp_cubic,
         "warp_lanczos": q_warp_lanczos,
         "warp_mode": q_warp_mode,
+        "warp_quantiles": q_warp_quantiles,
         "warp_bilinear": q_warp_bilinear,
         "warp_average": q_warp_average,
         "warp_minmax": q_warp_minmax,
@@ -4241,6 +4289,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_reproject": _warp_reproject_oracle_sql(),
         "warp_cubic": _WARP_CUBIC_ORACLE_SQL,
         "warp_mode": _WARP_MODE_ORACLE_SQL,
+        "warp_quantiles": _WARP_QUANTILES_ORACLE_SQL,
         "warp_bilinear": _WARP_BILINEAR_ORACLE_SQL,
         "warp_average": _WARP_AVERAGE_ORACLE_SQL,
         "warp_minmax": _WARP_MINMAX_ORACLE_SQL,

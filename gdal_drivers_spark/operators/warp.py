@@ -172,8 +172,10 @@ def warp_tiles(
     sinc, a=3 — the quality upsampler; r05) | footprint kernels
     ``average`` / ``sum`` / ``rms`` (exact area-weighted mean /
     weighted sum / quadratic mean), ``min`` / ``max`` (unweighted
-    extrema over contributing pixels) and ``mode`` (majority vote,
-    ties → lowest value — the categorical downsampler; r05) — the
+    extrema over contributing pixels), ``mode`` (majority vote,
+    ties → lowest value — the categorical downsampler; r05) and
+    ``med`` / ``q1`` / ``q3`` (order statistics of the contributing
+    set, type-7 quantiles — the robust downsamplers; r05) — the
     full resampling family of the reference's Resampling enum
     (gdaldriversmodule.cpp:205-225); footprint kernels need an
     axis-separable transform.
@@ -189,9 +191,9 @@ def warp_tiles(
     (documented choice): nearest GATHERS the mask; bilinear
     WEIGHT-RENORMALIZES over valid taps (a pixel is valid while ≥1 tap
     is); cubic and lanczos require a FULLY-VALID support (negative-lobe
-    weights renormalize badly); average/mode exclude invalid pixels
-    from the reduction (valid while the footprint holds ≥1 valid
-    pixel). Data still carries ``nodata`` at invalid pixels.
+    weights renormalize badly); average/mode/med/q1/q3 exclude invalid
+    pixels from the reduction (valid while the footprint holds ≥1
+    valid pixel). Data still carries ``nodata`` at invalid pixels.
 
     ``src_srs``/``dst_srs``: optional SRS names; when they differ, the
     dst-world→src-world hop goes through ``core.srs.get_transform``
@@ -209,7 +211,7 @@ def warp_tiles(
 
     if not (gt_orthogonal(src_gt) and gt_orthogonal(dst_gt)):
         raise ValueError("warp requires orthogonal geotransforms (blender.cpp:133-139)")
-    _FOOTPRINT = ("average", "sum", "rms", "min", "max", "mode")
+    _FOOTPRINT = ("average", "sum", "rms", "min", "max", "mode", "med", "q1", "q3")
     if method not in ("nearest", "bilinear", "cubic", "lanczos") + _FOOTPRINT:
         raise ValueError(f"unknown resample method {method!r}")
     if src_srs != dst_srs and not (src_srs and dst_srs):
@@ -548,20 +550,16 @@ def warp_tiles(
                 valid = cnt > 0
                 out = np.where(valid, acc, 0.0)
             else:
-                # mode: MAJORITY VOTE over every valid contributing
-                # pixel (overlap > EPS — same membership rule as
-                # min/max) — the categorical-raster downsampler of the
-                # reference Resampling enum. Tie-break: the LOWEST
-                # value wins (GDAL's rule: among equal counts the
-                # first-encountered smallest value is kept), encoded
-                # as score = count·256 + (255 − value) so one argmax
-                # resolves both count and tie deterministically —
-                # exact integers, hence a bit-exact SQL oracle (unlike
-                # lanczos). Mask policy: ≥1 valid pixel, like average.
-                # Cost: O(S²) comparisons over the footprint span S
-                # (= Sy·Sx ≤ (scale+1)² per axis product), vectorized
-                # per tile — fine for overview factors; for extreme
-                # single-step downsamples build a pyramid instead.
+                # rank-based kernels — mode / med / q1 / q3 — over
+                # every valid contributing pixel (overlap > EPS, the
+                # min/max membership rule). One gather of the
+                # footprint's value set per tile, then either a
+                # majority vote or an order statistic. Mask policy:
+                # ≥1 valid pixel, like average. Cost: O(S²) per-pixel
+                # work over the footprint span S (≤ (scale+1) per
+                # axis), vectorized per tile — fine for overview
+                # factors; for extreme single-step downsamples build
+                # a pyramid instead.
                 EPS = 1e-9
                 xlo = np.floor(loX[:, 0]).astype(np.int64)
                 ylo = np.floor(loY[:, 0]).astype(np.int64)
@@ -586,19 +584,60 @@ def warp_tiles(
                         )
                         s += 1
                 present = vals >= 0
-                best_score = np.full((tile_px, tile_px), -1.0)
-                best_val = np.zeros((tile_px, tile_px))
-                for i in range(s):
-                    vi = vals[:, :, i]
-                    cnt_i = ((vals == vi[:, :, None]) & present).sum(axis=2)
-                    score = np.where(
-                        vi >= 0, cnt_i * 256.0 + (255.0 - vi), -1.0
-                    )
-                    upd = score > best_score
-                    best_score = np.where(upd, score, best_score)
-                    best_val = np.where(upd, vi, best_val)
-                valid = best_score >= 0
-                out = np.where(valid, best_val, 0.0)
+                if method == "mode":
+                    # MAJORITY VOTE — the categorical-raster
+                    # downsampler of the reference Resampling enum.
+                    # Tie-break: the LOWEST value wins (GDAL's rule:
+                    # among equal counts the first-encountered
+                    # smallest value is kept), encoded as score =
+                    # count·256 + (255 − value) so one argmax resolves
+                    # both count and tie deterministically — exact
+                    # integers, hence a bit-exact SQL oracle (unlike
+                    # lanczos)
+                    best_score = np.full((tile_px, tile_px), -1.0)
+                    best_val = np.zeros((tile_px, tile_px))
+                    for i in range(s):
+                        vi = vals[:, :, i]
+                        cnt_i = ((vals == vi[:, :, None]) & present).sum(axis=2)
+                        score = np.where(
+                            vi >= 0, cnt_i * 256.0 + (255.0 - vi), -1.0
+                        )
+                        upd = score > best_score
+                        best_score = np.where(upd, score, best_score)
+                        best_val = np.where(upd, vi, best_val)
+                    valid = best_score >= 0
+                    out = np.where(valid, best_val, 0.0)
+                else:
+                    # med / q1 / q3: ORDER STATISTICS of the
+                    # contributing set — the robust-downsampling trio
+                    # of GDAL's Resampling enum. Quantile rule: linear
+                    # interpolation at p·(n−1) (R type-7 — the rule
+                    # Spark's percentile and DuckDB's quantile_cont
+                    # share, so the SQL oracle replays it bit-exactly;
+                    # med ≡ p=0.5, the mean of the two middles at even
+                    # n). Dyadic footprints keep the interpolation
+                    # exact in IEEE. np.sort puts the −1 sentinels
+                    # first, so the valid run occupies the LAST nval
+                    # slots of each pixel's sorted span.
+                    q = {"q1": 0.25, "med": 0.5, "q3": 0.75}[method]
+                    order = np.sort(vals, axis=2)
+                    nval = present.sum(axis=2)
+                    valid = nval > 0
+                    n1 = np.maximum(nval - 1, 0)
+                    pos = q * n1
+                    lo = np.floor(pos).astype(np.int64)
+                    hi = np.minimum(lo + 1, n1)
+                    frac = pos - lo
+                    base_i = s - nval
+
+                    def _at(rank):
+                        idx = np.clip(base_i + rank, 0, s - 1)
+                        return np.take_along_axis(
+                            order, idx[..., None], axis=2
+                        )[..., 0]
+
+                    v_lo, v_hi = _at(lo), _at(hi)
+                    out = np.where(valid, v_lo + frac * (v_hi - v_lo), 0.0)
         out = np.where(valid, out, nodata)
         tile = np.clip(np.rint(out), 0, 255).astype(np.uint8)
         row = {

@@ -1159,3 +1159,73 @@ def test_warp_mode_respects_masks(spark):
             cnt = {v: vals.count(v) for v in vals}
             e = min(v for v in cnt if cnt[v] == max(cnt.values()))
             assert mk[dy, dx] == 255 and t[dy, dx] == e, (dx, dy, vals)
+
+
+# ------------------------------------------------- med / q1 / q3 (r05)
+
+def test_warp_quantile_kernels_match_scalar_oracle(spark):
+    """med/q1/q3 downsample at integer 2x AND fractional 1.5x scales
+    vs a per-pixel scalar oracle: contributing pixels are those with
+    overlap > EPS (the min/max membership rule); the quantile is the
+    type-7 (linear interpolation at p*(n-1)) order statistic — the
+    rule Spark percentile / DuckDB quantile_cont share."""
+    rng = np.random.default_rng(29)
+    full = rng.integers(0, 256, (96, 96)).astype(np.uint8)
+    sgt = gt_from_extents(0, 0, 1, 1, 96, 96)
+    EPS = 1e-9
+    for dst_px, s, ts in ((48, 2.0, 48), (64, 1.5, 32)):
+        src = _src_tiles_df(spark, full, ts)
+        dgt = gt_from_extents(0, 0, 1, 1, dst_px, dst_px)
+        for method, q in (("med", 0.5), ("q1", 0.25), ("q3", 0.75)):
+            exp = np.zeros((dst_px, dst_px), np.uint8)
+            for r in range(dst_px):
+                for c in range(dst_px):
+                    x0, x1 = c * s, (c + 1) * s
+                    y0, y1 = r * s, (r + 1) * s
+                    vv = sorted(
+                        int(full[p, qq])
+                        for p in range(int(np.floor(y0)), int(np.ceil(y1)))
+                        for qq in range(int(np.floor(x0)), int(np.ceil(x1)))
+                        if min(y1, p + 1) - max(y0, p) > EPS
+                        and min(x1, qq + 1) - max(x0, qq) > EPS
+                    )
+                    pos = q * (len(vv) - 1)
+                    lo = int(np.floor(pos))
+                    hi = min(lo + 1, len(vv) - 1)
+                    val = vv[lo] + (pos - lo) * (vv[hi] - vv[lo])
+                    exp[r, c] = int(np.clip(np.rint(val), 0, 255))
+            got = _collect_warp(
+                warp_tiles(src, sgt, dgt, (dst_px, dst_px),
+                           tile_px=ts, method=method).collect(),
+                (dst_px, dst_px), ts)
+            assert (got == exp).all(), (method, s, int((got != exp).sum()))
+
+
+def test_warp_median_respects_masks(spark):
+    """med excludes masked pixels from the order statistic; an
+    all-masked footprint is nodata with mask 0 (the average/mode
+    contract)."""
+    src = _masked_pattern_src(spark)
+    sgt = gt_from_extents(0, 0, 1, 1, 128, 128)
+    dgt = gt_from_extents(0, 0, 1, 1, 64, 64)
+    out = {(r["ocx"], r["ocy"]): r for r in warp_tiles(
+        src, sgt, dgt, (64, 64), tile_px=32, method="med",
+        with_mask=True, nodata=3.0).collect()}
+    r0 = out[(0, 0)]
+    t = np.frombuffer(r0["tile"], np.uint8).reshape(32, 32)
+    mk = np.frombuffer(r0["mask"], np.uint8).reshape(32, 32)
+    for dy in range(8):
+        for dx in range(8):
+            vals = sorted(((sx * 3 + sy * 5 + 11) % 256)
+                          for sy in (2 * dy, 2 * dy + 1)
+                          for sx in (2 * dx, 2 * dx + 1)
+                          if (sx * 7 + sy * 11) % 13 >= 3)
+            if not vals:
+                assert t[dy, dx] == 3 and mk[dy, dx] == 0, (dx, dy)
+                continue
+            pos = 0.5 * (len(vals) - 1)
+            lo = int(pos)
+            hi = min(lo + 1, len(vals) - 1)
+            e = int(np.clip(np.rint(vals[lo] + (pos - lo)
+                                    * (vals[hi] - vals[lo])), 0, 255))
+            assert mk[dy, dx] == 255 and t[dy, dx] == e, (dx, dy, vals)
