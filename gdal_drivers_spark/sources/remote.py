@@ -48,12 +48,18 @@ _TRANSIENT = frozenset({429, 500, 502, 503, 504, 599})
 
 
 def default_transport(url: str, attempt: int) -> tuple[int, bytes]:
-    """stdlib HTTP GET (used only when a network exists)."""
+    """stdlib GET for every scheme the reference accepts — http, https
+    AND ftp (``mvt.cpp:654-672`` admits all three; the fetch path
+    ``mvt.cpp:699-730`` hands any of them to the same curl-style
+    fetcher). urllib handles ftp natively, but its FTP response object
+    carries no ``status`` — data coming back IS success (failures
+    raise ``URLError``), so a missing status maps to 200 rather than
+    crashing the row into the 599 pseudo-status."""
     from urllib import error, request
 
     try:
         with request.urlopen(url, timeout=30) as resp:  # noqa: S310
-            return int(resp.status), resp.read()
+            return int(getattr(resp, "status", None) or 200), resp.read()
     except error.HTTPError as exc:  # status-coded failure
         return int(exc.code), b""
     except (error.URLError, OSError, TimeoutError):

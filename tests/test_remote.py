@@ -105,3 +105,24 @@ def test_transport_exceptions_and_corrupt_gzip_poison_only_their_rows(spark):
     assert bytes(rows["http://t/1-1-0"].tile_data) == b""
     assert rows["http://t/1-0-1"].status == 200
     assert bytes(rows["http://t/1-0-1"].tile_data) == b"fine"
+
+
+def test_default_transport_ftp_statusless_response_is_success(monkeypatch):
+    """ftp:// responses from urllib carry no ``status`` attribute —
+    data coming back IS success for FTP (failures raise URLError);
+    the reference admits ftp alongside http/https (mvt.cpp:654-672),
+    so the transport maps a missing status to 200 instead of crashing
+    the row into the 599 pseudo-status."""
+    import io
+
+    from gdal_drivers_spark.sources import remote
+
+    class FakeFtpResp(io.BytesIO):  # statusless, context-managed
+        pass
+
+    monkeypatch.setattr(
+        "urllib.request.urlopen",
+        lambda url, timeout=30: FakeFtpResp(b"tile-bytes"),
+    )
+    status, payload = remote.default_transport("ftp://h/1-0-0.mvt", 0)
+    assert (status, payload) == (200, b"tile-bytes")
