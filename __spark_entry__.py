@@ -960,6 +960,67 @@ _WARP_CUBIC_ORACLE_SQL = """
 """
 
 
+def q_warp_cubicspline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 resampling parity, r05 (reference Resampling.cubicspline,
+    gdaldriversmodule.cpp:205-225 — the smoothing, non-interpolating
+    B-spline kernel; this closes the FULL GRA_* enum): 2× cubic
+    B-spline upsample of the central half of the pattern raster, same
+    dyadic grid as warp_cubic. The kernel computes with ×6-scaled
+    B-spline weights — dyadic rationals at dyadic fracs, so the whole
+    16-tap sum is EXACT and order-free — and divides ONCE by 36 at the
+    end (see warp._bspline_w6); numpy and SQL perform that single
+    division and the final banker's round identically, which is what
+    makes this oracle bit-exact despite B₃'s non-representable 1/6."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.warp import warp_tiles
+
+    src = _pattern_src_tiles(spark, ts=32, ntiles=4)
+    src_gt = np.array([0.0, 1 / 128, 0.0, 1.0, 0.0, -1 / 128])
+    dst_gt = np.array([0.25, 1 / 256, 0.0, 0.75, 0.0, -1 / 256])
+    out = warp_tiles(src, src_gt, dst_gt, (128, 128), tile_px=32,
+                     method="cubicspline")
+    return out.select("ocx", "ocy", _px_sum_udf()(F.col("tile")).alias("px_sum"))
+
+
+_WARP_CUBICSPLINE_ORACLE_SQL = """
+    WITH px AS (
+        SELECT ox.v AS ox, oy.v AS oy,
+               31.75 + ox.v * 0.5 AS tx, 31.75 + oy.v * 0.5 AS ty
+        FROM generate_series(0, 127) ox(v), generate_series(0, 127) oy(v)
+    ), fr AS (
+        SELECT ox, oy,
+               CAST(floor(tx) AS BIGINT) AS x0, tx - floor(tx) AS fx,
+               CAST(floor(ty) AS BIGINT) AS y0, ty - floor(ty) AS fy
+        FROM px
+    ), taps AS (
+        -- x6-scaled uniform cubic B-spline weights (warp._bspline_w6):
+        -- offsets -1,0,1,2 -> (1-f)^3, 3f^3-6f^2+4, 3(1-f)^3-6(1-f)^2+4, f^3
+        SELECT f.ox, f.oy,
+               (CASE i.v
+                    WHEN 0 THEN (1.0-f.fx)*(1.0-f.fx)*(1.0-f.fx)
+                    WHEN 1 THEN 3.0*f.fx*f.fx*f.fx - 6.0*f.fx*f.fx + 4.0
+                    WHEN 2 THEN 3.0*(1.0-f.fx)*(1.0-f.fx)*(1.0-f.fx) - 6.0*(1.0-f.fx)*(1.0-f.fx) + 4.0
+                    ELSE f.fx*f.fx*f.fx
+                END)
+               * (CASE j.v
+                    WHEN 0 THEN (1.0-f.fy)*(1.0-f.fy)*(1.0-f.fy)
+                    WHEN 1 THEN 3.0*f.fy*f.fy*f.fy - 6.0*f.fy*f.fy + 4.0
+                    WHEN 2 THEN 3.0*(1.0-f.fy)*(1.0-f.fy)*(1.0-f.fy) - 6.0*(1.0-f.fy)*(1.0-f.fy) + 4.0
+                    ELSE f.fy*f.fy*f.fy
+                END)
+               * CAST(((f.x0 - 1 + i.v) * 3 + (f.y0 - 1 + j.v) * 5 + 11) % 256 AS DOUBLE) AS term
+        FROM fr f, generate_series(0, 3) i(v), generate_series(0, 3) j(v)
+    ), pxv AS (
+        SELECT ox, oy,
+               LEAST(GREATEST(CAST(round_even(SUM(term) / 36.0, 0) AS BIGINT), 0), 255) AS v8
+        FROM taps GROUP BY ox, oy
+    )
+    SELECT ox // 32 AS ocx, oy // 32 AS ocy, CAST(SUM(v8) AS BIGINT) AS px_sum
+    FROM pxv GROUP BY 1, 2
+"""
+
+
 def q_warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U6 resampling parity, r04: 2× bilinear upsample of the central
     half of the pattern raster — same dyadic grid as warp_cubic (tap
@@ -4045,6 +4106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_downsample": q_warp_downsample,
         "warp_reproject": q_warp_reproject,
         "warp_cubic": q_warp_cubic,
+        "warp_cubicspline": q_warp_cubicspline,
         "warp_lanczos": q_warp_lanczos,
         "warp_mode": q_warp_mode,
         "warp_quantiles": q_warp_quantiles,
@@ -4288,6 +4350,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_downsample": _WARP_ORACLE_SQL,
         "warp_reproject": _warp_reproject_oracle_sql(),
         "warp_cubic": _WARP_CUBIC_ORACLE_SQL,
+        "warp_cubicspline": _WARP_CUBICSPLINE_ORACLE_SQL,
         "warp_mode": _WARP_MODE_ORACLE_SQL,
         "warp_quantiles": _WARP_QUANTILES_ORACLE_SQL,
         "warp_bilinear": _WARP_BILINEAR_ORACLE_SQL,

@@ -54,6 +54,28 @@ def _cubic_w(f):
     return w0, w1, w2, w3
 
 
+def _bspline_w6(f):
+    """Uniform cubic B-spline weights ×6 (GDAL's Resampling.
+    cubicspline — the smoothing, non-interpolating 4×4 kernel) for
+    taps at offsets −1, 0, 1, 2; ``f`` is the fractional position in
+    [0, 1). Returned SCALED BY 6: B₃ carries a 1/6 factor that is not
+    representable in binary, but the 6-weights are dyadic-rational
+    polynomials at dyadic f — so the kernel computes
+    (Σ (6wx)(6wy)·v) / 36 with the entire tap sum EXACT and order-free
+    and exactly ONE rounding (the final ÷36), which both numpy and SQL
+    perform identically — that is what makes the warp_cubicspline
+    oracle bit-exact (the per-weight ÷6 form would round 16 times and
+    make the group-SUM order-dependent). Partition of unity: the four
+    6-weights sum to exactly 6 (constants stay constant through /36).
+    Module-level so the scalar-oracle tests import THIS expression."""
+    g = 1.0 - f
+    w0 = g * g * g                          # (2 − (1+f))³
+    w1 = 3.0 * f * f * f - 6.0 * f * f + 4.0
+    w2 = 3.0 * g * g * g - 6.0 * g * g + 4.0
+    w3 = f * f * f                          # (2 − (2−f))³
+    return w0, w1, w2, w3
+
+
 def _lanczos_w(f, a: int = 3):
     """Lanczos windowed-sinc weights (GDAL's Resampling.lanczos,
     a = 3 lobes) for the 2a taps at offsets −(a−1)…a around the sample
@@ -212,7 +234,8 @@ def warp_tiles(
     if not (gt_orthogonal(src_gt) and gt_orthogonal(dst_gt)):
         raise ValueError("warp requires orthogonal geotransforms (blender.cpp:133-139)")
     _FOOTPRINT = ("average", "sum", "rms", "min", "max", "mode", "med", "q1", "q3")
-    if method not in ("nearest", "bilinear", "cubic", "lanczos") + _FOOTPRINT:
+    if method not in ("nearest", "bilinear", "cubic", "cubicspline",
+                      "lanczos") + _FOOTPRINT:
         raise ValueError(f"unknown resample method {method!r}")
     if src_srs != dst_srs and not (src_srs and dst_srs):
         raise ValueError("cross-SRS warp needs BOTH src_srs and dst_srs")
@@ -282,7 +305,8 @@ def warp_tiles(
         # cubic taps reach 2.5 source px past a pixel CENTER (lanczos
         # a=3: 3.5), and the bbox bounds the tile boundary — widen the
         # pad accordingly
-        ppad = int(_PLANE_PAD_PX) + {"cubic": 2, "lanczos": 3}.get(method, 0)
+        ppad = int(_PLANE_PAD_PX) + {"cubic": 2, "cubicspline": 2,
+                                     "lanczos": 3}.get(method, 0)
         c0 = (F.floor(F.least(*scs)) - ppad).cast("long")
         c1 = (F.ceil(F.greatest(*scs)) + ppad).cast("long")
         r0 = (F.floor(F.least(*srs_)) - ppad).cast("long")
@@ -299,7 +323,8 @@ def warp_tiles(
         # cubic's 4x4 taps reach 2.5 px past a pixel center (lanczos
         # a=3's 6x6: 3.5 → pad 4); the footprint kernels read the
         # pixel-corner footprint exactly (pad 2 for slack)
-        pad = {"nearest": 1, "bilinear": 1, "cubic": 3, "lanczos": 4}.get(method, 2)
+        pad = {"nearest": 1, "bilinear": 1, "cubic": 3, "cubicspline": 3,
+               "lanczos": 4}.get(method, 2)
         c0 = (F.floor(F.least(sc0, sc1)) - pad).cast("long")
         c1 = (F.ceil(F.greatest(sc0, sc1)) + pad).cast("long")
         r0 = (F.floor(F.least(sr0, sr1)) - pad).cast("long")
@@ -440,6 +465,31 @@ def warp_tiles(
             ]
             out = (wy[0] * rows_[0] + wy[1] * rows_[1]
                    + wy[2] * rows_[2] + wy[3] * rows_[3])
+            sup = np.ones_like(out, dtype=bool)
+            for yy in ys:
+                for xx in xs:
+                    sup &= Mw[yy, xx] > 0
+            valid = sup & in_cov
+        elif method == "cubicspline":
+            # 4x4 uniform cubic B-spline taps — the smoothing kernel
+            # of the reference Resampling enum. Same support, pads and
+            # full-support validity rule as cubic; computed with the
+            # ×6-scaled dyadic weights and one final ÷36 (see
+            # _bspline_w6 — exactly one rounding, SQL-replayable)
+            tx, ty = SC - 0.5, SR - 0.5
+            x0 = np.floor(tx).astype(np.int64)
+            y0 = np.floor(ty).astype(np.int64)
+            wx = _bspline_w6(tx - x0)
+            wy = _bspline_w6(ty - y0)
+            xs = [np.clip(x0 + d, 0, win_w - 1) for d in (-1, 0, 1, 2)]
+            ys = [np.clip(y0 + d, 0, win_h - 1) for d in (-1, 0, 1, 2)]
+            rows_ = [
+                wx[0] * Vz[yy, xs[0]] + wx[1] * Vz[yy, xs[1]]
+                + wx[2] * Vz[yy, xs[2]] + wx[3] * Vz[yy, xs[3]]
+                for yy in ys
+            ]
+            out = (wy[0] * rows_[0] + wy[1] * rows_[1]
+                   + wy[2] * rows_[2] + wy[3] * rows_[3]) / 36.0
             sup = np.ones_like(out, dtype=bool)
             for yy in ys:
                 for xx in xs:

@@ -660,6 +660,92 @@ def test_warp_cubic_through_plane_transform(spark):
     assert (got == exp).all(), int((got != exp).sum())
 
 
+def _warp_oracle_bspline(full, tf_np_xy, sgt, dgt, dst_shape, nodata=0.0):
+    """Scalar reference for the cubicspline warp — the ×6-scaled
+    B-spline weight expression is IMPORTED from the operator
+    (module-level _bspline_w6) so oracle and kernel can never diverge;
+    factored rows-then-columns exactly like the kernel, with the single
+    ÷36 at the end."""
+    from gdal_drivers_spark.core.geometry import gt_invert
+    from gdal_drivers_spark.operators.warp import _bspline_w6 as bspline_w6
+
+    igt = gt_invert(np.asarray(sgt, np.float64))
+    H, W = dst_shape
+    cols = np.arange(W) + 0.5
+    rows = np.arange(H) + 0.5
+    WX, WY = np.meshgrid(dgt[0] + cols * dgt[1], dgt[3] + rows * dgt[5])
+    sx, sy = tf_np_xy(WX, WY)
+    SC = igt[0] + sx * igt[1]
+    SR = igt[3] + sy * igt[5]
+    h, w = full.shape
+    f = full.astype(np.float64)
+    tx, ty = SC - 0.5, SR - 0.5
+    x0 = np.floor(tx).astype(np.int64)
+    y0 = np.floor(ty).astype(np.int64)
+
+    wx = bspline_w6(tx - x0)
+    wy = bspline_w6(ty - y0)
+    xs = [np.clip(x0 + d, 0, w - 1) for d in (-1, 0, 1, 2)]
+    ys = [np.clip(y0 + d, 0, h - 1) for d in (-1, 0, 1, 2)]
+    rws = [wx[0] * f[yy, xs[0]] + wx[1] * f[yy, xs[1]]
+           + wx[2] * f[yy, xs[2]] + wx[3] * f[yy, xs[3]] for yy in ys]
+    out = (wy[0] * rws[0] + wy[1] * rws[1]
+           + wy[2] * rws[2] + wy[3] * rws[3]) / 36.0
+    in_cov = (SC >= 0) & (SC < w) & (SR >= 0) & (SR < h)
+    out = np.where(in_cov, out, nodata)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def test_warp_cubicspline_matches_scalar_oracle_with_seams(spark):
+    """Cubic B-spline 2x upsample of a random source: every output
+    pixel — including across dst AND src tile seams, where the 4x4 taps
+    read neighbor tiles through the cover join's widened pad — equals
+    the whole-image scalar oracle exactly. Also pins the smoothing
+    property the enum entry exists for: unlike cubic, the B-spline does
+    NOT interpolate the source samples (it is a low-pass), but a
+    CONSTANT raster must survive exactly (the four ×6 weights sum to 6,
+    so constant/36·36 is a representable identity)."""
+    rng = np.random.default_rng(23)
+    full = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+    src = _src_tiles_df(spark, full, TS)
+    sgt = gt_from_extents(0, 0, 1, 1, 128, 128)
+    dgt = gt_from_extents(0, 0, 1, 1, 256, 256)
+    exp = _warp_oracle_bspline(full, lambda x, y: (x, y), sgt, dgt, (256, 256))
+    got = _collect_warp(
+        warp_tiles(src, sgt, dgt, (256, 256), tile_px=TS,
+                   method="cubicspline").collect(),
+        (256, 256), TS)
+    assert (got == exp).all(), int((got != exp).sum())
+
+    const = np.full((128, 128), 173, np.uint8)
+    got_c = _collect_warp(
+        warp_tiles(_src_tiles_df(spark, const, TS), sgt, dgt, (256, 256),
+                   tile_px=TS, method="cubicspline").collect(),
+        (256, 256), TS)
+    # interior only: taps whose 4x4 support leaves coverage are invalid
+    assert (got_c[4:-4, 4:-4] == 173).all()
+
+
+def test_warp_cubicspline_through_plane_transform(spark):
+    """Cubic B-spline through the UTM PlaneTransform path (non-dyadic
+    fractions, widened plane pad): exact equality with the scalar
+    oracle built from the identical ×6-weight expression."""
+    from gdal_drivers_spark.core import srs
+
+    rng = np.random.default_rng(47)
+    full = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+    src = _src_tiles_df(spark, full, TS)
+    sgt = gt_from_extents(300000, 4400000, 700000, 5400000, 128, 128)
+    dgt = gt_from_extents(12.5, 40.5, 17.5, 47.5, 128, 128)
+    tf = srs.get_transform("EPSG:4326", "EPSG:32633")
+    exp = _warp_oracle_bspline(full, tf.np_xy, sgt, dgt, (128, 128))
+    got = _collect_warp(
+        warp_tiles(src, sgt, dgt, (128, 128), tile_px=TS, method="cubicspline",
+                   src_srs="EPSG:32633", dst_srs="EPSG:4326").collect(),
+        (128, 128), TS)
+    assert (got == exp).all(), int((got != exp).sum())
+
+
 def test_warp_average_exact_2x_and_sparse_nodata(spark):
     """Area-weighted average, 2x downsample: every footprint is exactly
     2x2 source pixels, so out == round_even(sum/4) — checked exactly;
