@@ -545,6 +545,135 @@ def stress() -> dict:
 
     case("dedup_exact", 256, 1024, build_dedup, "survivor_rows")
 
+    # skew: a zipf-hot key — HALF of all rows land in ONE cell — at the
+    # mult-1024 decade's row count (VERDICT r04 #6: the three uniform
+    # cases above never exercise the skew path). Algebraic groupBys are
+    # skew-IMMUNE on this engine (map-side combine collapses each task
+    # to ≤|cells| rows before the shuffle), so the real exposure is the
+    # JOIN: a shuffle join's hot partition funnels half the data
+    # through one reducer. Two mitigation paths, each gated hot-vs-
+    # uniform on the SAME pipeline so only the distribution differs:
+    #   - AQE skew-join (first line): plain shuffle join, final plan
+    #     must show the skew-split shuffle read (AQEShuffleRead ...
+    #     skewed) and hold ≥0.8× the uniform join's throughput;
+    #   - engine salting (plans/skew.with_salt — when the join must
+    #     pre-date AQE stats, e.g. under a fixed partitioner): census →
+    #     salt hot cells → dim exploded per salt → join on (cell,salt),
+    #     AQE skew-join OFF, gated vs the same salted pipeline uniform.
+    from gdal_drivers_spark.plans.skew import hot_cells, with_salt
+
+    N_SKEW = 48_000_000
+    N_CELLS = 4096
+    N_SALTS = 16
+
+    def skew_fact(hot: bool):
+        base = spark.range(N_SKEW).repartition(CPUS * 2)
+        ucell = F.abs(F.xxhash64("id")) % N_CELLS
+        cell = (
+            F.when(F.col("id") % 2 == 0, F.lit(0).cast("long")).otherwise(ucell)
+            if hot else ucell
+        )
+        # v is a full-width random hash: an INCOMPRESSIBLE payload.
+        # With only the constant hot cell in the shuffle, LZ4 squeezes
+        # the 24 M-row hot partition under any skew threshold and AQE
+        # (which decides on COMPRESSED map sizes) never splits it —
+        # real fact rows carry payload, so must the gate's
+        return base.select(
+            "id", cell.alias("cell"),
+            F.abs(F.xxhash64(F.col("id") + 7)).alias("v"),
+        )
+
+    bounds = spark.range(N_CELLS).select(
+        F.col("id").alias("cell"), (F.col("id") % 64).alias("region")
+    )
+
+    def timed_join(df, with_plan=False):
+        # aggregate the payload, not count(1): count would let Catalyst
+        # prune v out of the shuffle and re-create the compressible-
+        # partition trap above (bit_xor, not sum — 48 M full-width
+        # hashes overflow a long under ANSI)
+        cnt = df.select(F.count(F.lit(1)).alias("n"),
+                        F.expr("bit_xor(v)").alias("xv"))
+        t0 = time.time()
+        n = int(cnt.collect()[0]["n"])
+        dtv = time.time() - t0
+        plan = cnt._jdf.queryExecution().executedPlan().toString() if with_plan else ""
+        if with_plan:
+            assert "isFinalPlan=false" not in plan, "plan captured pre-execution"
+        return {"sec": round(dtv, 4), "join_rows": n,
+                "input_rows_per_sec": round(N_SKEW / dtv)}, plan
+
+    def salted_join(fact):
+        hot = hot_cells(fact, threshold=N_SKEW // 100)
+        salted = with_salt(fact, hot, n_salts=N_SALTS, salt_src="id")
+        dim = bounds.join(
+            F.broadcast(hot.withColumn("_hot", F.lit(True))), "cell", "left"
+        ).withColumn(
+            "salt",
+            F.explode(
+                F.when(F.col("_hot").isNotNull(),
+                       F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+                .otherwise(F.array(F.lit(0)))
+            ),
+        ).drop("_hot")
+        return salted.join(dim, ["cell", "salt"])
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_sk = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    prev_th = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    try:
+        # forced shuffle join (the 100 TB fact side never broadcasts);
+        # skew thresholds scaled to the test's MBs (defaults target
+        # real-cluster 256 MB partitions)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # threshold low enough that the ~200 MB compressed hot
+        # partition is seen as skewed; the advisory split size stays
+        # at Spark's 64m default — overriding it down to 4m shattered
+        # the hot partition into ~50 slivers whose scheduling overhead
+        # ate the win (51 s vs 9 s measured at 48 M rows)
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        uni, _ = timed_join(skew_fact(False).join(bounds, "cell"))
+        hot_aqe, plan_aqe = timed_join(
+            skew_fact(True).join(bounds, "cell"), with_plan=True)
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        uni_salt, _ = timed_join(salted_join(skew_fact(False)))
+        hot_salt, _ = timed_join(salted_join(skew_fact(True)))
+
+        salt_fanout = (
+            with_salt(skew_fact(True),
+                      hot_cells(skew_fact(True), threshold=N_SKEW // 100),
+                      n_salts=N_SALTS, salt_src="id")
+            .filter(F.col("cell") == 0).select("salt").distinct().count()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_sk)
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prev_th)
+
+    r_aqe = hot_aqe["input_rows_per_sec"] / uni["input_rows_per_sec"]
+    r_salt = hot_salt["input_rows_per_sec"] / uni_salt["input_rows_per_sec"]
+    out["cases"]["skew_hot_cell"] = {
+        "uniform": uni, "hot_aqe_skew_join": hot_aqe,
+        "uniform_salted": uni_salt, "hot_salted": hot_salt,
+        # worst of the two mitigation paths, hot vs uniform
+        "throughput_ratio_large_vs_small": round(min(r_aqe, r_salt), 3),
+        "ratio_aqe": round(r_aqe, 3), "ratio_salted": round(r_salt, 3),
+        "holds_0.8x": min(r_aqe, r_salt) >= 0.8,
+        "aqe_skew_split_in_plan": "skew" in plan_aqe.lower(),
+        "salt_fanout_hot_cell": salt_fanout,
+        # n/a: the distributions intentionally differ; the evidence for
+        # this case is the skew split + the hot/uniform ratios
+        "plan_invariant": None,
+    }
+    if not out["cases"]["skew_hot_cell"]["aqe_skew_split_in_plan"]:
+        out["cases"]["skew_hot_cell"]["plan_tail"] = plan_aqe[-1500:]
+
     # ann throughput is per SCORED candidate, not per output row —
     # rescale so the ratio compares work, not the constant |Q|·k output
     nemb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
@@ -567,9 +696,73 @@ def stress() -> dict:
         v["throughput_ratio_large_vs_small"] for v in out["cases"].values()
     )
     out["all_hold_0.8x"] = all(v["holds_0.8x"] for v in out["cases"].values())
-    out["all_plans_invariant"] = all(v["plan_invariant"] for v in out["cases"].values())
+    # plan_invariant=None marks a case where small/large plans are not
+    # comparable by design (skew case: the distribution itself differs)
+    out["all_plans_invariant"] = all(
+        v["plan_invariant"] is not False for v in out["cases"].values()
+    )
+    out["skew_gate"] = out["cases"]["skew_hot_cell"]["aqe_skew_split_in_plan"]
     spark.stop()
     return out
+
+
+def run_quiet(sf_dir: str, cpus: int) -> dict:
+    """Throttle-proofed round artifact (VERDICT r04 #1): a run whose
+    ``quiet_check.ratio`` exceeds the 1.1 trust line (BENCH.md protocol
+    — the loose 2.0× boolean once let a drained-credit window publish
+    4.13× interval_join on an unchanged plan) is NOT accepted as the
+    round's number. Retry the WHOLE run with escalating cooldowns —
+    the per-query ``timed_reps`` pattern lifted to the run level — and
+    keep the best-window attempt. Every attempt's ratio is recorded in
+    the JSON, and ``window_degraded`` is explicit, so a throttled
+    artifact can never masquerade as a quiet one again.
+
+    Each attempt runs in its OWN subprocess (fresh JVM, like
+    ``scaling()``): re-running the full suite after ``spark.stop()``
+    in one JVM trips Spark session-restart internals (observed:
+    AdaptiveSparkPlanExec.resetMetrics NPE on the second in-process
+    run), and a fresh JVM also resets any hypervisor-visible state the
+    cooldown is meant to recover."""
+    trust_ratio = float(os.environ.get("SPARK_GRAFT_BENCH_TRUST_RATIO", "1.1"))
+    cooldowns = [int(c) for c in os.environ.get(
+        "SPARK_GRAFT_BENCH_RUN_COOLDOWNS", "120,300"
+    ).split(",") if c]
+    env = dict(os.environ, SPARK_GRAFT_BENCH_SINGLE="1",
+               SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+    attempts: list[float | None] = []
+    best = None
+    for i in range(1 + len(cooldowns)):
+        if i:
+            time.sleep(cooldowns[i - 1])
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            # a crashed attempt carries no timing information — log it
+            # as null and keep retrying on the cooldown schedule
+            attempts.append(None)
+            sys.stderr.write(proc.stderr[-2000:] + "\n")
+            continue
+        res = json.loads(lines[-1])
+        attempts.append(res["quiet_check"]["ratio"])
+        if best is None or (
+            res["quiet_check"]["ratio"] < best["quiet_check"]["ratio"]
+        ):
+            best = res
+        if res["quiet_check"]["ratio"] <= trust_ratio:
+            break
+    if best is None:
+        return {"metric": "bench failed: no attempt produced output",
+                "value": None, "unit": "sec",
+                "quiet_check": {"attempt_ratios": attempts, "window_degraded": True}}
+    best["quiet_check"]["trust_ratio"] = trust_ratio
+    best["quiet_check"]["attempt_ratios"] = attempts
+    best["quiet_check"]["window_degraded"] = (
+        best["quiet_check"]["ratio"] > trust_ratio
+    )
+    return best
 
 
 if __name__ == "__main__":
@@ -577,5 +770,9 @@ if __name__ == "__main__":
         print(json.dumps(scaling()))
     elif "--stress" in sys.argv:
         print(json.dumps(stress()))
-    else:
+    elif os.environ.get("SPARK_GRAFT_BENCH_SINGLE") == "1" or FLAGSHIP_ONLY:
+        # FLAGSHIP_ONLY runs are scaling() probes — no quiet_check
+        # field, and their throttle guard is scaling()'s own
         print(json.dumps(run(SF_DIR, CPUS)))
+    else:
+        print(json.dumps(run_quiet(SF_DIR, CPUS)))
