@@ -138,3 +138,61 @@ def start_checkpointed_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_index_ingest(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    writer: CheckpointedWriter,
+    checkpoint_dir: str,
+    cid: str = "cid",
+    cvec: str = "cvec",
+    fail_after_commit_of: int | None = None,
+):
+    """Continuous ANN-index ingest (r05): per micro-batch, coarse-
+    assign ONLY the epoch's delta (``similarity.ivf_assign`` —
+    broadcast centroids, map-side ``max_by``, shuffle of delta-sized
+    rows only) and commit the assignments as ONE checkpoint batch
+    through the manifest sink. This composes the streaming
+    exactly-once protocol with the incremental-index story: a replayed
+    epoch after a crash is skipped by the manifest anti-join, so the
+    served index holds every ingested vector exactly once — the
+    maintenance path for a continuously-ingesting 10¹²-vector corpus
+    where a rebuild per batch is impossible. The assignment must run
+    INSIDE ``foreachBatch`` (on the epoch's batch frame): as a
+    pre-sink stream transformation its groupBy would compile to a
+    stateful streaming aggregation, which is the wrong machine for a
+    per-delta coarse quantization. Serving reads
+    ``read_stream_index`` — never a rescan of earlier epochs."""
+    from ..operators.similarity import ivf_assign
+
+    sink0 = checkpointed_sink(
+        writer, key=cid, fail_after_commit_of=fail_after_commit_of,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+    def _sink(df: DataFrame, epoch_id: int) -> None:
+        sink0(ivf_assign(df, centroids, cid=cid, cvec=cvec), epoch_id)
+
+    return (
+        embeddings.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_index(
+    writer: CheckpointedWriter, base: DataFrame | None = None
+) -> DataFrame:
+    """Committed stream-ingested IVF assignments as a serving
+    ``lists=`` frame for ``ivf_topk`` (columns ``cid, list_id, _cv``;
+    the ``batch`` partition column is dropped). ``base`` unions an
+    existing persisted index (``similarity.read_ivf_index``) under the
+    stream-ingested epochs, so serving sees base + every COMMITTED
+    epoch and never an uncommitted or replayed one — the manifest is
+    the single source of index-membership truth."""
+    idx = writer.read_committed().drop("batch")
+    if base is not None:
+        idx = base.select(*idx.columns).unionByName(idx)
+    return idx
