@@ -2488,6 +2488,37 @@ _ANN_IVFPQ_ORACLE_SQL = """
 """
 
 
+def _sweep_stale_indexes(spark: SparkSession, prefix: str) -> None:
+    """Reap pid-keyed index tables/dirs left by EARLIER harness
+    processes (r05 review: the per-pid names that fixed the
+    concurrent-run clobber are never dropped by their owner — the
+    returned DataFrame still reads the index files after the query
+    function exits — so each run would otherwise leak an index-sized
+    /tmp copy plus a catalog entry). Only siblings whose owning pid is
+    DEAD are touched; a live concurrent run keeps its index."""
+    import glob as _glob
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    names = {_os.path.basename(d) for d in _glob.glob(f"/tmp/{prefix}*_p[0-9]*")}
+    names |= {t.name for t in spark.catalog.listTables()
+              if t.name.startswith(prefix)}
+    for name in names:
+        m = _re.search(r"_p(\d+)$", name)
+        if not m or int(m.group(1)) == _os.getpid():
+            continue
+        try:
+            _os.kill(int(m.group(1)), 0)
+            continue  # owner still alive — not ours to reap
+        except ProcessLookupError:
+            pass
+        except PermissionError:
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        _shutil.rmtree(f"/tmp/{name}", ignore_errors=True)
+
+
 def q_ann_index_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index lifecycle (r04, VERDICT #1): the IVF index is built
     ONCE (``ivf_assign``), PERSISTED bucketed by list_id
@@ -2520,6 +2551,7 @@ def q_ann_index_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re as _re
 
     tag = _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    _sweep_stale_indexes(spark, "gds_ann_index_reuse_")
     table = f"gds_ann_index_reuse_{tag}_p{_os.getpid()}"
     write_ivf_index(
         ivf_assign(corpus, cents),
@@ -2610,6 +2642,7 @@ def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re as _re
 
     tag = _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    _sweep_stale_indexes(spark, "gds_ann_index_append_")
     table = f"gds_ann_index_append_{tag}_p{_os.getpid()}"
     write_ivf_index(
         ivf_assign(corpus.filter(F.col("cid") % 4 != 0), cents),

@@ -734,10 +734,19 @@ def run_quiet(sf_dir: str, cpus: int) -> dict:
     for i in range(1 + len(cooldowns)):
         if i:
             time.sleep(cooldowns[i - 1])
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            # a timed-out attempt is THE throttled-window signature
+            # this wrapper exists for — treat it like a crash (no
+            # timing info), keep retrying, and still emit the final
+            # artifact instead of dying with a traceback
+            attempts.append(None)
+            sys.stderr.write("bench attempt exceeded 3600s, retrying\n")
+            continue
         lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
         if proc.returncode != 0 or not lines:
             # a crashed attempt carries no timing information — log it

@@ -344,6 +344,9 @@ def ivf_assign(
     ).select(F.col("_cid").alias(cid), list_col, "_cv")
 
 
+_UNSET = object()  # "no cached residual flag" sentinel (None is a valid flag)
+
+
 def _residual_flag(encoded: DataFrame) -> bool | None:
     """Homogeneous ``_residual`` flag of an encoded index, validated
     with ONE aggregate (min == max), not a sampled ``.first()`` — a
@@ -381,13 +384,27 @@ def write_ivf_index(
 
     ``_residual`` homogeneity is validated ONCE here (aggregate, not a
     sampled row) and recorded as the ``gds.residual`` table property,
-    so readers and appends can check compatibility from metadata."""
+    so readers and appends can check compatibility from metadata. The
+    validation runs AFTER the write, over the just-written table — one
+    scan of a single RLE boolean column — not over the input frame:
+    pre-write validation would execute the whole upstream encode DAG
+    twice (once for the aggregate, once for the write), doubling the
+    dominant cost of an index build. A mixed-flag input is still
+    refused — the half-written table is dropped before the raise."""
+    import shutil
+
     from gdal_drivers_spark.plans.layout import write_bucketed
 
-    flag = _residual_flag(lists)
+    spark = lists.sparkSession
     write_bucketed(lists, table, path, buckets, key="list_id")
+    try:
+        flag = _residual_flag(spark.table(table))
+    except ValueError:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(path, ignore_errors=True)
+        raise
     if flag is not None:
-        lists.sparkSession.sql(
+        spark.sql(
             f"ALTER TABLE {table} SET TBLPROPERTIES ('gds.residual'='{str(flag).lower()}')"
         )
 
@@ -419,6 +436,19 @@ def append_to_ivf_index(delta: DataFrame, table: str) -> None:
     }
     base_flag = props.get("gds.residual")
     delta_flag = _residual_flag(delta)
+    if base_flag is None and delta_flag is not None:
+        # pre-property table (or the ALTER was lost mid-session):
+        # silently skipping the check here would let an incompatible
+        # delta append cleanly and mis-rank at serve time — derive the
+        # flag from the table's own column (one scan of an RLE boolean)
+        # and BACKFILL the property so the next append reads metadata
+        derived = _residual_flag(spark.table(table))
+        if derived is not None:
+            base_flag = str(derived).lower()
+            spark.sql(
+                f"ALTER TABLE {table} SET TBLPROPERTIES "
+                f"('gds.residual'='{base_flag}')"
+            )
     if base_flag is not None and delta_flag is not None:
         if (base_flag == "true") != delta_flag:
             raise ValueError(
@@ -445,10 +475,29 @@ def read_ivf_index(spark, table: str | None = None, path: str | None = None) -> 
     catalog-free alternative for concurrent sessions that must not
     race on a table name (VERDICT r04 "wrong" #4); the trade-off is
     that a path read carries no bucket metadata, so joins against it
-    shuffle instead of pruning buckets."""
+    shuffle instead of pruning buckets.
+
+    The index's residual flag is resolved HERE, once per read — from
+    the ``gds.residual`` table property (one catalog RPC, no job) when
+    reading a table, else one aggregate over the boolean column — and
+    cached on the returned frame, so ``ivfpq_topk``'s default
+    ``check_residual=True`` costs a hot serving loop nothing (the
+    pre-r05 behavior re-scanned the whole index every call)."""
     if (table is None) == (path is None):
         raise ValueError("read_ivf_index takes exactly one of table= or path=")
-    return spark.table(table) if table is not None else spark.read.parquet(path)
+    df = spark.table(table) if table is not None else spark.read.parquet(path)
+    flag = None
+    if table is not None:
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        }
+        if "gds.residual" in props:
+            flag = props["gds.residual"] == "true"
+    if flag is None:
+        flag = _residual_flag(df)
+    df._gds_residual_flag = flag
+    return df
 
 
 def ivf_topk(
@@ -904,8 +953,15 @@ def ivfpq_topk(
             # silently (raw codes + centroid offset, or vice versa).
             # Aggregate-validated: a mixed-flag union/append raises
             # inside _residual_flag (ADVICE r04 — the old sampled
-            # .first() let heterogeneous indexes through)
-            flag = _residual_flag(encoded)
+            # .first() let heterogeneous indexes through). The flag
+            # resolved by read_ivf_index (table property — no job) is
+            # honored when present, and an aggregate result is cached
+            # on the frame, so a serving loop reusing one index frame
+            # pays at most one validation job, not one per call.
+            flag = getattr(encoded, "_gds_residual_flag", _UNSET)
+            if flag is _UNSET:
+                flag = _residual_flag(encoded)
+                encoded._gds_residual_flag = flag
             if flag is not None and flag != residual:
                 raise ValueError(
                     f"encoded index was built with residual={flag} but "

@@ -36,6 +36,11 @@ WARP_MASK_SCHEMA = WARP_SCHEMA + ", mask binary"
 # pad; the pad absorbs at most this much edge bowing between samples
 _PLANE_PAD_PX = 2.0
 
+# per-task cap on the rank-kernel (mode/med/q1/q3) footprint value
+# cube; output rows are chunked to stay under it (tests shrink it to
+# force chunking). Captured into the UDF closure at plan time.
+_RANK_CUBE_BYTES = 64 << 20
+
 
 def _cubic_w(f):
     """Keys cubic-convolution weights, a = −0.5 (GDAL's cubic) for
@@ -190,7 +195,9 @@ def warp_tiles(
     reference's compatibility gate.
 
     ``method``: ``nearest`` | ``bilinear`` | ``cubic`` (4×4 Keys
-    a=−0.5 — GDAL's Resampling.cubic) | ``lanczos`` (6×6 windowed
+    a=−0.5 — GDAL's Resampling.cubic) | ``cubicspline`` (4×4 uniform
+    cubic B-spline, the smoothing non-interpolating kernel; r05) |
+    ``lanczos`` (6×6 windowed
     sinc, a=3 — the quality upsampler; r05) | footprint kernels
     ``average`` / ``sum`` / ``rms`` (exact area-weighted mean /
     weighted sum / quadratic mean), ``min`` / ``max`` (unweighted
@@ -233,6 +240,7 @@ def warp_tiles(
 
     if not (gt_orthogonal(src_gt) and gt_orthogonal(dst_gt)):
         raise ValueError("warp requires orthogonal geotransforms (blender.cpp:133-139)")
+    rank_cube_bytes = _RANK_CUBE_BYTES  # closure-captured at plan time
     _FOOTPRINT = ("average", "sum", "rms", "min", "max", "mode", "med", "q1", "q3")
     if method not in ("nearest", "bilinear", "cubic", "cubicspline",
                       "lanczos") + _FOOTPRINT:
@@ -558,17 +566,18 @@ def warp_tiles(
                     out = np.where(
                         valid, np.sqrt((Wy @ (Vz * Vz) @ Wx.T) / dsafe), 0.0
                     )
-            elif method in ("min", "max"):
-                # min/max: UNWEIGHTED extrema over every valid source
-                # pixel the footprint touches (overlap > 0 — GDAL's
-                # contributing-pixel rule). Vectorized as a bounded
-                # loop over the footprint span (≤ ceil(scale)+1 per
-                # axis), each step one fancy-indexed gather.
+            else:
+                # UNWEIGHTED footprint kernels — min/max extrema and
+                # the rank family mode/med/q1/q3 — over every valid
+                # source pixel the footprint touches (overlap > EPS —
+                # GDAL's contributing-pixel rule). Vectorized as a
+                # bounded loop over the footprint span (≤ ceil(scale)+1
+                # per axis), each step one fancy-indexed gather.
                 # membership threshold: edge coords carry FP jitter on
                 # non-dyadic grids (e.g. pixel size 1/48), giving
                 # neighbor pixels ~1e-15 overlap. Weighted kernels are
                 # immune (the weight IS the measure) but an unweighted
-                # extremum would count such a pixel FULLY — so a pixel
+                # kernel would count such a pixel FULLY — so a pixel
                 # contributes only above a 1e-9-px overlap (no real
                 # footprint is that thin; caught by the 1/48-grid test)
                 EPS = 1e-9
@@ -576,118 +585,131 @@ def warp_tiles(
                 ylo = np.floor(loY[:, 0]).astype(np.int64)
                 Sx = int(np.max(np.ceil(hiX[:, 0]) - xlo))
                 Sy = int(np.max(np.ceil(hiY[:, 0]) - ylo))
-                acc = np.full((tile_px, tile_px),
-                              np.inf if method == "min" else -np.inf)
-                cnt = np.zeros((tile_px, tile_px))
-                for dy in range(Sy):
-                    yi = ylo + dy
-                    wyl = np.minimum(hiY[:, 0], yi + 1) - np.maximum(loY[:, 0], yi)
-                    rowok = (wyl > EPS) & (yi >= 0) & (yi < win_h)
-                    yic = np.clip(yi, 0, win_h - 1)
-                    for dx in range(Sx):
-                        xi = xlo + dx
-                        wxl = np.minimum(hiX[:, 0], xi + 1) - np.maximum(loX[:, 0], xi)
-                        colok = (wxl > EPS) & (xi >= 0) & (xi < win_w)
-                        xic = np.clip(xi, 0, win_w - 1)
-                        ok = (rowok[:, None] & colok[None, :]
-                              & (Mw[yic[:, None], xic[None, :]] > 0))
-                        v = Vz[yic[:, None], xic[None, :]]
+
+                def _fp_slots(r0, r1):
+                    """Yield (ok, v) for each of the Sy·Sx footprint
+                    slots of output rows r0:r1 — the ONE membership
+                    rule (overlap > EPS, in-window, mask-valid) every
+                    unweighted kernel shares, so a fix to it cannot
+                    diverge between the extrema and rank branches."""
+                    for dy in range(Sy):
+                        yi = ylo[r0:r1] + dy
+                        wyl = (np.minimum(hiY[r0:r1, 0], yi + 1)
+                               - np.maximum(loY[r0:r1, 0], yi))
+                        rowok = (wyl > EPS) & (yi >= 0) & (yi < win_h)
+                        yic = np.clip(yi, 0, win_h - 1)
+                        for dx in range(Sx):
+                            xi = xlo + dx
+                            wxl = (np.minimum(hiX[:, 0], xi + 1)
+                                   - np.maximum(loX[:, 0], xi))
+                            colok = (wxl > EPS) & (xi >= 0) & (xi < win_w)
+                            xic = np.clip(xi, 0, win_w - 1)
+                            ok = (rowok[:, None] & colok[None, :]
+                                  & (Mw[yic[:, None], xic[None, :]] > 0))
+                            yield ok, Vz[yic[:, None], xic[None, :]]
+
+                if method in ("min", "max"):
+                    # streaming accumulation — O(tile²) memory no
+                    # matter the footprint span
+                    acc = np.full((tile_px, tile_px),
+                                  np.inf if method == "min" else -np.inf)
+                    cnt = np.zeros((tile_px, tile_px))
+                    for ok, v in _fp_slots(0, tile_px):
                         if method == "min":
                             acc = np.where(ok, np.minimum(acc, v), acc)
                         else:
                             acc = np.where(ok, np.maximum(acc, v), acc)
                         cnt += ok
-                valid = cnt > 0
-                out = np.where(valid, acc, 0.0)
-            else:
-                # rank-based kernels — mode / med / q1 / q3 — over
-                # every valid contributing pixel (overlap > EPS, the
-                # min/max membership rule). One gather of the
-                # footprint's value set per tile, then either a
-                # majority vote or an order statistic. Mask policy:
-                # ≥1 valid pixel, like average. Cost: O(S²) per-pixel
-                # work over the footprint span S (≤ (scale+1) per
-                # axis), vectorized per tile — fine for overview
-                # factors; for extreme single-step downsamples build
-                # a pyramid instead.
-                EPS = 1e-9
-                xlo = np.floor(loX[:, 0]).astype(np.int64)
-                ylo = np.floor(loY[:, 0]).astype(np.int64)
-                Sx = int(np.max(np.ceil(hiX[:, 0]) - xlo))
-                Sy = int(np.max(np.ceil(hiY[:, 0]) - ylo))
-                vals = np.full((tile_px, tile_px, Sy * Sx), -1.0)
-                s = 0
-                for dy in range(Sy):
-                    yi = ylo + dy
-                    wyl = np.minimum(hiY[:, 0], yi + 1) - np.maximum(loY[:, 0], yi)
-                    rowok = (wyl > EPS) & (yi >= 0) & (yi < win_h)
-                    yic = np.clip(yi, 0, win_h - 1)
-                    for dx in range(Sx):
-                        xi = xlo + dx
-                        wxl = np.minimum(hiX[:, 0], xi + 1) - np.maximum(loX[:, 0], xi)
-                        colok = (wxl > EPS) & (xi >= 0) & (xi < win_w)
-                        xic = np.clip(xi, 0, win_w - 1)
-                        ok = (rowok[:, None] & colok[None, :]
-                              & (Mw[yic[:, None], xic[None, :]] > 0))
-                        vals[:, :, s] = np.where(
-                            ok, Vz[yic[:, None], xic[None, :]], -1.0
-                        )
-                        s += 1
-                present = vals >= 0
-                if method == "mode":
-                    # MAJORITY VOTE — the categorical-raster
-                    # downsampler of the reference Resampling enum.
-                    # Tie-break: the LOWEST value wins (GDAL's rule:
-                    # among equal counts the first-encountered
-                    # smallest value is kept), encoded as score =
-                    # count·256 + (255 − value) so one argmax resolves
-                    # both count and tie deterministically — exact
-                    # integers, hence a bit-exact SQL oracle (unlike
-                    # lanczos)
-                    best_score = np.full((tile_px, tile_px), -1.0)
-                    best_val = np.zeros((tile_px, tile_px))
-                    for i in range(s):
-                        vi = vals[:, :, i]
-                        cnt_i = ((vals == vi[:, :, None]) & present).sum(axis=2)
-                        score = np.where(
-                            vi >= 0, cnt_i * 256.0 + (255.0 - vi), -1.0
-                        )
-                        upd = score > best_score
-                        best_score = np.where(upd, score, best_score)
-                        best_val = np.where(upd, vi, best_val)
-                    valid = best_score >= 0
-                    out = np.where(valid, best_val, 0.0)
+                    valid = cnt > 0
+                    out = np.where(valid, acc, 0.0)
                 else:
-                    # med / q1 / q3: ORDER STATISTICS of the
-                    # contributing set — the robust-downsampling trio
-                    # of GDAL's Resampling enum. Quantile rule: linear
-                    # interpolation at p·(n−1) (R type-7 — the rule
-                    # Spark's percentile and DuckDB's quantile_cont
-                    # share, so the SQL oracle replays it bit-exactly;
-                    # med ≡ p=0.5, the mean of the two middles at even
-                    # n). Dyadic footprints keep the interpolation
-                    # exact in IEEE. np.sort puts the −1 sentinels
-                    # first, so the valid run occupies the LAST nval
-                    # slots of each pixel's sorted span.
-                    q = {"q1": 0.25, "med": 0.5, "q3": 0.75}[method]
-                    order = np.sort(vals, axis=2)
-                    nval = present.sum(axis=2)
-                    valid = nval > 0
-                    n1 = np.maximum(nval - 1, 0)
-                    pos = q * n1
-                    lo = np.floor(pos).astype(np.int64)
-                    hi = np.minimum(lo + 1, n1)
-                    frac = pos - lo
-                    base_i = s - nval
+                    # rank-based kernels — mode / med / q1 / q3 — need
+                    # the footprint's VALUE SET per pixel (majority
+                    # vote or order statistic; mask policy: ≥1 valid
+                    # pixel, like average). The value cube is
+                    # O(rows·tile_px·S²) — unlike the streaming
+                    # extrema — so output rows are processed in chunks
+                    # that cap the cube at ~64 MB: a 32× single-step
+                    # mode at tile_px=256 would otherwise allocate
+                    # ~570 MB per in-flight task and OOM executors.
+                    # CPU is still O(S²) per pixel — overview factors
+                    # only; for extreme single-step downsamples build
+                    # a pyramid instead.
+                    s_total = Sy * Sx
+                    chunk = max(1, min(tile_px, int(
+                        rank_cube_bytes // max(1, tile_px * s_total * 8))))
+                    out = np.zeros((tile_px, tile_px))
+                    valid = np.zeros((tile_px, tile_px), dtype=bool)
+                    for r0 in range(0, tile_px, chunk):
+                        r1 = min(tile_px, r0 + chunk)
+                        vals = np.full((r1 - r0, tile_px, s_total), -1.0)
+                        for s, (ok, v) in enumerate(_fp_slots(r0, r1)):
+                            vals[:, :, s] = np.where(ok, v, -1.0)
+                        present = vals >= 0
+                        if method == "mode":
+                            # MAJORITY VOTE — the categorical-raster
+                            # downsampler of the reference Resampling
+                            # enum. Tie-break: the LOWEST value wins
+                            # (GDAL's rule: among equal counts the
+                            # first-encountered smallest value is
+                            # kept), encoded as score =
+                            # count·256 + (255 − value) so one argmax
+                            # resolves both count and tie
+                            # deterministically — exact integers,
+                            # hence a bit-exact SQL oracle (unlike
+                            # lanczos)
+                            best_score = np.full((r1 - r0, tile_px), -1.0)
+                            best_val = np.zeros((r1 - r0, tile_px))
+                            for i in range(s_total):
+                                vi = vals[:, :, i]
+                                cnt_i = ((vals == vi[:, :, None])
+                                         & present).sum(axis=2)
+                                score = np.where(
+                                    vi >= 0,
+                                    cnt_i * 256.0 + (255.0 - vi), -1.0,
+                                )
+                                upd = score > best_score
+                                best_score = np.where(upd, score, best_score)
+                                best_val = np.where(upd, vi, best_val)
+                            valid[r0:r1] = best_score >= 0
+                            out[r0:r1] = np.where(
+                                best_score >= 0, best_val, 0.0)
+                        else:
+                            # med / q1 / q3: ORDER STATISTICS of the
+                            # contributing set — the robust-
+                            # downsampling trio of GDAL's Resampling
+                            # enum. Quantile rule: linear
+                            # interpolation at p·(n−1) (R type-7 —
+                            # the rule Spark's percentile and DuckDB's
+                            # quantile_cont share, so the SQL oracle
+                            # replays it bit-exactly; med ≡ p=0.5, the
+                            # mean of the two middles at even n).
+                            # Dyadic footprints keep the interpolation
+                            # exact in IEEE. np.sort puts the −1
+                            # sentinels first, so the valid run
+                            # occupies the LAST nval slots of each
+                            # pixel's sorted span.
+                            q = {"q1": 0.25, "med": 0.5, "q3": 0.75}[method]
+                            order = np.sort(vals, axis=2)
+                            nval = present.sum(axis=2)
+                            ok_px = nval > 0
+                            n1 = np.maximum(nval - 1, 0)
+                            pos = q * n1
+                            lo = np.floor(pos).astype(np.int64)
+                            hi = np.minimum(lo + 1, n1)
+                            frac = pos - lo
+                            base_i = s_total - nval
 
-                    def _at(rank):
-                        idx = np.clip(base_i + rank, 0, s - 1)
-                        return np.take_along_axis(
-                            order, idx[..., None], axis=2
-                        )[..., 0]
+                            def _at(rank):
+                                idx = np.clip(base_i + rank, 0, s_total - 1)
+                                return np.take_along_axis(
+                                    order, idx[..., None], axis=2
+                                )[..., 0]
 
-                    v_lo, v_hi = _at(lo), _at(hi)
-                    out = np.where(valid, v_lo + frac * (v_hi - v_lo), 0.0)
+                            v_lo, v_hi = _at(lo), _at(hi)
+                            valid[r0:r1] = ok_px
+                            out[r0:r1] = np.where(
+                                ok_px, v_lo + frac * (v_hi - v_lo), 0.0)
         out = np.where(valid, out, nodata)
         tile = np.clip(np.rint(out), 0, 255).astype(np.uint8)
         row = {

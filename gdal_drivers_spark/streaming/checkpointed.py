@@ -57,7 +57,13 @@ def _check_stream_identity(writer: CheckpointedWriter, checkpoint_dir: str) -> N
     micro-batches as "already committed" — data loss, not a replay
     skip. The stream's stable query id is pinned in a sidecar next to
     the manifest; a DIFFERENT id arriving at a manifest that already
-    holds committed batches fails fast instead."""
+    holds committed batches fails fast instead. A manifest that holds
+    commits but has NO sidecar (written by a pre-guard engine, or the
+    sidecar was deleted) is treated the same way: the guard cannot
+    prove the lineage is the original one, and silently adopting the
+    current id would re-open the exact data-loss mode it closes — the
+    error says how to adopt explicitly when the operator KNOWS the
+    lineage is unchanged."""
     qid = _stream_query_id(checkpoint_dir)
     if qid is None:
         return
@@ -76,6 +82,15 @@ def _check_stream_identity(writer: CheckpointedWriter, checkpoint_dir: str) -> N
                 "new data. Use a fresh output dir, or restore the original "
                 "checkpointLocation."
             )
+    elif writer.committed():
+        raise RuntimeError(
+            f"output dir {writer.out} holds committed batches but no "
+            "_stream_id sidecar, so the stream lineage that wrote them "
+            "cannot be verified against this run — if the checkpoint "
+            "lineage changed, resuming would silently skip new data. If "
+            f"this IS the original lineage, adopt it explicitly:\n"
+            f"  echo '{qid}' > {marker}"
+        )
     with open(marker, "w") as fh:
         fh.write(qid)
 

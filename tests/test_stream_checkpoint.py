@@ -186,3 +186,51 @@ def test_stream_compaction_preserves_validate_and_resume(spark, tmp_path):
     got = sorted(map(tuple, w.read_committed()
                      .select("image_id", "cell", "cx", "cy").collect()))
     assert got == expected
+
+
+def test_stream_identity_guard_refuses_unverifiable_manifest(spark, tmp_path):
+    """r05 review: a manifest with committed batches but NO _stream_id
+    sidecar (pre-guard engine, or the sidecar was deleted) must NOT be
+    silently adopted — if the lineage actually changed, adoption
+    re-opens the exact silent-skip data-loss mode the guard closes.
+    The error tells the operator how to adopt explicitly when they
+    KNOW the lineage is unchanged; doing so resumes cleanly."""
+    from gdal_drivers_spark.streaming.checkpointed import _stream_query_id
+
+    images = synth.images_df(spark, 80, partitions=2)
+    stream_dir = str(tmp_path / "imgs")
+    _stream_files(spark, images, stream_dir, n_files=2)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    w = CheckpointedWriter(spark, out)
+
+    def run():
+        stream = read_images_stream(spark, stream_dir, max_files=1)
+        q = start_checkpointed_ingest(
+            assign_images_stream(stream, z=6), w, ckpt)
+        q.awaitTermination()
+
+    run()
+    committed = w.committed()
+    assert committed == {0, 1}
+
+    marker = os.path.join(w.manifest_dir, "_stream_id")
+    os.remove(marker)  # sidecar lost; manifest still holds commits
+    # a new file arrives so the resume actually presents an epoch —
+    # the guard runs on the first epoch of a run (a batchless no-op
+    # resume has nothing to lose and nothing to check)
+    more = synth.images_df(spark, 40, partitions=1)
+    tmp2 = str(tmp_path / "more")
+    more.coalesce(1).write.parquet(tmp2)
+    shutil.copy(sorted(glob.glob(tmp2 + "/part-*.parquet"))[0],
+                f"{stream_dir}/f9.parquet")
+    with pytest.raises(Exception, match="_stream_id"):
+        run()
+    assert w.committed() == committed, "no epoch may commit unverified"
+
+    # operator verifies the lineage is the original and adopts it the
+    # way the error message says — the new epoch then lands cleanly
+    with open(marker, "w") as fh:
+        fh.write(_stream_query_id(ckpt))
+    run()
+    assert w.committed() == committed | {2}

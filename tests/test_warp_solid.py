@@ -1315,3 +1315,31 @@ def test_warp_median_respects_masks(spark):
             e = int(np.clip(np.rint(vals[lo] + (pos - lo)
                                     * (vals[hi] - vals[lo])), 0, 255))
             assert mk[dy, dx] == 255 and t[dy, dx] == e, (dx, dy, vals)
+
+
+def test_warp_rank_kernels_chunked_rows_bit_identical(spark, monkeypatch):
+    """r05 review: the rank kernels (mode/med/q1/q3) bound per-task
+    memory by chunking output rows so the footprint value cube stays
+    under _RANK_CUBE_BYTES (a 32x mode at tile_px=256 would otherwise
+    allocate ~570 MB per in-flight task). Shrinking the cap so every
+    tile is processed in many chunks must not change a single byte vs
+    the one-chunk result — the chunk boundary is invisible."""
+    from gdal_drivers_spark.operators import warp as warp_mod
+
+    rng = np.random.default_rng(31)
+    full = (rng.integers(0, 4, (96, 96)) * 64).astype(np.uint8)
+    sgt = gt_from_extents(0, 0, 1, 1, 96, 96)
+    dgt = gt_from_extents(0, 0, 1, 1, 32, 32)
+    for method in ("mode", "med"):
+        src = _src_tiles_df(spark, full, 32)
+        ref = _collect_warp(
+            warp_tiles(src, sgt, dgt, (32, 32), tile_px=32,
+                       method=method).collect(), (32, 32), 32)
+        # 3x3 footprint (S=4 span) at tile_px=32: cap of 4 KiB forces
+        # chunk of 1-2 rows -> ~16+ chunks per tile
+        monkeypatch.setattr(warp_mod, "_RANK_CUBE_BYTES", 4 << 10)
+        got = _collect_warp(
+            warp_tiles(_src_tiles_df(spark, full, 32), sgt, dgt, (32, 32),
+                       tile_px=32, method=method).collect(), (32, 32), 32)
+        monkeypatch.setattr(warp_mod, "_RANK_CUBE_BYTES", 64 << 20)
+        assert (got == ref).all(), (method, int((got != ref).sum()))
