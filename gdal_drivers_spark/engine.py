@@ -326,6 +326,40 @@ class EmbeddingSet:
         write_ivf_index(idx, table, path, buckets)
         return read_ivf_index(self.spark, table)
 
+    def append_to_index(self, centroids: DataFrame, table: str,
+                        codewords: list | None = None, m: int = 8,
+                        residual: bool = True) -> DataFrame:
+        """Incremental append (r05): assign/encode ONLY this set's
+        vectors and append them into the persisted bucketed index —
+        the continuous-ingest maintenance verb (the base index files
+        are never rewritten). Returns the read-back union frame."""
+        from .operators.similarity import (
+            append_to_ivf_index, ivf_assign, ivfpq_encode, read_ivf_index,
+        )
+
+        delta = (
+            ivf_assign(self._corpus(), centroids)
+            if codewords is None
+            else ivfpq_encode(self._corpus(), centroids, codewords, m,
+                              residual=residual)
+        )
+        append_to_ivf_index(delta, table)
+        return read_ivf_index(self.spark, table)
+
+    def stream_into_index(self, stream: DataFrame, centroids: DataFrame,
+                          writer, checkpoint_dir: str):
+        """Continuous index ingest (r05): per-epoch delta assignment
+        committed through the exactly-once checkpointed sink (see
+        streaming.checkpointed.start_index_ingest); serve the result
+        with ``streaming.checkpointed.read_stream_index``. The id and
+        vector column names of THIS set apply to the stream."""
+        from .streaming.checkpointed import start_index_ingest
+
+        return start_index_ingest(
+            stream, centroids, writer, checkpoint_dir,
+            cid=self._id, cvec=self._vec,
+        )
+
     def train_ivf(self, n_lists: int = 16, iters: int = 2) -> DataFrame:
         """Lloyd-trained IVF centroids (deterministic distributed
         k-means, similarity.ivf_train) — feed the result to

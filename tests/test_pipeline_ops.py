@@ -975,6 +975,61 @@ def test_embeddingset_knn_graph_and_index_facade(spark, tmp_path):
     out2 = ivfpq_topk(qs, None, cents, cw, m=8, k=3, encoded=enc).collect()
     assert len(out2) == 9
 
+def test_embeddingset_append_and_stream_facade(spark, tmp_path):
+    """r05 facade verbs: EmbeddingSet.append_to_index appends only the
+    delta set into a persisted index (served union == one-shot build),
+    and stream_into_index wires a stream through the exactly-once
+    index-ingest sink with the set's own column names."""
+    import glob
+    import os
+    import shutil
+
+    from gdal_drivers_spark.engine import Engine
+    from gdal_drivers_spark.operators.similarity import ivf_assign, ivf_topk
+    from gdal_drivers_spark.plans.checkpoint import CheckpointedWriter
+    from gdal_drivers_spark.streaming.checkpointed import read_stream_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        (F.col("vec_id") / 64).cast("long").alias("list_id"),
+        F.col("embedding").alias("center"),
+    )
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    eng = Engine(spark)
+    eng.embeddings(base).build_ivf_index(
+        cents, "t_es_app", str(tmp_path / "es_app"), buckets=4)
+    lists = eng.embeddings(delta).append_to_index(cents, "t_es_app")
+
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("cid"),
+                        F.col("embedding").alias("cvec"))
+    got = sorted(map(tuple, ivf_topk(qs, None, cents, k=3, lists=lists).collect()))
+    exp = sorted(map(tuple, ivf_topk(qs, corpus, cents, k=3).collect()))
+    assert got == exp and len(got) == 9
+
+    # streaming verb: two epochs through the manifest sink, custom cols
+    sd = str(tmp_path / "sdir")
+    os.makedirs(sd)
+    tmp2 = str(tmp_path / "w")
+    delta.select("vec_id", "embedding").coalesce(2).write.parquet(tmp2)
+    for i, p in enumerate(sorted(glob.glob(tmp2 + "/part-*.parquet"))):
+        shutil.copy(p, f"{sd}/f{i}.parquet")
+    w = CheckpointedWriter(spark, str(tmp_path / "sidx"))
+    stream = (spark.readStream.schema(delta.select("vec_id", "embedding").schema)
+              .option("maxFilesPerTrigger", 1).parquet(sd))
+    eng.embeddings(delta).stream_into_index(
+        stream, cents, w, str(tmp_path / "ck")).awaitTermination()
+    srows = sorted(map(tuple, read_stream_index(w)
+                       .select("vec_id", "list_id").collect()))
+    brows = sorted(map(tuple, ivf_assign(delta, cents, cid="vec_id",
+                                         cvec="embedding")
+                       .select("vec_id", "list_id").collect()))
+    assert srows == brows and len(srows) > 0
+
+
 def test_ivfpq_train_residual_codebook(spark):
     """r04: Lloyd-refined residual codebooks (ivfpq_train) feed the
     residual serving path unchanged and must not lose recall vs the
