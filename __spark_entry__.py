@@ -2374,6 +2374,51 @@ _ANN_IVF_ORACLE_SQL = """
 """
 
 
+def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF list-balance census (r05, similarity.index_stats): vectors
+    per inverted list + each list's corpus share in ppm — the skew
+    diagnosis for probe cost at 10¹² vectors (a hot list makes every
+    probe touching it scan its whole run). Same deterministic
+    assignment as ann_ivf (every-64th-vector centroids, max quantized
+    dot, ties → smaller list); the census itself is one partial-
+    aggregated groupBy over the index frame and exact INTEGER division
+    (n·10⁶ div total), so the oracle is bit-exact by construction."""
+    from gdal_drivers_spark.operators.similarity import index_stats, ivf_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        (F.col("vec_id") / 64).cast("long").alias("list_id"),
+        F.col("embedding").alias("center"),
+    )
+    return index_stats(ivf_assign(corpus, cents))
+
+
+_ANN_INDEX_STATS_ORACLE_SQL = """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
+        FROM embeddings
+    ), cents AS (
+        SELECT vec_id // 64 AS lid, q AS cv FROM e WHERE vec_id % 64 = 0
+    ), asg AS (
+        SELECT vec_id, lid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, lid) AS rn
+        FROM (
+            SELECT e.vec_id, c.lid,
+                   CAST(list_sum(list_transform(generate_series(1, 64), i -> e.q[i] * c.cv[i])) AS BIGINT) AS dot
+            FROM e, cents c
+        )
+    ), counts AS (
+        SELECT lid AS list_id, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM asg WHERE rn = 1 GROUP BY lid
+    )
+    SELECT list_id, n_vectors,
+           CAST(n_vectors * 1000000 // (SELECT SUM(n_vectors) FROM counts) AS BIGINT) AS ppm
+    FROM counts
+"""
+
+
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composition (the standard 10^12-vector design, Jégou et
     al. 2011 §III): coarse probe (every-64th-vector centroids,
@@ -4185,6 +4230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
+        "ann_index_stats": q_ann_index_stats,
         "ann_ivfpq": q_ann_ivfpq,
         "ann_index_reuse": q_ann_index_reuse,
         "ann_index_append": q_ann_index_append,
@@ -4362,6 +4408,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ANN_LSH_ORACLE_SQL,
         "ann_ivf": _ANN_IVF_ORACLE_SQL,
         "ann_pq": _ANN_PQ_ORACLE_SQL,
+        "ann_index_stats": _ANN_INDEX_STATS_ORACLE_SQL,
         "ann_ivfpq": _ANN_IVFPQ_ORACLE_SQL,
         "ann_index_reuse": _ANN_INDEX_REUSE_ORACLE_SQL,
         "ann_index_append": _ANN_INDEX_APPEND_ORACLE_SQL,

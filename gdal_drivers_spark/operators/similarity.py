@@ -465,6 +465,30 @@ def append_to_ivf_index(delta: DataFrame, table: str) -> None:
     )
 
 
+def index_stats(lists: DataFrame, cid: str = "cid") -> DataFrame:
+    """List-balance census of an IVF index (r05): vectors per inverted
+    list plus each list's share of the corpus in ppm — the skew
+    diagnosis a 10¹²-vector index serves or dies by (a hot list makes
+    every probe that touches it scan its whole run; the census says
+    WHICH lists need splitting or finer centroids, the same role the
+    cell census plays for the tile engine's salting). One map-side
+    partial-aggregated groupBy over the index frame — never the
+    corpus — plus a broadcast of the ≤|lists| totals row; exact
+    INTEGER division end-to-end (ppm = n·10⁶ div total — no FP, so the
+    SQL oracle is bit-exact by construction). Output:
+    (list_id, n_vectors, ppm), one row per non-empty list."""
+    counts = lists.groupBy("list_id").agg(F.count(cid).alias("n_vectors"))
+    total = counts.agg(F.sum("n_vectors").alias("_tot"))
+    return (
+        counts.join(F.broadcast(total), F.lit(True))
+        .select(
+            "list_id",
+            "n_vectors",
+            F.expr("n_vectors * 1000000L div _tot").alias("ppm"),
+        )
+    )
+
+
 def read_ivf_index(spark, table: str | None = None, path: str | None = None) -> DataFrame:
     """Read back a persisted IVF index for the ``lists=``/``encoded=``
     query-time arguments of ``ivf_topk``/``ivfpq_topk``.

@@ -162,6 +162,9 @@ def start_index_ingest(
     checkpoint_dir: str,
     cid: str = "cid",
     cvec: str = "cvec",
+    codewords: list | None = None,
+    m: int = 8,
+    residual: bool = True,
     fail_after_commit_of: int | None = None,
 ):
     """Continuous ANN-index ingest (r05): per micro-batch, coarse-
@@ -177,9 +180,12 @@ def start_index_ingest(
     INSIDE ``foreachBatch`` (on the epoch's batch frame): as a
     pre-sink stream transformation its groupBy would compile to a
     stateful streaming aggregation, which is the wrong machine for a
-    per-delta coarse quantization. Serving reads
+    per-delta coarse quantization. With ``codewords`` each epoch is
+    residual-PQ-ENCODED instead (``ivfpq_encode`` — codes ride the
+    same assignment pass), so the streamed index serves
+    ``ivfpq_topk(encoded=...)`` directly. Serving reads
     ``read_stream_index`` — never a rescan of earlier epochs."""
-    from ..operators.similarity import ivf_assign
+    from ..operators.similarity import ivf_assign, ivfpq_encode
 
     sink0 = checkpointed_sink(
         writer, key=cid, fail_after_commit_of=fail_after_commit_of,
@@ -187,7 +193,13 @@ def start_index_ingest(
     )
 
     def _sink(df: DataFrame, epoch_id: int) -> None:
-        sink0(ivf_assign(df, centroids, cid=cid, cvec=cvec), epoch_id)
+        idx = (
+            ivf_assign(df, centroids, cid=cid, cvec=cvec)
+            if codewords is None
+            else ivfpq_encode(df, centroids, codewords, m,
+                              cid=cid, cvec=cvec, residual=residual)
+        )
+        sink0(idx, epoch_id)
 
     return (
         embeddings.writeStream.foreachBatch(_sink)

@@ -16,7 +16,13 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
-from gdal_drivers_spark.operators.similarity import ivf_assign, ivf_topk
+from gdal_drivers_spark.operators.similarity import (
+    ivf_assign,
+    ivf_topk,
+    ivfpq_encode,
+    ivfpq_topk,
+    pq_codewords_from_sample,
+)
 from gdal_drivers_spark.plans.checkpoint import CheckpointedWriter
 from gdal_drivers_spark.streaming.checkpointed import (
     read_stream_index,
@@ -135,3 +141,41 @@ def test_stream_index_serves_topk_over_base_union(spark, tmp_path):
         queries, None, cents, k=5, nprobe=2, lists=full
     ).collect()))
     assert got == exp and len(got) == 25
+
+
+def test_stream_index_pq_encoded_epochs_match_batch_encode(spark, tmp_path):
+    """codewords= streams RESIDUAL-PQ-encoded epochs through the same
+    sink: the committed code stream equals a one-shot ivfpq_encode of
+    the same vectors bit-for-bit, and serves ivfpq_topk(encoded=)
+    identically."""
+    cents = _cents(spark)
+    fresh = _emb(spark, 80, start=300).repartition(2)
+    corpus = fresh  # already (cid, cvec)
+    cw = pq_codewords_from_sample(corpus, ncodes=8)
+
+    stream_dir = str(tmp_path / "emb")
+    schema = _stream_files(fresh, stream_dir, n_files=2)
+    w = CheckpointedWriter(spark, str(tmp_path / "sidx"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    start_index_ingest(
+        stream, cents, w, str(tmp_path / "ck"), codewords=cw, m=8
+    ).awaitTermination()
+    served = read_stream_index(w)
+
+    batch = ivfpq_encode(corpus, cents, cw, m=8)
+    got = sorted(map(tuple, served.select("cid", "list_id", "codes").collect()))
+    exp = sorted(map(tuple, batch.select("cid", "list_id", "codes").collect()))
+    assert got == exp and len(got) == 80
+
+    qs = _emb(spark, 4, start=310).select(
+        F.col("cid").alias("qid"), F.col("cvec").alias("qvec")
+    )
+    tk_s = sorted(map(tuple, ivfpq_topk(
+        qs, None, cents, cw, m=8, k=4, encoded=served).collect()))
+    tk_b = sorted(map(tuple, ivfpq_topk(
+        qs, None, cents, cw, m=8, k=4, encoded=batch).collect()))
+    assert tk_s == tk_b and len(tk_s) == 16
