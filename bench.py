@@ -451,9 +451,10 @@ def stress() -> dict:
                  "unit": "ratio", "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                  "cpus": CPUS, "cases": {}}
 
-    def case_once(small_mult, large_mult, build, work_unit):
+    def case_once(small_mult, large_mult, build, work_unit, work_scale=1.0):
         rows = {}
         shapes = {}
+        secs = {}
         for mult in (small_mult, large_mult):
             # count through a select() on the SAME QueryExecution we
             # inspect, and inspect it AFTER the collect: with AQE on,
@@ -472,7 +473,15 @@ def stress() -> dict:
             # a 2-decimal 0.00 once crashed the rescale below
             rows[mult] = {"mult": mult, "sec": round(dtv, 4), work_unit: n,
                           "per_sec": round(n / dtv)}
-        thr_ratio = rows[large_mult]["per_sec"] / rows[small_mult]["per_sec"]
+            secs[mult] = dtv
+        # UNROUNDED times (a rounded per_sec of 0 on a constant-output
+        # case would divide by zero); work_scale corrects cases whose
+        # counted output is CONSTANT across mults (ann topk rows,
+        # dedup survivors) so the gate compares work done, matching
+        # the post-loop scored/input rescale
+        thr_ratio = (
+            rows[large_mult][work_unit] / secs[large_mult]
+        ) / (rows[small_mult][work_unit] / secs[small_mult]) * work_scale
         return {
             "small": rows[small_mult], "large": rows[large_mult],
             "throughput_ratio_large_vs_small": round(thr_ratio, 3),
@@ -480,7 +489,7 @@ def stress() -> dict:
             "plan_invariant": shapes[small_mult] == shapes[large_mult],
         }
 
-    def case(name, small_mult, large_mult, build, work_unit):
+    def case(name, small_mult, large_mult, build, work_unit, work_scale=1.0):
         # per-case retry (the run_quiet/timed_reps pattern at case
         # level): on this burstable VM a credit refill mid-pair makes
         # ONE side of the small/large pair 2-10x off and the ratio
@@ -489,13 +498,13 @@ def stress() -> dict:
         # failing pair is re-measured after a cooldown; every
         # attempt's ratio is recorded so a retried case is visible.
         attempts = []
-        res = case_once(small_mult, large_mult, build, work_unit)
+        res = case_once(small_mult, large_mult, build, work_unit, work_scale)
         attempts.append(res["throughput_ratio_large_vs_small"])
         for cool in (120, 240):
             if res["holds_0.8x"] and res["plan_invariant"]:
                 break
             time.sleep(cool)
-            nxt = case_once(small_mult, large_mult, build, work_unit)
+            nxt = case_once(small_mult, large_mult, build, work_unit, work_scale)
             attempts.append(nxt["throughput_ratio_large_vs_small"])
             if (nxt["throughput_ratio_large_vs_small"]
                     > res["throughput_ratio_large_vs_small"]):
@@ -550,7 +559,8 @@ def stress() -> dict:
         )
         return brute_topk(qs, corpus, k=5)
 
-    case("ann_brute_score", 256, 1024, build_ann, "topk_rows")
+    case("ann_brute_score", 256, 1024, build_ann, "topk_rows",
+         work_scale=1024 / 256)
 
     # dedup: exact hash-groupBy over a replicated documents table with
     # per-replica perturbation (17 distinct variants per doc → real
@@ -567,7 +577,8 @@ def stress() -> dict:
         )
         return exact_dedup(rep, id_col="doc_id", text="text")
 
-    case("dedup_exact", 256, 1024, build_dedup, "survivor_rows")
+    case("dedup_exact", 256, 1024, build_dedup, "survivor_rows",
+         work_scale=1024 / 256)
 
     # skew: a zipf-hot key — HALF of all rows land in ONE cell — at the
     # mult-1024 decade's row count (VERDICT r04 #6: the three uniform
