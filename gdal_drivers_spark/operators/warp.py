@@ -183,8 +183,16 @@ def warp_tiles(
     src_srs: str = "",
     dst_srs: str = "",
     with_mask: bool = False,
+    band: int = 0,
 ) -> DataFrame:
     """Resample source tiles onto the destination grid.
+
+    ``band`` selects which band of a multi-band source tile is warped
+    (the reference's ``warpInto`` runs per-band over the full raster,
+    ``gdaldriversmodule.cpp:202``; out-of-range bands raise inside the
+    decode, poison-style per tile). One kernel invocation per band —
+    warp an RGB raster with three calls sharing the same cover join
+    shape, or select the band upstream (P1) as before.
 
     ``src_tiles`` rows: (scx:long, scy:long, tile:binary raw) — source
     tile grid coordinates (tile (scx,scy) holds source pixels
@@ -379,7 +387,12 @@ def warp_tiles(
         win = np.full((win_h, win_w), np.nan)
         Mw = np.zeros((win_h, win_w), np.float64)
         for r in pdf.itertuples():
-            img = codecs.decode(bytes(r.tile))[:, :, 0].astype(np.float64)
+            dec = codecs.decode(bytes(r.tile))
+            if band >= dec.shape[2]:
+                raise ValueError(
+                    f"warp band={band} but source tile has {dec.shape[2]} band(s)"
+                )
+            img = dec[:, :, band].astype(np.float64)
             oy = (int(r.scy) - r0) * tile_px
             ox = (int(r.scx) - c0) * tile_px
             win[oy : oy + img.shape[0], ox : ox + img.shape[1]] = img

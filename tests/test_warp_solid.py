@@ -1343,3 +1343,33 @@ def test_warp_rank_kernels_chunked_rows_bit_identical(spark, monkeypatch):
                        tile_px=32, method=method).collect(), (32, 32), 32)
         monkeypatch.setattr(warp_mod, "_RANK_CUBE_BYTES", 64 << 20)
         assert (got == ref).all(), (method, int((got != ref).sum()))
+
+
+def test_warp_band_selection_multiband_source(spark):
+    """r05: warp band=k of a multi-band source equals warping a
+    single-band raster holding that channel (the reference's warpInto
+    runs per-band); an out-of-range band poisons with a clear error."""
+    rng = np.random.default_rng(37)
+    chans = [rng.integers(0, 256, (64, 64)).astype(np.uint8) for _ in range(3)]
+    ts = 32
+    rows = []
+    for ty in range(64 // ts):
+        for tx in range(64 // ts):
+            img = np.stack(
+                [c[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts] for c in chans],
+                axis=2)
+            rows.append((tx, ty, codecs.encode_raw(img)))
+    src = spark.createDataFrame(pd.DataFrame(rows, columns=["scx", "scy", "tile"]))
+    sgt = gt_from_extents(0, 0, 1, 1, 64, 64)
+    dgt = gt_from_extents(0, 0, 1, 1, 128, 128)
+    for b in range(3):
+        got = _collect_warp(
+            warp_tiles(src, sgt, dgt, (128, 128), tile_px=ts, method="bilinear",
+                       band=b).collect(), (128, 128), ts)
+        ref = _collect_warp(
+            warp_tiles(_src_tiles_df(spark, chans[b], ts), sgt, dgt, (128, 128),
+                       tile_px=ts, method="bilinear").collect(), (128, 128), ts)
+        assert (got == ref).all(), (b, int((got != ref).sum()))
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="3 band"):
+        warp_tiles(src, sgt, dgt, (128, 128), tile_px=ts, band=3).collect()
