@@ -3678,6 +3678,67 @@ def q_pyramid_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pyramid_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 categorical overview (r05): mode (majority-vote) pyramid
+    rollup — the overview kernel for label rasters, where the default
+    mean would invent classes that exist nowhere in the input (GDAL's
+    BuildOverviews 'mode' resampling; reference overview chain
+    mask.cpp:170-174). A 4×4 grid of z=4 tiles carrying a 4-class
+    pattern rolls up one level; each parent pixel is the mode of its
+    exact 2×2 child block, ties → LOWEST value (GDAL's rule), making
+    the kernel exact integer arithmetic and the oracle a count/argmax
+    in plain SQL."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.pyramid import rollup_tiles_one_level
+
+    ts, n = 32, 4
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("cx"),
+        (F.col("id") / n).cast("long").alias("cy"),
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                gx = np.arange(ts) + int(r.cx) * ts
+                gy = np.arange(ts) + int(r.cy) * ts
+                img = (
+                    ((gx[None, :] * 3 + gy[:, None] * 5 + 11) % 256) // 64 * 64
+                ).astype(np.uint8)
+                cell = (4 << 52) | (int(r.cx) << 26) | int(r.cy)
+                rows.append((cell, 0, img.tobytes(), ts))
+            yield pd.DataFrame(rows, columns=["cell", "band", "tile", "ts"])
+
+    tiles = grid.mapInPandas(gen, "cell long, band int, tile binary, ts int")
+    out = rollup_tiles_one_level(tiles, agg="mode")
+    return out.select(
+        (F.shiftright(F.col("cell"), 26) % F.lit(1 << 26)).alias("pcx"),
+        (F.col("cell") % F.lit(1 << 26)).alias("pcy"),
+        _px_sum_udf()(F.col("tile")).alias("mode_sum"),
+    )
+
+
+_PYRAMID_MODE_ORACLE_SQL = """
+    WITH src AS (
+        SELECT x.v AS gx, y.v AS gy,
+               (((x.v * 3 + y.v * 5 + 11) % 256) // 64) * 64 AS v
+        FROM generate_series(0, 127) x(v), generate_series(0, 127) y(v)
+    ), cnt AS (
+        SELECT gx // 2 AS ox, gy // 2 AS oy, v, COUNT(*) AS c
+        FROM src GROUP BY 1, 2, 3
+    ), pick AS (
+        SELECT ox, oy, v,
+               row_number() OVER (PARTITION BY ox, oy ORDER BY c DESC, v) AS rn
+        FROM cnt
+    )
+    SELECT CAST(ox // 32 AS BIGINT) AS pcx, CAST(oy // 32 AS BIGINT) AS pcy,
+           CAST(SUM(v) AS BIGINT) AS mode_sum
+    FROM pick WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
 def q_solid_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 (constant raster generator, solid.cpp:149-156/408-440): a
     1024×768 3-band solid served as constant tiles; per-band tile count
@@ -4174,6 +4235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "envelope": q_envelope,
         "halo_pairs": q_halo_pairs,
         "pyramid_levels": q_pyramid_levels,
+        "pyramid_mode": q_pyramid_mode,
         "solid_pixels": q_solid_pixels,
         "sessionize": q_sessionize,
         "decode_fmt": q_decode_fmt,
@@ -4368,6 +4430,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'gray' END AS klass
             FROM lv GROUP BY 1, 2, 3
         """,
+        "pyramid_mode": _PYRAMID_MODE_ORACLE_SQL,
         "solid_pixels": """
             SELECT band, CAST(12 AS BIGINT) AS n_tiles,
                    CAST(12 AS BIGINT) * 65536 * value AS sum_px

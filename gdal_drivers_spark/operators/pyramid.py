@@ -10,7 +10,8 @@ shape as ``cube``/``rollup`` but over the quadtree hierarchy).
 
 Two rollup kinds:
 - pixel tiles: 4 child tiles → one parent tile, 2×2 mean downsample
-  (or min/max); numpy per group;
+  (or min/max, or mode — majority vote with ties → lowest value, the
+  categorical-raster overview kernel); numpy per group;
 - tristate masks: white/gray/black = all/any/none over children —
   relational ``min``/``max`` classification, no UDF at all
   (mask.cpp:240-256 tribool semantics, A7).
@@ -58,6 +59,24 @@ def rollup_tiles_one_level(tiles: DataFrame, agg: str = "mean") -> DataFrame:
                 small = blocks.mean(axis=(1, 3))
             elif agg == "max":
                 small = blocks.max(axis=(1, 3))
+            elif agg == "mode":
+                # majority vote of each 2×2 block, ties → LOWEST value
+                # (GDAL's mode-overview rule; same count·256+(255−v)
+                # argmax encoding as warp's mode kernel) — the
+                # categorical-raster overview where mean would invent
+                # labels that exist nowhere in the input
+                b4 = blocks.transpose(0, 2, 1, 3).reshape(
+                    r.ts // 2, r.ts // 2, 4)
+                best_score = np.full(b4.shape[:2], -1.0)
+                best_val = np.zeros(b4.shape[:2])
+                for i in range(4):
+                    vi = b4[:, :, i]
+                    cnt = (b4 == vi[:, :, None]).sum(axis=2)
+                    score = cnt * 256.0 + (255.0 - vi)
+                    upd = score > best_score
+                    best_score = np.where(upd, score, best_score)
+                    best_val = np.where(upd, vi, best_val)
+                small = best_val
             else:
                 small = blocks.min(axis=(1, 3))
             cx = (r.cell >> 26) & ((1 << 26) - 1)

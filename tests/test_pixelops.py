@@ -9,7 +9,11 @@ import pytest
 
 from gdal_drivers_spark.core import codecs, qcell
 from gdal_drivers_spark.operators.blend import blend_tiles, check_compatibility
-from gdal_drivers_spark.operators.pyramid import build_pyramid, rollup_tristate
+from gdal_drivers_spark.operators.pyramid import (
+    build_pyramid,
+    rollup_tiles_one_level,
+    rollup_tristate,
+)
 from gdal_drivers_spark.operators.rasterize import (
     BLACK,
     GRAY,
@@ -202,6 +206,41 @@ def test_pyramid_mean_rollup(spark):
         exp = np.rint(small).clip(0, 255).astype(np.uint8)
         quad = out[cy * half : (cy + 1) * half, cx * half : (cx + 1) * half]
         assert (quad == exp).all()
+
+
+def test_pyramid_mode_rollup_matches_scalar_oracle(spark):
+    """Categorical (mode) overview: each parent pixel is the majority
+    of its exact 2×2 child block, ties → LOWEST value (GDAL's
+    BuildOverviews mode rule). 4-class random tiles make 2-2 ties
+    common, so the tie-break is genuinely exercised."""
+    ts = 16
+    rng = np.random.default_rng(11)
+    rows, fulls = [], {}
+    for cx in range(2):
+        for cy in range(2):
+            img = (rng.integers(0, 4, (ts, ts)) * 50).astype(np.uint8)
+            fulls[(cx, cy)] = img
+            rows.append((int(qcell.pack(4, 2 + cx, 6 + cy)), 0, img.tobytes(), ts))
+    tiles = spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "band", "tile", "ts"]))
+    got = rollup_tiles_one_level(tiles, agg="mode").collect()
+    assert len(got) == 1
+    assert got[0]["cell"] == int(qcell.pack(3, 1, 3))
+    out = np.frombuffer(got[0]["tile"], np.uint8).reshape(ts, ts)
+    half = ts // 2
+    saw_tie = False
+    for (cx, cy), img in fulls.items():
+        exp = np.zeros((half, half), np.uint8)
+        for oy in range(half):
+            for ox in range(half):
+                block = img[2 * oy : 2 * oy + 2, 2 * ox : 2 * ox + 2].ravel()
+                vals, cnts = np.unique(block, return_counts=True)
+                m = cnts.max()
+                if (cnts == m).sum() > 1:
+                    saw_tie = True
+                exp[oy, ox] = vals[cnts == m].min()
+        quad = out[cy * half : (cy + 1) * half, cx * half : (cx + 1) * half]
+        assert (quad == exp).all()
+    assert saw_tie  # the fixture must exercise the tie-break rule
 
 
 def test_tristate_rollup_relational(spark):
