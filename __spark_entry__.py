@@ -3720,6 +3720,101 @@ def q_pyramid_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pyramid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 incremental overview maintenance (r05): a 100 TB pyramid
+    must absorb a small leaf delta without a full rebuild —
+    ``update_pyramid`` recomputes only the changed cells' ancestors
+    (broadcast anti-join replacement + delta-sized rollup per level;
+    the base levels are scanned once, never shuffled). Here a 4×4 z=4
+    grid with pattern A gets 4 leaves re-written with pattern B; the
+    min-kernel (exact integer, composes across levels with no
+    rounding) pyramid is updated down to z=2 and every tile of every
+    level is summed. The oracle rolls the MERGED pattern up directly —
+    so a stale ancestor, a missed sibling, or a leaf that failed to
+    replace all break the hash."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.pyramid import build_pyramid, update_pyramid
+
+    ts, n = 32, 4
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("cx"),
+        (F.col("id") / n).cast("long").alias("cy"),
+    )
+    delta_cells = {(0, 0), (3, 0), (1, 2), (2, 3)}
+
+    def gen_of(which):
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples():
+                    cx, cy = int(r.cx), int(r.cy)
+                    if which == "delta" and (cx, cy) not in delta_cells:
+                        continue
+                    gx = np.arange(ts) + cx * ts
+                    gy = np.arange(ts) + cy * ts
+                    if which == "delta":
+                        img = ((gx[None, :] * 7 + gy[:, None] * 11 + 3) % 256)
+                    else:
+                        img = ((gx[None, :] * 3 + gy[:, None] * 5 + 11) % 256)
+                    cell = (4 << 52) | (cx << 26) | cy
+                    rows.append((cell, 0, img.astype(np.uint8).tobytes(), ts))
+                yield pd.DataFrame(rows, columns=["cell", "band", "tile", "ts"])
+
+        return gen
+
+    schema = "cell long, band int, tile binary, ts int"
+    base = grid.mapInPandas(gen_of("base"), schema)
+    delta = grid.mapInPandas(gen_of("delta"), schema)
+    levels = build_pyramid(base, from_level=4, to_level=2, agg="min")
+    updated = update_pyramid(levels, delta, agg="min")
+    px = _px_sum_udf()
+    parts = [
+        updated[z].select(
+            F.shiftright(F.col("cell"), 52).alias("level"),
+            (F.shiftright(F.col("cell"), 26) % F.lit(1 << 26)).alias("cx"),
+            (F.col("cell") % F.lit(1 << 26)).alias("cy"),
+            px(F.col("tile")).alias("px_sum"),
+        )
+        for z in (4, 3, 2)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_PYRAMID_UPDATE_ORACLE_SQL = """
+    WITH src AS (
+        SELECT x.v AS gx, y.v AS gy,
+               CASE WHEN (x.v // 32 = 0 AND y.v // 32 = 0)
+                      OR (x.v // 32 = 3 AND y.v // 32 = 0)
+                      OR (x.v // 32 = 1 AND y.v // 32 = 2)
+                      OR (x.v // 32 = 2 AND y.v // 32 = 3)
+                    THEN (x.v * 7 + y.v * 11 + 3) % 256
+                    ELSE (x.v * 3 + y.v * 5 + 11) % 256 END AS v
+        FROM generate_series(0, 127) x(v), generate_series(0, 127) y(v)
+    ), l4 AS (
+        SELECT CAST(4 AS BIGINT) AS level, gx // 32 AS cx, gy // 32 AS cy,
+               CAST(SUM(v) AS BIGINT) AS px_sum
+        FROM src GROUP BY 2, 3
+    ), d3 AS (
+        SELECT gx // 2 AS ox, gy // 2 AS oy, MIN(v) AS v FROM src GROUP BY 1, 2
+    ), l3 AS (
+        SELECT CAST(3 AS BIGINT) AS level, ox // 32 AS cx, oy // 32 AS cy,
+               CAST(SUM(v) AS BIGINT) AS px_sum
+        FROM d3 GROUP BY 2, 3
+    ), d2 AS (
+        SELECT gx // 4 AS ox, gy // 4 AS oy, MIN(v) AS v FROM src GROUP BY 1, 2
+    ), l2 AS (
+        SELECT CAST(2 AS BIGINT) AS level, ox // 32 AS cx, oy // 32 AS cy,
+               CAST(SUM(v) AS BIGINT) AS px_sum
+        FROM d2 GROUP BY 2, 3
+    )
+    SELECT * FROM l4 UNION ALL SELECT * FROM l3 UNION ALL SELECT * FROM l2
+"""
+
+
 _PYRAMID_MODE_ORACLE_SQL = """
     WITH src AS (
         SELECT x.v AS gx, y.v AS gy,
@@ -4236,6 +4331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "halo_pairs": q_halo_pairs,
         "pyramid_levels": q_pyramid_levels,
         "pyramid_mode": q_pyramid_mode,
+        "pyramid_update": q_pyramid_update,
         "solid_pixels": q_solid_pixels,
         "sessionize": q_sessionize,
         "decode_fmt": q_decode_fmt,
@@ -4431,6 +4527,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lv GROUP BY 1, 2, 3
         """,
         "pyramid_mode": _PYRAMID_MODE_ORACLE_SQL,
+        "pyramid_update": _PYRAMID_UPDATE_ORACLE_SQL,
         "solid_pixels": """
             SELECT band, CAST(12 AS BIGINT) AS n_tiles,
                    CAST(12 AS BIGINT) * 65536 * value AS sum_px

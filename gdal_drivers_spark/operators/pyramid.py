@@ -111,6 +111,63 @@ def build_pyramid(tiles: DataFrame, from_level: int, to_level: int = 0, agg: str
     return levels
 
 
+def update_pyramid(
+    levels: dict[int, DataFrame], delta: DataFrame, agg: str = "mean"
+) -> dict[int, DataFrame]:
+    """Incremental overview maintenance: apply a delta of leaf tiles
+    (replacements and/or brand-new cells) and recompute ONLY the
+    ancestors of changed cells, level by level.
+
+    The reference rebuilds overviews whole (mask.cpp:170-174 derives
+    every shallower depth from the full quadtree); at 100 TB a few
+    thousand changed tiles must not trigger a full-pyramid rebuild.
+    Per level the work is O(|delta|): the changed-parent set is
+    broadcast, the existing level is anti-joined against it (broadcast
+    hash join — the base level is scanned once, never shuffled), and
+    the rollup's groupBy shuffles only the affected parents' children
+    (≤ 4·|delta| tiles). Deletions are out of scope (tiles are
+    immutable snapshots; drop + rebuild the subtree for that).
+
+    ``levels`` is ``{level: DataFrame}`` as returned by
+    :func:`build_pyramid` (or read back from a persisted store);
+    ``delta`` carries leaf tiles at ``max(levels)``. Returns the same
+    dict shape with every level updated.
+    """
+    from_level = max(levels)
+    to_level = min(levels)
+    changed = delta.select("cell", "band").distinct()
+    merged = (
+        levels[from_level]
+        .join(F.broadcast(changed), ["cell", "band"], "left_anti")
+        .unionByName(delta)
+    )
+    out = {from_level: merged}
+    cur, cur_changed = merged, changed
+    for z in range(from_level - 1, to_level - 1, -1):
+        parent_changed = cur_changed.select(
+            parent_cell_col().alias("cell"), "band"
+        ).distinct()
+        # all 4 children of every affected parent — unchanged siblings
+        # included, so the recomputed parent tile is complete
+        kids = cur.join(
+            F.broadcast(
+                parent_changed.select(
+                    F.col("cell").alias("_pc"), F.col("band").alias("_pb")
+                )
+            ),
+            (parent_cell_col() == F.col("_pc")) & (F.col("band") == F.col("_pb")),
+            "left_semi",
+        )
+        recomputed = rollup_tiles_one_level(kids, agg)
+        out[z] = (
+            levels[z]
+            .join(F.broadcast(parent_changed), ["cell", "band"], "left_anti")
+            .unionByName(recomputed)
+        )
+        cur, cur_changed = out[z], parent_changed
+    return out
+
+
 def rollup_tristate(quads: DataFrame) -> DataFrame:
     """Tristate rollup, fully relational (no UDF): parent is white if
     all 4 children white, black if all black, else gray. Missing

@@ -13,6 +13,7 @@ from gdal_drivers_spark.operators.pyramid import (
     build_pyramid,
     rollup_tiles_one_level,
     rollup_tristate,
+    update_pyramid,
 )
 from gdal_drivers_spark.operators.rasterize import (
     BLACK,
@@ -241,6 +242,46 @@ def test_pyramid_mode_rollup_matches_scalar_oracle(spark):
         quad = out[cy * half : (cy + 1) * half, cx * half : (cx + 1) * half]
         assert (quad == exp).all()
     assert saw_tie  # the fixture must exercise the tie-break rule
+
+
+def test_update_pyramid_matches_full_rebuild(spark):
+    """Incremental overview maintenance == full rebuild, byte-identical
+    at every level: replace 3 leaf tiles AND add one brand-new cell
+    (whose z3/z2 ancestors don't exist in the old pyramid), then
+    compare update_pyramid against build_pyramid over the merged
+    leaves."""
+    ts = 16
+    rng = np.random.default_rng(23)
+
+    def mk(z, cx, cy):
+        img = rng.integers(0, 256, (ts, ts)).astype(np.uint8)
+        return (int(qcell.pack(z, cx, cy)), 0, img.tobytes(), ts)
+
+    base_rows = [mk(4, 4 + cx, 8 + cy) for cx in range(4) for cy in range(4)]
+    delta_rows = [mk(4, 4, 8), mk(4, 6, 9), mk(4, 7, 11),  # replacements
+                  mk(4, 9, 8)]                             # new cell, new ancestors
+    cols = ["cell", "band", "tile", "ts"]
+    base = spark.createDataFrame(pd.DataFrame(base_rows, columns=cols))
+    delta = spark.createDataFrame(pd.DataFrame(delta_rows, columns=cols))
+
+    levels = build_pyramid(base, from_level=4, to_level=2, agg="mean")
+    updated = update_pyramid(levels, delta, agg="mean")
+
+    merged_rows = {(r[0], r[1]): r for r in base_rows}
+    merged_rows.update({(r[0], r[1]): r for r in delta_rows})
+    merged = spark.createDataFrame(
+        pd.DataFrame(list(merged_rows.values()), columns=cols))
+    full = build_pyramid(merged, from_level=4, to_level=2, agg="mean")
+
+    got_by_level = {}
+    for z in (4, 3, 2):
+        got = {(r["cell"], r["band"]): bytes(r["tile"]) for r in updated[z].collect()}
+        exp = {(r["cell"], r["band"]): bytes(r["tile"]) for r in full[z].collect()}
+        assert got == exp, f"level {z} diverged"
+        got_by_level[z] = got
+    # the new cell's ancestors exist at every level
+    assert (int(qcell.pack(3, 4, 4)), 0) in got_by_level[3]
+    assert (int(qcell.pack(2, 2, 2)), 0) in got_by_level[2]
 
 
 def test_tristate_rollup_relational(spark):
