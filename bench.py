@@ -296,6 +296,78 @@ def run(sf_dir: str, cpus: int) -> dict:
         dt, dt_min, _ = timed_reps(lambda: q(spark, sf_dir).count())
         record(name, dt, dt_min)
 
+    # round-5: incremental overview maintenance — the 100 TB pyramid
+    # story is that a small leaf delta must NOT rebuild the world.
+    # Same stored pyramid, two strategies: full rebuild (4096 leaves
+    # rolled up 3 levels through the grouped-Arrow kernel) vs
+    # update_pyramid with a 16-tile delta (broadcast anti-join replace
+    # + delta-sized ancestor recompute; stored levels are scanned once,
+    # never shuffled). The speedup ratio is the operational win; both
+    # absolute numbers are tracked so a plan regression in either path
+    # shows up as wall time.
+    from gdal_drivers_spark.operators.pyramid import build_pyramid, update_pyramid
+
+    n_grid, pts = 64, 128
+    pyr_leaf_dir = f"/tmp/bench_pyr_leaves_{n_grid}x{pts}"
+    pyr_lvl_dir = f"/tmp/bench_pyr_levels_{n_grid}x{pts}"
+    if not os.path.isdir(pyr_leaf_dir) or not os.path.isdir(f"{pyr_lvl_dir}/3"):
+        import numpy as _np
+        import pandas as _pd
+
+        def _leafgen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    cx, cy = i // n_grid, i % n_grid
+                    gx = _np.arange(pts) + cx * pts
+                    gy = _np.arange(pts) + cy * pts
+                    img = ((gx[None, :] * 3 + gy[:, None] * 5 + 11) % 256).astype(
+                        _np.uint8
+                    )
+                    rows.append(((6 << 52) | (cx << 26) | cy, 0, img.tobytes(), pts))
+                yield _pd.DataFrame(rows, columns=["cell", "band", "tile", "ts"])
+
+        spark.range(0, n_grid * n_grid, 1, cpus * 2).mapInPandas(
+            _leafgen, "cell long, band int, tile binary, ts int"
+        ).write.mode("overwrite").parquet(pyr_leaf_dir)
+        lv = build_pyramid(spark.read.parquet(pyr_leaf_dir), 6, 3, agg="mean")
+        for z in (5, 4, 3):
+            lv[z].write.mode("overwrite").parquet(f"{pyr_lvl_dir}/{z}")
+
+    dt, dt_min, _ = timed_reps(
+        lambda: build_pyramid(
+            spark.read.parquet(pyr_leaf_dir), 6, 3, agg="mean"
+        )[3].count(),
+        sane_s=10.0,
+    )
+    record("pyramid_full_rebuild", dt, dt_min)
+
+    import numpy as _np
+    import pandas as _pd
+
+    _delta_rows = []
+    for i in range(16):
+        cx, cy = (i * 7) % n_grid, (i * 13) % n_grid
+        img = _np.full((pts, pts), (i * 37) % 256, _np.uint8)
+        _delta_rows.append(((6 << 52) | (cx << 26) | cy, 0, img.tobytes(), pts))
+    delta_df = spark.createDataFrame(
+        _pd.DataFrame(_delta_rows, columns=["cell", "band", "tile", "ts"]),
+        schema="cell long, band int, tile binary, ts int",
+    )
+
+    def _incremental():
+        levels = {6: spark.read.parquet(pyr_leaf_dir)}
+        for z in (5, 4, 3):
+            levels[z] = spark.read.parquet(f"{pyr_lvl_dir}/{z}")
+        return update_pyramid(levels, delta_df, agg="mean")[3].count()
+
+    dt, dt_min, _ = timed_reps(_incremental, sane_s=4.0)
+    record("pyramid_incremental", dt, dt_min)
+    derived["pyramid_incremental_speedup"] = round(
+        queries["pyramid_full_rebuild"] / max(dt, 1e-9), 1
+    )
+
     spark.stop()
     # Self-diagnosing throttle fields: flagship_steady is the canonical
     # quiet-window probe (pure re-execution of a compiled plan — any

@@ -47,11 +47,25 @@ def package_zip() -> str:
     for root, _, files in os.walk(pkg_dir):
         srcs += [os.path.join(root, f) for f in files if f.endswith(".py")]
     if not os.path.exists(out) or os.path.getmtime(out) < max(map(os.path.getmtime, srcs)):
-        tmp = out + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as z:
-            for s in srcs:
-                z.write(s, os.path.join("gdal_drivers_spark", os.path.relpath(s, pkg_dir)))
-        os.replace(tmp, out)
+        # pid-unique staging file: concurrent sessions (pytest + bench +
+        # a checker run on one host) each rebuild on a source change,
+        # and a SHARED .tmp lets one builder truncate another's
+        # half-written zip before the atomic rename — executors then
+        # ModuleNotFoundError on a corrupt archive
+        tmp = f"{out}.{os.getpid()}.tmp"
+        try:
+            with zipfile.ZipFile(tmp, "w") as z:
+                for s in srcs:
+                    z.write(
+                        s,
+                        os.path.join(
+                            "gdal_drivers_spark", os.path.relpath(s, pkg_dir)
+                        ),
+                    )
+            os.replace(tmp, out)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return out
 
 

@@ -67,6 +67,13 @@ def main(names):
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # ship the package zip so worker-side closures that import package
+    # modules (codecs, synth, …) resolve regardless of the cwd the
+    # checker is launched from — queries whose UDF closures only touch
+    # numpy/pandas pass without this and mask the gap
+    from gdal_drivers_spark import _ship
+
+    _ship(spark)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
