@@ -4013,6 +4013,108 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_stats(tiles, zones)
 
 
+def _categorical_zone_fixture(spark: SparkSession, sf_dir: str):
+    """Shared fixture for the categorical zonal queries: the
+    q_zonal_stats tile/zone layout with pixel values quantized to 4
+    classes (multiples of 64) — label-raster semantics, tie-rich."""
+    from gdal_drivers_spark.core import codecs
+    from gdal_drivers_spark.sources.synth import pattern
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["p_partkey"]:
+                k = int(k)
+                h = (k * 2654435761) % 256
+                cell = (4 << 52) + ((h % 16) << 26) + (h // 16)
+                img = pattern(32, 32, 1, k * 7919) // 64 * 64
+                rows.append((cell, codecs.encode_raw(img)))
+            yield pd.DataFrame(rows, columns=["cell", "tile"])
+
+    tiles = part.mapInPandas(gen, "cell long, tile binary")
+    zones = spark.range(256).select(
+        (
+            F.lit(4 << 52)
+            + F.shiftleft(F.col("id") % 16, 26)
+            + (F.col("id") / 16).cast("long")
+        ).alias("cell"),
+        F.concat(
+            F.lit("r"),
+            ((F.col("id") % 16 + (F.col("id") / 16).cast("long")) % 8),
+        ).alias("zone"),
+    )
+    return tiles, zones
+
+
+def q_zonal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical zonal stats (r05): per-zone class histogram — the
+    label-raster workflow (land-cover class areas per admin zone)
+    where zonal_stats' sum/mean are meaningless. One narrow Arrow hop
+    reduces each tile to ≤|classes| (value, n) rows; the join and the
+    groupBy move count rows, never pixels."""
+    from gdal_drivers_spark.operators.zonal import zonal_histogram
+
+    tiles, zones = _categorical_zone_fixture(spark, sf_dir)
+    out = zonal_histogram(tiles, zones)
+    # no corrupt tiles in the fixture; COALESCE keeps the column
+    # non-nullable through the checker's pandas hop (house rule)
+    return out.select(
+        "zone",
+        F.coalesce(F.col("value"), F.lit(-1)).alias("value"),
+        "n_px",
+    )
+
+
+def q_zonal_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical zonal stats (r05): majority class per zone, ties →
+    LOWEST value (the same GDAL rule as the warp/pyramid mode kernels);
+    one max_by over the histogram — no window sort."""
+    from gdal_drivers_spark.operators.zonal import zonal_mode
+
+    tiles, zones = _categorical_zone_fixture(spark, sf_dir)
+    return zonal_mode(tiles, zones)
+
+
+_ZONAL_HISTOGRAM_ORACLE_SQL = """
+    WITH t AS (
+        SELECT p_partkey AS k, (p_partkey * 2654435761) % 256 AS h FROM part
+    ), px AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(0, 31) gx(x), generate_series(0, 31) gy(y)
+    ), pixels AS (
+        SELECT 'r' || CAST(((h % 16) + (h // 16)) % 8 AS VARCHAR) AS zone,
+               (((x * 3 + y * 5 + k * 7919) % 256) // 64) * 64 AS v
+        FROM t, px
+    )
+    SELECT zone, CAST(v AS INT) AS value, count(*) AS n_px
+    FROM pixels GROUP BY 1, 2
+"""
+
+
+_ZONAL_MODE_ORACLE_SQL = """
+    WITH t AS (
+        SELECT p_partkey AS k, (p_partkey * 2654435761) % 256 AS h FROM part
+    ), px AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(0, 31) gx(x), generate_series(0, 31) gy(y)
+    ), pixels AS (
+        SELECT 'r' || CAST(((h % 16) + (h // 16)) % 8 AS VARCHAR) AS zone,
+               (((x * 3 + y * 5 + k * 7919) % 256) // 64) * 64 AS v
+        FROM t, px
+    ), hist AS (
+        SELECT zone, v, count(*) AS n FROM pixels GROUP BY 1, 2
+    ), pick AS (
+        SELECT zone, v, n,
+               row_number() OVER (PARTITION BY zone ORDER BY n DESC, v) AS rn
+        FROM hist
+    )
+    SELECT zone, CAST(v AS INT) AS mode_value, CAST(n AS BIGINT) AS n_px
+    FROM pick WHERE rn = 1
+"""
+
+
 _ZONAL_ORACLE_SQL = """
     WITH t AS (
         SELECT p_partkey AS k, (p_partkey * 2654435761) % 256 AS h FROM part
@@ -4411,6 +4513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_curve": q_zorder_curve,
         "event_quantiles": q_event_quantiles,
         "zonal_stats": q_zonal_stats,
+        "zonal_histogram": q_zonal_histogram,
+        "zonal_mode": q_zonal_mode,
         "ivf_train": q_ivf_train,
         "image_phash": q_image_phash,
         "horn_gradients": q_horn_gradients,
@@ -4429,6 +4533,8 @@ def oracle_sql() -> dict[str, str]:
         "zorder_curve": _ZORDER_ORACLE_SQL,
         "event_quantiles": _QUANTILES_ORACLE_SQL,
         "zonal_stats": _ZONAL_ORACLE_SQL,
+        "zonal_histogram": _ZONAL_HISTOGRAM_ORACLE_SQL,
+        "zonal_mode": _ZONAL_MODE_ORACLE_SQL,
         "ivf_train": _IVF_TRAIN_ORACLE_SQL,
         "horn_gradients": _HORN_ORACLE_SQL,
         "tile_assign": f"""

@@ -189,6 +189,14 @@ class TileSet:
 
         return build_pyramid(self.df, from_level, to_level, agg)
 
+    def update_pyramid(self, levels: dict, delta: DataFrame, agg: str = "mean"):
+        """Incremental overview maintenance (r05): apply a leaf delta
+        and recompute only the changed cells' ancestors —
+        pyramid.update_pyramid."""
+        from .operators.pyramid import update_pyramid
+
+        return update_pyramid(levels, delta, agg)
+
     def with_halo(self, ring: int = 1) -> DataFrame:
         from .operators.halo import with_halo
 
@@ -233,6 +241,20 @@ class TileSet:
         from .operators.zonal import zonal_stats
 
         return zonal_stats(self.df, zones, **kw)
+
+    def zonal_histogram(self, zones: DataFrame, **kw) -> DataFrame:
+        """Per-zone class histogram for categorical rasters (r05,
+        zonal.zonal_histogram) — count rows shuffle, pixels never."""
+        from .operators.zonal import zonal_histogram
+
+        return zonal_histogram(self.df, zones, **kw)
+
+    def zonal_mode(self, zones: DataFrame, **kw) -> DataFrame:
+        """Majority class per zone, ties → lowest value (r05,
+        zonal.zonal_mode)."""
+        from .operators.zonal import zonal_mode
+
+        return zonal_mode(self.df, zones, **kw)
 
 
 class EmbeddingSet:

@@ -114,3 +114,107 @@ def zonal_stats(
             F.when(~no_px, F.col("px_sum") / F.col("n_px")),
         )
     )
+
+
+def tile_class_counts(
+    tiles: DataFrame, tile_col: str = "tile", nodata: int | None = None
+) -> DataFrame:
+    """Per-tile class histogram for CATEGORICAL rasters, exploded to
+    relational (…, value, n_px) rows — the zonal twin of the mode
+    resampling kernels (a label raster has few distinct values, so
+    ≤|classes| narrow rows per tile replace the pixels; every
+    downstream step is a plain groupBy with map-side partial
+    aggregation, mergeable at any scale).
+
+    Poison policy (house rule): an undecodable payload yields one row
+    with value NULL, n_px NULL and ``px_ok=false`` for ITS tile —
+    counted downstream, never fatal, never silently dropped. An
+    all-nodata tile is NOT poison: it also explodes to a NULL-value
+    row (it carries no classes) but keeps ``px_ok=true`` — "sparse
+    absent" and "present but corrupt" stay distinguishable."""
+
+    @F.pandas_udf("array<struct<value int, n_px long>>")
+    def _counts(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from gdal_drivers_spark.core import codecs
+
+        out = []
+        for b in col:
+            try:
+                px = codecs.decode(bytes(b)).ravel()
+            except Exception:
+                out.append(None)
+                continue
+            if nodata is not None:
+                px = px[px != nodata]
+            vals, cnts = np.unique(px, return_counts=True)
+            out.append([(int(v), int(n)) for v, n in zip(vals, cnts)])
+        return pd.Series(out)
+
+    other = [c for c in tiles.columns if c != tile_col]
+    return (
+        tiles.withColumn("_h", _counts(F.col(tile_col)))
+        .withColumn("px_ok", F.col("_h").isNotNull())
+        # explode_outer keeps corrupt AND empty tiles as a NULL-value row
+        .select(*other, "px_ok", F.explode_outer("_h").alias("_e"))
+        .select(
+            *other,
+            "px_ok",
+            F.col("_e.value").alias("value"),
+            F.col("_e.n_px").alias("n_px"),
+        )
+    )
+
+
+def zonal_histogram(
+    tiles: DataFrame,
+    zones: DataFrame,
+    cell: str = "cell",
+    zone: str = "zone",
+    tile_col: str = "tile",
+    nodata: int | None = None,
+) -> DataFrame:
+    """Per-zone class histogram: one row per (zone, value) with the
+    pixel count. Corrupt tiles surface as one (zone, NULL, n_bad)
+    row per zone where n_px counts the BAD TILES (poison accounted,
+    never fatal); all-nodata tiles contribute no classes and are NOT
+    counted as bad. Same plan discipline as zonal_stats: pixels
+    reduce to per-tile class counts in one Arrow hop, only count rows
+    join and shuffle."""
+    c = tile_class_counts(tiles.select(cell, tile_col), tile_col=tile_col, nodata=nodata)
+    # empty-but-valid tiles (all nodata) carry no class — drop their
+    # NULL row so the NULL bucket counts only poison
+    c = c.filter(F.col("value").isNotNull() | ~F.col("px_ok"))
+    joined = c.join(zones, cell)
+    return joined.groupBy(zone, "value").agg(
+        F.when(F.col("value").isNull(), F.count("*"))
+        .otherwise(F.sum("n_px"))
+        .alias("n_px")
+    )
+
+
+def zonal_mode(
+    tiles: DataFrame,
+    zones: DataFrame,
+    cell: str = "cell",
+    zone: str = "zone",
+    tile_col: str = "tile",
+    nodata: int | None = None,
+) -> DataFrame:
+    """Majority class per zone — ties → LOWEST value, the same rule as
+    the warp/pyramid mode kernels. The score is a struct (n_px, −value)
+    under Spark's lexicographic struct ordering, so one ``max_by``
+    replaces a window sort and the tie-break holds for ANY integer
+    dtype (not just u8 — a u16 label raster would overflow a
+    count·256 encoding). Corrupt tiles are excluded from the vote
+    (they carry no class); count them via zonal_histogram's NULL row
+    if needed."""
+    hist = zonal_histogram(
+        tiles, zones, cell=cell, zone=zone, tile_col=tile_col, nodata=nodata
+    ).filter(F.col("value").isNotNull())
+    score = F.struct(F.col("n_px"), (-F.col("value")).alias("neg_v"))
+    return hist.groupBy(zone).agg(
+        F.max_by("value", score).alias("mode_value"),
+        F.max_by("n_px", score).alias("n_px"),
+    )

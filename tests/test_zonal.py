@@ -108,3 +108,65 @@ def test_pixels_never_shuffle(spark):
     # physical plans print top-down: the scan-side Arrow stage appears
     # BELOW (after) the final aggregation exchange in the string
     assert arrow_pos > agg_exch_pos
+
+
+def test_zonal_histogram_and_mode_match_numpy(spark):
+    """Categorical zonal: per-zone class counts == numpy bincount over
+    the stitched zone pixels; mode == highest count with ties to the
+    LOWEST value; a corrupt tile surfaces as one NULL-value row whose
+    n_px counts bad TILES and is excluded from the vote."""
+    from gdal_drivers_spark.operators.zonal import zonal_histogram, zonal_mode
+
+    px = 16
+    rows, imgs = [], {}
+    for i in range(12):
+        img = pattern(px, px, 1, i * 31) // 64 * 64  # 4 classes
+        imgs[i] = img.ravel()
+        rows.append((i, (4 << 52) + i % 4, codecs.encode_raw(img)))
+    rows.append((99, (4 << 52) + 1, b"\x00corrupt"))  # poison in zone z1
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["tid", "cell", "tile"]))
+    zones = spark.createDataFrame(
+        [((4 << 52) + c, f"z{c % 2}") for c in range(4)], "cell long, zone string"
+    )
+
+    exp = {}
+    for i, v in imgs.items():
+        z = f"z{(i % 4) % 2}"
+        for val in v:
+            exp[(z, int(val))] = exp.get((z, int(val)), 0) + 1
+
+    got = {(r["zone"], r["value"]): r["n_px"]
+           for r in zonal_histogram(df, zones).collect()}
+    assert got.pop(("z1", None)) == 1          # one bad tile, counted
+    assert got == exp
+
+    exp_mode = {}
+    for z in ("z0", "z1"):
+        cand = [(n, -val) for (zz, val), n in exp.items() if zz == z]
+        n, negv = max(cand)
+        exp_mode[z] = (-negv, n)
+    got_mode = {r["zone"]: (r["mode_value"], r["n_px"])
+                for r in zonal_mode(df, zones).collect()}
+    assert got_mode == exp_mode
+
+
+def test_zonal_histogram_all_nodata_is_not_poison(spark):
+    """'Sparse absent' vs 'present but corrupt' (house rule): an
+    all-nodata tile contributes no classes but must NOT inflate the
+    poison count; the NULL-value row counts only undecodable tiles."""
+    from gdal_drivers_spark.operators.zonal import zonal_histogram
+
+    px = 8
+    img = pattern(px, px, 1, 5) // 64 * 64
+    rows = [
+        (0, (4 << 52), codecs.encode_raw(img)),                      # normal
+        (1, (4 << 52), codecs.encode_raw(np.zeros((px, px, 1), np.uint8))),  # all nodata
+        (2, (4 << 52), b"\x00corrupt"),                              # poison
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["tid", "cell", "tile"]))
+    zones = spark.createDataFrame([((4 << 52), "z0")], "cell long, zone string")
+    got = {r["value"]: r["n_px"]
+           for r in zonal_histogram(df, zones, nodata=0).collect()}
+    assert got.pop(None) == 1  # ONLY the corrupt tile
+    vals, cnts = np.unique(img[img != 0], return_counts=True)
+    assert got == {int(v): int(n) for v, n in zip(vals, cnts)}
