@@ -4238,6 +4238,70 @@ _HORN_ORACLE_SQL = f"""
 """
 
 
+def q_terrain_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem terrain trio (TRI Wilson/Riley, TPI, roughness), exact
+    integer form, over the same 4×4-tile DEM fixture as
+    horn_gradients — completes the gdaldem family (slope / aspect /
+    hillshade landed r02-r03). Seam-exactness is the point: every
+    index reads the 3×3 window, so a halo-assembly error at any tile
+    edge or corner shifts the sums and breaks the hash."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.dem import terrain_indices
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                tx, ty = int(i) // 4, int(i) % 4
+                x = np.arange(32)[None, :] + tx * 32
+                y = np.arange(32)[:, None] + ty * 32
+                tile = ((3 * x + 5 * y) % 256).astype(np.uint8)
+                rows.append(((2 << 52) + (tx << 26) + ty, tile.tobytes()))
+            yield pd.DataFrame(rows, columns=["cell", "tile"])
+
+    tiles = spark.range(16).mapInPandas(gen, "cell long, tile binary")
+    return terrain_indices(tiles, tile_px=32)
+
+
+def _terrain_oracle_sql() -> str:
+    c = _dem_nbr(0, 0)
+    ns = [
+        _dem_nbr(dx, dy)
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    ]
+    tri_w8 = " + ".join(f"abs({c} - {n})" for n in ns)
+    tri_r2 = " + ".join(f"({c} - {n}) * ({c} - {n})" for n in ns)
+    tpi8 = f"8 * {c} - ({' + '.join(ns)})"
+    allv = ", ".join([c] + ns)
+    rough = f"greatest({allv}) - least({allv})"
+    return f"""
+    WITH px AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(0, 127) gx(x), generate_series(0, 127) gy(y)
+    ), ti AS (
+        SELECT x // 32 AS tx, y // 32 AS ty,
+               {tri_w8} AS tri_w8,
+               {tri_r2} AS tri_r2,
+               {tpi8} AS tpi8,
+               {rough} AS rough
+        FROM px
+    )
+    SELECT (CAST(2 AS BIGINT) << 52) + (CAST(tx AS BIGINT) << 26) + ty AS cell,
+           count(*) AS n_px,
+           CAST(sum(tri_w8) AS BIGINT) AS tri_w8_sum,
+           CAST(sum(tri_r2) AS BIGINT) AS tri_r2_sum,
+           CAST(sum(tpi8) AS BIGINT) AS tpi8_sum,
+           CAST(sum(abs(tpi8)) AS BIGINT) AS tpi8_abs_sum,
+           CAST(sum(rough) AS BIGINT) AS rough_sum,
+           CAST(max(rough) AS BIGINT) AS rough_max,
+           CAST(0 AS BIGINT) AS n_bad
+    FROM ti GROUP BY tx, ty
+"""
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixels → real DCT perceptual hash → per-format rollup. No SQL
     oracle (a 32×32 DCT-II + median threshold is not reasonably
@@ -4518,6 +4582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_train": q_ivf_train,
         "image_phash": q_image_phash,
         "horn_gradients": q_horn_gradients,
+        "terrain_indices": q_terrain_indices,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
         "blend_cells": q_blend_cells,
@@ -4537,6 +4602,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_mode": _ZONAL_MODE_ORACLE_SQL,
         "ivf_train": _IVF_TRAIN_ORACLE_SQL,
         "horn_gradients": _HORN_ORACLE_SQL,
+        "terrain_indices": _terrain_oracle_sql(),
         "tile_assign": f"""
             SELECT cell, count(*) AS n_assign, count(DISTINCT k) AS n_images
             FROM ({_ASSIGNED_SQL}) a GROUP BY cell

@@ -235,6 +235,21 @@ class TileSet:
 
         return slope_aspect(self.df, tile_px, z_factor=z_factor)
 
+    def terrain_indices(self, tile_px: int) -> DataFrame:
+        """Exact-integer gdaldem terrain trio — TRI (Wilson×8 /
+        Riley²), TPI×8, roughness — per tile, seam-exact via the
+        strip halo (r05, dem.terrain_indices)."""
+        from .operators.dem import terrain_indices
+
+        return terrain_indices(self.df, tile_px)
+
+    def roughness(self, tile_px: int) -> DataFrame:
+        """Per-pixel roughness raster (max−min of each 3×3 window),
+        seam-exact (r05, dem.roughness_tiles)."""
+        from .operators.dem import roughness_tiles
+
+        return roughness_tiles(self.df, tile_px)
+
     def zonal(self, zones: DataFrame, **kw) -> DataFrame:
         """Per-zone pixel statistics (zonal.zonal_stats) — stat rows
         shuffle, pixels never."""

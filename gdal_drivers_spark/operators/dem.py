@@ -300,3 +300,104 @@ def slope_aspect(
     return h.groupBy("target_cell").applyInPandas(
         _sa, "cell long, slope_tile binary, aspect_tile binary, n_bad long"
     )
+
+
+def _terrain_px(P: np.ndarray, t: int):
+    """Exact-integer terrain indices for every interior pixel of a
+    (t+2)² padded window (gdaldem TRI/TPI/roughness definitions —
+    public docs; all three are pure integer arithmetic on u8 DEMs):
+      tri_w8  = Σ_n |c − n|            (Wilson TRI × 8)
+      tri_r2  = Σ_n (c − n)²           (Riley TRI², pre-sqrt — exact)
+      tpi8    = 8c − Σ_n n             (TPI × 8)
+      rough   = max(3×3) − min(3×3)
+    """
+    c0 = P[1 : t + 1, 1 : t + 1]
+    neigh = [
+        P[dy : dy + t, dx : dx + t]
+        for dy in (0, 1, 2)
+        for dx in (0, 1, 2)
+        if not (dx == 1 and dy == 1)
+    ]
+    diffs = [c0 - n for n in neigh]
+    tri_w8 = np.sum([np.abs(d) for d in diffs], axis=0)
+    tri_r2 = np.sum([d * d for d in diffs], axis=0)
+    tpi8 = 8 * c0 - np.sum(neigh, axis=0)
+    allv = neigh + [c0]
+    rough = np.maximum.reduce(allv) - np.minimum.reduce(allv)
+    return tri_w8, tri_r2, tpi8, rough
+
+
+def terrain_indices(tiles: DataFrame, tile_px: int, cell: str = "cell") -> DataFrame:
+    """Per-tile EXACT integer summaries of the gdaldem terrain trio
+    (TRI / TPI / roughness) — completes the gdaldem family next to
+    slope/aspect/hillshade. Same plan as horn_gradients: one
+    strip-projected halo exchange (bytes ≈ raster), one grouped Arrow
+    hop, integer sums before any further shuffle. Riley TRI is
+    reported pre-sqrt (Σ of squared diffs is exact; the sqrt is a
+    display transform callers apply after aggregation)."""
+    h = with_halo_strips(tiles, tile_px, cell=cell)
+    cols = ["cell", "n_px", "tri_w8_sum", "tri_r2_sum", "tpi8_sum",
+            "tpi8_abs_sum", "rough_sum", "rough_max", "n_bad"]
+
+    def _ti(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t = tile_px
+        P, n_bad, center_row = _assemble_padded(pdf, t)
+        if P is None:
+            if not center_row:
+                return pd.DataFrame(columns=cols)
+            return pd.DataFrame(
+                {"cell": [int(key[0])], "n_px": [0], "tri_w8_sum": [0],
+                 "tri_r2_sum": [0], "tpi8_sum": [0], "tpi8_abs_sum": [0],
+                 "rough_sum": [0], "rough_max": [0], "n_bad": [n_bad]}
+            )
+        tri_w8, tri_r2, tpi8, rough = _terrain_px(P, t)
+        return pd.DataFrame(
+            {
+                "cell": [int(key[0])],
+                "n_px": [t * t],
+                "tri_w8_sum": [int(tri_w8.sum())],
+                "tri_r2_sum": [int(tri_r2.sum())],
+                "tpi8_sum": [int(tpi8.sum())],
+                "tpi8_abs_sum": [int(np.abs(tpi8).sum())],
+                "rough_sum": [int(rough.sum())],
+                "rough_max": [int(rough.max())],
+                "n_bad": [n_bad],
+            }
+        )
+
+    return h.groupBy("target_cell").applyInPandas(
+        _ti,
+        "cell long, n_px long, tri_w8_sum long, tri_r2_sum long, "
+        "tpi8_sum long, tpi8_abs_sum long, rough_sum long, rough_max long, "
+        "n_bad long",
+    )
+
+
+def roughness_tiles(tiles: DataFrame, tile_px: int, cell: str = "cell") -> DataFrame:
+    """Per-pixel roughness RASTER (max−min of each 3×3 window) — the
+    one gdaldem terrain index whose exact value fits the u8 payload
+    (≤255 for u8 DEMs), so it ships as tiles like hillshade. Seam-
+    exact through the strip halo; poison center → empty tile + n_bad."""
+    h = with_halo_strips(tiles, tile_px, cell=cell)
+
+    def _r(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t = tile_px
+        P, n_bad, center_row = _assemble_padded(pdf, t)
+        if P is None:
+            if not center_row:
+                return pd.DataFrame(columns=["cell", "tile", "n_bad"])
+            return pd.DataFrame(
+                {"cell": [int(key[0])], "tile": [b""], "n_bad": [n_bad]}
+            )
+        _, _, _, rough = _terrain_px(P, t)
+        return pd.DataFrame(
+            {
+                "cell": [int(key[0])],
+                "tile": [rough.astype(np.uint8).tobytes()],
+                "n_bad": [n_bad],
+            }
+        )
+
+    return h.groupBy("target_cell").applyInPandas(
+        _r, "cell long, tile binary, n_bad long"
+    )

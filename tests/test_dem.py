@@ -207,3 +207,44 @@ def test_aspect_compass_convention():
     assert abs(float(a2[8, 8]) - 135.0) < 1e-4
     _, a3 = slope_aspect_np(np.full((16, 16), 9, np.uint8))
     assert (a3[4:12, 4:12] == np.float32(-9999.0)).all()
+
+
+def test_terrain_indices_match_whole_raster(raster):
+    """TRI (Wilson×8 and Riley², exact integers), TPI×8 and roughness
+    over tiles == the same indices computed on the stitched full
+    raster with edge replication — every seam and corner exact. The
+    random fixture exercises all 3×3 value orders."""
+    from gdal_drivers_spark.operators.dem import roughness_tiles, terrain_indices
+
+    full, tiles = raster
+    P = np.pad(full.astype(np.int64), 1, mode="edge")
+    n = full.shape[0]
+    c0 = P[1:n + 1, 1:n + 1]
+    neigh = [P[dy:dy + n, dx:dx + n] for dy in (0, 1, 2) for dx in (0, 1, 2)
+             if not (dx == 1 and dy == 1)]
+    diffs = [c0 - nb for nb in neigh]
+    tri_w8 = np.sum([np.abs(d) for d in diffs], axis=0)
+    tri_r2 = np.sum([d * d for d in diffs], axis=0)
+    tpi8 = 8 * c0 - np.sum(neigh, axis=0)
+    rough = np.maximum.reduce(neigh + [c0]) - np.minimum.reduce(neigh + [c0])
+
+    got = {r["cell"]: r for r in terrain_indices(tiles, tile_px=T).collect()}
+    assert len(got) == GRID * GRID
+    for tx in range(GRID):
+        for ty in range(GRID):
+            sl = np.s_[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            r = got[_cell(tx, ty)]
+            assert r["n_bad"] == 0
+            assert r["tri_w8_sum"] == int(tri_w8[sl].sum())
+            assert r["tri_r2_sum"] == int(tri_r2[sl].sum())
+            assert r["tpi8_sum"] == int(tpi8[sl].sum())
+            assert r["tpi8_abs_sum"] == int(np.abs(tpi8[sl]).sum())
+            assert r["rough_sum"] == int(rough[sl].sum())
+            assert r["rough_max"] == int(rough[sl].max())
+
+    rt = {r["cell"]: np.frombuffer(r["tile"], np.uint8).reshape(T, T)
+          for r in roughness_tiles(tiles, tile_px=T).collect()}
+    for tx in range(GRID):
+        for ty in range(GRID):
+            sl = np.s_[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            assert (rt[_cell(tx, ty)] == rough[sl].astype(np.uint8)).all()
