@@ -4302,6 +4302,87 @@ def _terrain_oracle_sql() -> str:
 """
 
 
+def q_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem color-relief over the DEM fixture: piecewise-linear
+    RGB ramp with dyadically-spaced stops (0/64/128/192/256), so
+    every interpolation frac is k/64 — exact in IEEE — and the ONLY
+    rounding is banker's (np.rint ↔ round_even). Per-tile channel
+    sums; a wrong segment pick, a clamp error at 255, or an
+    interpolation-order drift all break the hash."""
+    import numpy as np
+
+    from gdal_drivers_spark.core import codecs
+    from gdal_drivers_spark.operators.dem import color_relief
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                tx, ty = int(i) // 4, int(i) % 4
+                x = np.arange(32)[None, :] + tx * 32
+                y = np.arange(32)[:, None] + ty * 32
+                tile = ((3 * x + 5 * y) % 256).astype(np.uint8)
+                rows.append(
+                    ((2 << 52) + (tx << 26) + ty, codecs.encode_raw(tile[:, :, None]))
+                )
+            yield pd.DataFrame(rows, columns=["cell", "tile"])
+
+    tiles = spark.range(16).mapInPandas(gen, "cell long, tile binary")
+    ramp = [
+        (0, (0, 0, 128)),      # deep blue
+        (64, (0, 255, 0)),     # green
+        (128, (255, 255, 0)),  # yellow
+        (192, (160, 82, 45)),  # sienna
+        (256, (255, 255, 255)),
+    ]
+    out = color_relief(tiles, ramp)
+
+    @F.pandas_udf("long")
+    def plane_sum(b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [int(np.frombuffer(bytes(x), np.uint8).sum(dtype=np.int64)) for x in b]
+        )
+
+    return out.select(
+        "cell",
+        plane_sum(F.col("r")).alias("r_sum"),
+        plane_sum(F.col("g")).alias("g_sum"),
+        plane_sum(F.col("b")).alias("b_sum"),
+    )
+
+
+def _color_relief_oracle_sql() -> str:
+    stops = [(0, 0, 0, 128), (64, 0, 255, 0), (128, 255, 255, 0),
+             (192, 160, 82, 45), (256, 255, 255, 255)]
+
+    def chan(ci: int) -> str:
+        # v in [0,255] → segment v//64 (always < 4), frac = (v%64)/64
+        cases = []
+        for s in range(4):
+            c0, c1 = stops[s][ci], stops[s + 1][ci]
+            cases.append(
+                f"WHEN v // 64 = {s} THEN round_even("
+                f"{c0} + ((v % 64) / 64.0) * ({c1} - {c0}), 0)"
+            )
+        return "CASE " + " ".join(cases) + " END"
+
+    return f"""
+    WITH px AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(0, 127) gx(x), generate_series(0, 127) gy(y)
+    ), v AS (
+        SELECT x // 32 AS tx, y // 32 AS ty,
+               (3 * x + 5 * y) % 256 AS v
+        FROM px
+    )
+    SELECT (CAST(2 AS BIGINT) << 52) + (CAST(tx AS BIGINT) << 26) + ty AS cell,
+           CAST(sum({chan(1)}) AS BIGINT) AS r_sum,
+           CAST(sum({chan(2)}) AS BIGINT) AS g_sum,
+           CAST(sum({chan(3)}) AS BIGINT) AS b_sum
+    FROM v GROUP BY tx, ty
+"""
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixels → real DCT perceptual hash → per-format rollup. No SQL
     oracle (a 32×32 DCT-II + median threshold is not reasonably
@@ -4583,6 +4664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash": q_image_phash,
         "horn_gradients": q_horn_gradients,
         "terrain_indices": q_terrain_indices,
+        "color_relief": q_color_relief,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
         "blend_cells": q_blend_cells,
@@ -4603,6 +4685,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_train": _IVF_TRAIN_ORACLE_SQL,
         "horn_gradients": _HORN_ORACLE_SQL,
         "terrain_indices": _terrain_oracle_sql(),
+        "color_relief": _color_relief_oracle_sql(),
         "tile_assign": f"""
             SELECT cell, count(*) AS n_assign, count(DISTINCT k) AS n_images
             FROM ({_ASSIGNED_SQL}) a GROUP BY cell

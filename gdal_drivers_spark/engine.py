@@ -235,6 +235,13 @@ class TileSet:
 
         return slope_aspect(self.df, tile_px, z_factor=z_factor)
 
+    def color_relief(self, ramp: list, **kw) -> DataFrame:
+        """Piecewise-linear elevation→RGB ramp per pixel (r05,
+        dem.color_relief) — gdaldem color-relief."""
+        from .operators.dem import color_relief
+
+        return color_relief(self.df, ramp, **kw)
+
     def terrain_indices(self, tile_px: int) -> DataFrame:
         """Exact-integer gdaldem terrain trio — TRI (Wilson×8 /
         Riley²), TPI×8, roughness — per tile, seam-exact via the

@@ -401,3 +401,60 @@ def roughness_tiles(tiles: DataFrame, tile_px: int, cell: str = "cell") -> DataF
     return h.groupBy("target_cell").applyInPandas(
         _r, "cell long, tile binary, n_bad long"
     )
+
+
+def color_relief(
+    tiles: DataFrame,
+    ramp: list,
+    cell: str = "cell",
+    tile_col: str = "tile",
+) -> DataFrame:
+    """gdaldem color-relief: map every elevation through a piecewise-linear
+    RGB ramp (``ramp`` = sorted [(elev, (r, g, b)), …] — the parsed
+    form of gdaldem's color text file). Purely per-pixel, so no halo:
+    one narrow Arrow hop decodes the tile, interpolates each channel
+    and re-encodes three u8 planes. Elevations below the first /
+    above the last entry clamp to the end colors (gdaldem's default);
+    an exact-entry elevation returns its color exactly (frac = 0).
+    Rounding is banker's (np.rint), matching the SQL oracle's
+    round_even on dyadically-spaced ramps.
+
+    Poison policy: undecodable payload → ok=false, empty planes."""
+    xs = np.array([float(e) for e, _ in ramp], np.float64)
+    cs = np.array([c for _, c in ramp], np.float64)  # (n, 3)
+    if not (np.diff(xs) > 0).all():
+        raise ValueError("ramp elevations must be strictly increasing")
+    xs_l, cs_l = xs.tolist(), cs.tolist()  # plan-time capture (no numpy pickle)
+
+    @F.pandas_udf("struct<r binary, g binary, b binary, ok boolean>")
+    def _relief(col: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        from gdal_drivers_spark.core import codecs
+
+        X = np.array(xs_l, np.float64)
+        C = np.array(cs_l, np.float64)
+        out = []
+        for b in col:
+            try:
+                v = codecs.decode(bytes(b)).ravel().astype(np.float64)
+            except Exception:
+                out.append((b"", b"", b"", False))
+                continue
+            v = np.clip(v, X[0], X[-1])
+            idx = np.clip(np.searchsorted(X, v, side="right") - 1, 0, len(X) - 2)
+            e0, e1 = X[idx], X[idx + 1]
+            frac = (v - e0) / (e1 - e0)
+            planes = []
+            for ch in range(3):
+                c0, c1 = C[idx, ch], C[idx + 1, ch]
+                planes.append(
+                    np.rint(c0 + frac * (c1 - c0)).clip(0, 255).astype(np.uint8).tobytes()
+                )
+            out.append((planes[0], planes[1], planes[2], True))
+        return pd.DataFrame(out, columns=["r", "g", "b", "ok"])
+
+    other = [c for c in tiles.columns if c != tile_col]
+    return tiles.withColumn("_c", _relief(F.col(tile_col))).select(
+        *other, "_c.r", "_c.g", "_c.b", F.col("_c.ok").alias("ok")
+    )

@@ -248,3 +248,33 @@ def test_terrain_indices_match_whole_raster(raster):
         for ty in range(GRID):
             sl = np.s_[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
             assert (rt[_cell(tx, ty)] == rough[sl].astype(np.uint8)).all()
+
+
+def test_color_relief_matches_scalar_oracle(spark):
+    """Piecewise-linear ramp per pixel vs a python scalar loop:
+    segment pick, end-clamp, exact-entry colors and banker's rounding
+    all byte-exact; corrupt payload → ok=false, empty planes."""
+    from gdal_drivers_spark.operators.dem import color_relief
+
+    ramp = [(10, (0, 0, 128)), (74, (0, 255, 0)), (200, (255, 40, 0))]
+    from gdal_drivers_spark.core import codecs
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (8, 8), dtype=np.uint8)  # exercises clamps
+    rows = [(0, codecs.encode_raw(img[:, :, None])), (1, b"\x01bad")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "tile"]))
+    got = {r["cell"]: r for r in color_relief(df, ramp).collect()}
+    assert got[1]["ok"] is False and bytes(got[1]["r"]) == b""
+
+    xs = [e for e, _ in ramp]
+    exp = {ch: np.zeros(img.size, np.uint8) for ch in range(3)}
+    for i, v in enumerate(img.ravel()):
+        v = min(max(float(v), xs[0]), xs[-1])
+        seg = 0 if v < xs[1] else 1
+        e0, e1 = xs[seg], xs[seg + 1]
+        fr = (v - e0) / (e1 - e0)
+        for ch in range(3):
+            c0, c1 = ramp[seg][1][ch], ramp[seg + 1][1][ch]
+            exp[ch][i] = int(np.rint(c0 + fr * (c1 - c0)))
+    for ch, name in enumerate(("r", "g", "b")):
+        assert bytes(got[0][name]) == exp[ch].tobytes()
