@@ -4383,6 +4383,64 @@ def _color_relief_oracle_sql() -> str:
 """
 
 
+def q_contour_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_contour's topology, exactly checkable (r05): marching-
+    squares case census over the DEM fixture at three contour levels.
+    Squares are owned by the tile of their top-left pixel (disjoint
+    partition of the dual grid — per-tile counts sum to the whole-
+    raster answer with no seam double-count); the trailing square
+    column/row reads the strip halo, and the domain edge drops its
+    nonexistent square column/row. n_segments and case_sum are exact
+    integers; vertex interpolation rides on these cases and is
+    pytest-pinned."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.dem import contour_case_census
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                tx, ty = int(i) // 4, int(i) % 4
+                x = np.arange(32)[None, :] + tx * 32
+                y = np.arange(32)[:, None] + ty * 32
+                tile = ((3 * x + 5 * y) % 256).astype(np.uint8)
+                rows.append(((2 << 52) + (tx << 26) + ty, tile.tobytes()))
+            yield pd.DataFrame(rows, columns=["cell", "tile"])
+
+    tiles = spark.range(16).mapInPandas(gen, "cell long, tile binary")
+    return contour_case_census(
+        tiles, tile_px=32, levels=[64.0, 128.0, 192.0], grid_wh=(4, 4)
+    )
+
+
+_CONTOUR_ORACLE_SQL = """
+    WITH sq AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(0, 126) gx(x), generate_series(0, 126) gy(y)
+    ), lv AS (
+        SELECT CAST(l.v AS DOUBLE) AS level FROM (VALUES (64), (128), (192)) l(v)
+    ), cs AS (
+        SELECT x // 32 AS tx, y // 32 AS ty, level,
+               CASE WHEN (3 * x + 5 * y) % 256 >= level THEN 1 ELSE 0 END
+             + CASE WHEN (3 * (x+1) + 5 * y) % 256 >= level THEN 2 ELSE 0 END
+             + CASE WHEN (3 * x + 5 * (y+1)) % 256 >= level THEN 4 ELSE 0 END
+             + CASE WHEN (3 * (x+1) + 5 * (y+1)) % 256 >= level THEN 8 ELSE 0 END
+               AS cse
+        FROM sq, lv
+    )
+    SELECT (CAST(2 AS BIGINT) << 52) + (CAST(tx AS BIGINT) << 26) + ty AS cell,
+           level,
+           count(*) AS n_squares,
+           CAST(sum(CASE WHEN cse IN (0, 15) THEN 0
+                         WHEN cse IN (6, 9) THEN 2
+                         ELSE 1 END) AS BIGINT) AS n_segments,
+           CAST(sum(cse) AS BIGINT) AS case_sum,
+           CAST(0 AS BIGINT) AS n_bad
+    FROM cs GROUP BY tx, ty, level
+"""
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixels → real DCT perceptual hash → per-format rollup. No SQL
     oracle (a 32×32 DCT-II + median threshold is not reasonably
@@ -4665,6 +4723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "horn_gradients": q_horn_gradients,
         "terrain_indices": q_terrain_indices,
         "color_relief": q_color_relief,
+        "contour_census": q_contour_census,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
         "blend_cells": q_blend_cells,
@@ -4686,6 +4745,7 @@ def oracle_sql() -> dict[str, str]:
         "horn_gradients": _HORN_ORACLE_SQL,
         "terrain_indices": _terrain_oracle_sql(),
         "color_relief": _color_relief_oracle_sql(),
+        "contour_census": _CONTOUR_ORACLE_SQL,
         "tile_assign": f"""
             SELECT cell, count(*) AS n_assign, count(DISTINCT k) AS n_images
             FROM ({_ASSIGNED_SQL}) a GROUP BY cell

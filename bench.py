@@ -48,6 +48,9 @@ REFERENCE_LINE = {
     # their vs_reference is ~1.0 in r04 by construction (BENCH.md
     # caveat) and meaningful from r05 on.
     "ann_ivfpq": 5.4, "knn_graph": 10.84, "warp_cubic": 0.80,
+    # entries below measured r05 (quiet window, ratio 1.00, local[32]
+    # sf0.1 — self-anchored per the BENCH.md caveat, meaningful r06 on)
+    "pyramid_full_rebuild": 3.74, "pyramid_incremental": 2.29,
 }
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 Z_BENCH = 8  # 256x256 grid: heavier explode than the correctness queries

@@ -235,6 +235,13 @@ class TileSet:
 
         return slope_aspect(self.df, tile_px, z_factor=z_factor)
 
+    def contour_census(self, tile_px: int, levels: list, grid_wh: tuple) -> DataFrame:
+        """Marching-squares contour topology census per tile per level
+        (r05, dem.contour_case_census) — gdal_contour's exact skeleton."""
+        from .operators.dem import contour_case_census
+
+        return contour_case_census(self.df, tile_px, levels, grid_wh)
+
     def color_relief(self, ramp: list, **kw) -> DataFrame:
         """Piecewise-linear elevation→RGB ramp per pixel (r05,
         dem.color_relief) — gdaldem color-relief."""

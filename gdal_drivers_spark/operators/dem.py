@@ -458,3 +458,77 @@ def color_relief(
     return tiles.withColumn("_c", _relief(F.col(tile_col))).select(
         *other, "_c.r", "_c.g", "_c.b", F.col("_c.ok").alias("ok")
     )
+
+
+def contour_case_census(
+    tiles: DataFrame,
+    tile_px: int,
+    levels: list,
+    grid_wh: tuple,
+    cell: str = "cell",
+) -> DataFrame:
+    """gdal_contour's topology, distributed and exactly checkable:
+    marching-squares case census per tile per contour level.
+
+    Each 2×2 pixel square gets the standard 4-bit case index
+    (inside = value ≥ level; bits TL=1, TR=2, BL=4, BR=8) and emits
+    0/1/2 line segments (0 for empty/full, 2 for the saddle cases
+    6 and 9, 1 otherwise). Squares are OWNED by the tile holding
+    their top-left pixel — a disjoint partition of the global dual
+    grid, so per-tile counts sum to the whole-raster answer with no
+    seam double-count; the right/bottom pixels of the last owned
+    column/row come from the strip halo. ``grid_wh`` (tiles across ×
+    down) marks the domain edge, where the trailing square column/row
+    doesn't exist (edge-replicated padding would fabricate segments
+    there).
+
+    The census (n_segments, case_sum per level) is exact integer —
+    the SQL-hashable skeleton of contouring; vertex geometry is the
+    same linear interpolation the warp kernels pin in pytest and
+    rides on these cases."""
+    h = with_halo_strips(tiles, tile_px, cell=cell)
+    lv = [float(v) for v in levels]
+    gw, gh = int(grid_wh[0]), int(grid_wh[1])
+    cols = ["cell", "level", "n_squares", "n_segments", "case_sum", "n_bad"]
+
+    def _census(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t = tile_px
+        P, n_bad, center_row = _assemble_padded(pdf, t)
+        kc = int(key[0])
+        if P is None:
+            if not center_row:
+                return pd.DataFrame(columns=cols)
+            return pd.DataFrame(
+                {"cell": [kc] * len(lv), "level": lv,
+                 "n_squares": [0] * len(lv), "n_segments": [0] * len(lv),
+                 "case_sum": [0] * len(lv), "n_bad": [n_bad] * len(lv)}
+            )
+        tx = (kc >> 26) & ((1 << 26) - 1)
+        ty = kc & ((1 << 26) - 1)
+        # square corners: TL = tile pixel (r, c), BR = (r+1, c+1) — the
+        # +1 row/col reads the halo strip for the tile's last column/row
+        tl = P[1 : t + 1, 1 : t + 1]
+        tr = P[1 : t + 1, 2 : t + 2]
+        bl = P[2 : t + 2, 1 : t + 1]
+        br = P[2 : t + 2, 2 : t + 2]
+        ncol = t - 1 if tx == gw - 1 else t
+        nrow = t - 1 if ty == gh - 1 else t
+        seg_of = np.array([0, 1, 1, 1, 1, 1, 2, 1, 1, 2, 1, 1, 1, 1, 1, 0])
+        rows = []
+        for L in lv:
+            case = (
+                (tl >= L).astype(np.int64)
+                + 2 * (tr >= L)
+                + 4 * (bl >= L)
+                + 8 * (br >= L)
+            )[:nrow, :ncol]
+            rows.append(
+                (kc, L, int(case.size), int(seg_of[case].sum()), int(case.sum()), n_bad)
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    return h.groupBy("target_cell").applyInPandas(
+        _census,
+        "cell long, level double, n_squares long, n_segments long, "
+        "case_sum long, n_bad long",
+    )

@@ -278,3 +278,39 @@ def test_color_relief_matches_scalar_oracle(spark):
             exp[ch][i] = int(np.rint(c0 + fr * (c1 - c0)))
     for ch, name in enumerate(("r", "g", "b")):
         assert bytes(got[0][name]) == exp[ch].tobytes()
+
+
+def test_contour_census_matches_whole_raster(raster):
+    """Marching-squares case census over tiles == the census computed
+    on the stitched raster: every square owned exactly once, the
+    trailing column/row read through the halo, domain-edge squares
+    dropped (not fabricated from replicated padding)."""
+    from gdal_drivers_spark.operators.dem import contour_case_census
+
+    full, tiles = raster
+    n = full.shape[0]
+    levels = [64.0, 128.0, 192.0]
+    got = {(r["cell"], r["level"]): r
+           for r in contour_case_census(
+               tiles, tile_px=T, levels=levels, grid_wh=(GRID, GRID)).collect()}
+    seg_of = np.array([0, 1, 1, 1, 1, 1, 2, 1, 1, 2, 1, 1, 1, 1, 1, 0])
+    v = full.astype(np.int64)
+    total_sq = 0
+    for L in levels:
+        case = ((v[:-1, :-1] >= L).astype(np.int64)
+                + 2 * (v[:-1, 1:] >= L)
+                + 4 * (v[1:, :-1] >= L)
+                + 8 * (v[1:, 1:] >= L))
+        # ownership: square (r, c) belongs to tile (c // T, r // T)
+        for tx in range(GRID):
+            for ty in range(GRID):
+                rs = slice(ty * T, min((ty + 1) * T, n - 1))
+                csl = slice(tx * T, min((tx + 1) * T, n - 1))
+                blk = case[rs, csl]
+                r = got[(_cell(tx, ty), L)]
+                assert r["n_bad"] == 0
+                assert r["n_squares"] == blk.size
+                assert r["n_segments"] == int(seg_of[blk].sum())
+                assert r["case_sum"] == int(blk.sum())
+                total_sq += blk.size
+    assert total_sq == 3 * (n - 1) * (n - 1)  # disjoint cover, all levels
