@@ -4441,6 +4441,55 @@ _CONTOUR_ORACLE_SQL = """
 """
 
 
+def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_polygonize, distributed (r05): global equal-value
+    components over a 4×4 tile grid via local union-find labeling +
+    seam-key equivalence edges + hash-min label propagation
+    (dedup.connected_components reused on the COMPONENT graph).
+    Components are keyed by their minimum global pixel id — canonical
+    and tile-layout-invariant. The fixture's 4-class diagonal field
+    has analytically known components (the unwrapped-value stripes
+    s = (3x+5y)//64, verified by flood fill), so even though iterative
+    CC is not SQL-expressible in general, THIS oracle is exact: per
+    stripe min gpid, pixel count and tiles crossed."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.polygonize import polygonize
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                tx, ty = int(i) // 4, int(i) % 4
+                x = np.arange(32)[None, :] + tx * 32
+                y = np.arange(32)[:, None] + ty * 32
+                tile = (((3 * x + 5 * y) % 256) // 64 * 64).astype(np.uint8)
+                rows.append(((4 << 52) + (tx << 26) + ty, tile.tobytes()))
+            yield pd.DataFrame(rows, columns=["cell", "tile"])
+
+    tiles = spark.range(16).mapInPandas(gen, "cell long, tile binary")
+    return polygonize(tiles, tile_px=32, grid_wh=(4, 4))
+
+
+_POLYGONIZE_ORACLE_SQL = """
+    WITH px AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(0, 127) gx(x), generate_series(0, 127) gy(y)
+    ), f AS (
+        SELECT x, y,
+               (3 * x + 5 * y) // 64 AS s,
+               (((3 * x + 5 * y) % 256) // 64) * 64 AS v,
+               y * 128 + x AS gpid
+        FROM px
+    )
+    SELECT CAST(min(gpid) AS BIGINT) AS component,
+           CAST(min(v) AS BIGINT) AS value,
+           count(*) AS n_px,
+           CAST(count(DISTINCT (x // 32) * 16 + (y // 32)) AS BIGINT) AS n_tiles
+    FROM f GROUP BY s
+"""
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixels → real DCT perceptual hash → per-format rollup. No SQL
     oracle (a 32×32 DCT-II + median threshold is not reasonably
@@ -4724,6 +4773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_indices": q_terrain_indices,
         "color_relief": q_color_relief,
         "contour_census": q_contour_census,
+        "polygonize": q_polygonize,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
         "blend_cells": q_blend_cells,
@@ -4746,6 +4796,7 @@ def oracle_sql() -> dict[str, str]:
         "terrain_indices": _terrain_oracle_sql(),
         "color_relief": _color_relief_oracle_sql(),
         "contour_census": _CONTOUR_ORACLE_SQL,
+        "polygonize": _POLYGONIZE_ORACLE_SQL,
         "tile_assign": f"""
             SELECT cell, count(*) AS n_assign, count(DISTINCT k) AS n_images
             FROM ({_ASSIGNED_SQL}) a GROUP BY cell

@@ -235,6 +235,14 @@ class TileSet:
 
         return slope_aspect(self.df, tile_px, z_factor=z_factor)
 
+    def polygonize(self, tile_px: int, grid_wh: tuple, **kw) -> DataFrame:
+        """Global equal-value raster components (r05,
+        polygonize.polygonize) — gdal_polygonize distributed: local
+        labels + seam equivalences + hash-min CC."""
+        from .operators.polygonize import polygonize
+
+        return polygonize(self.df, tile_px, grid_wh, **kw)
+
     def contour_census(self, tile_px: int, levels: list, grid_wh: tuple) -> DataFrame:
         """Marching-squares contour topology census per tile per level
         (r05, dem.contour_case_census) — gdal_contour's exact skeleton."""

@@ -1,0 +1,105 @@
+"""Distributed raster polygonize vs a scalar whole-raster flood fill:
+global components (canonical min-gpid key, value, pixel count) must
+match exactly on a random small-alphabet raster — blobs cross tile
+seams in both axes and components re-enter tiles (multi-piece)."""
+
+from collections import deque
+
+import numpy as np
+import pandas as pd
+
+from gdal_drivers_spark.operators.polygonize import polygonize
+
+T, GRID = 16, 3  # 3×3 tiles of 16 px = 48² raster
+W = T * GRID
+
+
+def _cell(tx, ty):
+    return (4 << 52) + (tx << 26) + ty
+
+
+def _flood(full: np.ndarray):
+    """(component_min_gpid, value) per pixel + per-component stats."""
+    lab = -np.ones(full.shape, int)
+    comps = {}
+    for r in range(W):
+        for c in range(W):
+            if lab[r, c] >= 0:
+                continue
+            q = deque([(r, c)])
+            lab[r, c] = 1
+            members = [(r, c)]
+            while q:
+                rr, cc = q.popleft()
+                for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    r2, c2 = rr + dr, cc + dc
+                    if (
+                        0 <= r2 < W and 0 <= c2 < W
+                        and lab[r2, c2] < 0
+                        and full[r2, c2] == full[rr, cc]
+                    ):
+                        lab[r2, c2] = 1
+                        q.append((r2, c2))
+                        members.append((r2, c2))
+            key = min(rr2 * W + cc2 for rr2, cc2 in members)
+            comps[key] = (int(full[r, c]), len(members))
+    return comps
+
+
+def _local_piece_count(full: np.ndarray) -> int:
+    """Total per-tile connected pieces (what n_tiles counts)."""
+    total = 0
+    for tx in range(GRID):
+        for ty in range(GRID):
+            sub = full[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            seen = -np.ones(sub.shape, int)
+            for r in range(T):
+                for c in range(T):
+                    if seen[r, c] >= 0:
+                        continue
+                    total += 1
+                    q = deque([(r, c)])
+                    seen[r, c] = 1
+                    while q:
+                        rr, cc = q.popleft()
+                        for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                            r2, c2 = rr + dr, cc + dc
+                            if (
+                                0 <= r2 < T and 0 <= c2 < T
+                                and seen[r2, c2] < 0
+                                and sub[r2, c2] == sub[rr, cc]
+                            ):
+                                seen[r2, c2] = 1
+                                q.append((r2, c2))
+    return total
+
+
+def test_polygonize_matches_flood_fill(spark):
+    rng = np.random.default_rng(17)
+    full = (rng.integers(0, 3, (W, W)) * 80).astype(np.uint8)  # 3 classes, blobby
+    rows = [
+        (_cell(tx, ty), full[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T].tobytes())
+        for tx in range(GRID)
+        for ty in range(GRID)
+    ]
+    tiles = spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "tile"]))
+    got = {r["component"]: r for r in polygonize(tiles, T, (GRID, GRID)).collect()}
+
+    exp = _flood(full)
+    assert set(got) == set(exp), (len(got), len(exp))
+    for comp, (value, n_px) in exp.items():
+        assert got[comp]["value"] == value
+        assert got[comp]["n_px"] == n_px
+    # n_tiles counts local pieces; sum over components == total pieces
+    assert sum(r["n_tiles"] for r in got.values()) == _local_piece_count(full)
+
+
+def test_polygonize_poison_tile_counted(spark):
+    rows = [
+        (_cell(0, 0), np.zeros((T, T), np.uint8).tobytes()),
+        (_cell(1, 0), b"\x00bad"),
+    ]
+    tiles = spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "tile"]))
+    got = {r["component"]: r for r in polygonize(tiles, T, (2, 1)).collect()}
+    assert got[-1]["n_tiles"] == 1  # the poison row counts bad tiles
+    assert got[0]["n_px"] == T * T  # the good tile is one flat component
