@@ -111,28 +111,14 @@ def build_pyramid(tiles: DataFrame, from_level: int, to_level: int = 0, agg: str
     return levels
 
 
-def update_pyramid(
-    levels: dict[int, DataFrame], delta: DataFrame, agg: str = "mean"
-) -> dict[int, DataFrame]:
-    """Incremental overview maintenance: apply a delta of leaf tiles
-    (replacements and/or brand-new cells) and recompute ONLY the
-    ancestors of changed cells, level by level.
-
-    The reference rebuilds overviews whole (mask.cpp:170-174 derives
-    every shallower depth from the full quadtree); at 100 TB a few
-    thousand changed tiles must not trigger a full-pyramid rebuild.
-    Per level the work is O(|delta|): the changed-parent set is
-    broadcast, the existing level is anti-joined against it (broadcast
-    hash join — the base level is scanned once, never shuffled), and
-    the rollup's groupBy shuffles only the affected parents' children
-    (≤ 4·|delta| tiles). Deletions are out of scope (tiles are
-    immutable snapshots; drop + rebuild the subtree for that).
-
-    ``levels`` is ``{level: DataFrame}`` as returned by
-    :func:`build_pyramid` (or read back from a persisted store);
-    ``delta`` carries leaf tiles at ``max(levels)``. Returns the same
-    dict shape with every level updated.
-    """
+def _pyramid_steps(levels: dict[int, DataFrame], delta: DataFrame, agg: str):
+    """Shared core of the incremental-maintenance pair: walk from the
+    leaf level down, yielding ``(level, changed_tiles, merged_level)``
+    where ``changed_tiles`` is the delta (at the leaf) or the
+    recomputed ancestor tiles, and ``merged_level`` is the full level
+    after replacement (broadcast anti-join — the base level is scanned
+    once, never shuffled; the rollup's groupBy shuffles only the
+    affected parents' ≤ 4·|delta| children)."""
     from_level = max(levels)
     to_level = min(levels)
     changed = delta.select("cell", "band").distinct()
@@ -141,7 +127,7 @@ def update_pyramid(
         .join(F.broadcast(changed), ["cell", "band"], "left_anti")
         .unionByName(delta)
     )
-    out = {from_level: merged}
+    yield from_level, delta, merged
     cur, cur_changed = merged, changed
     for z in range(from_level - 1, to_level - 1, -1):
         parent_changed = cur_changed.select(
@@ -159,12 +145,51 @@ def update_pyramid(
             "left_semi",
         )
         recomputed = rollup_tiles_one_level(kids, agg)
-        out[z] = (
+        merged_z = (
             levels[z]
             .join(F.broadcast(parent_changed), ["cell", "band"], "left_anti")
             .unionByName(recomputed)
         )
-        cur, cur_changed = out[z], parent_changed
+        yield z, recomputed, merged_z
+        cur, cur_changed = merged_z, parent_changed
+
+
+def update_pyramid(
+    levels: dict[int, DataFrame], delta: DataFrame, agg: str = "mean"
+) -> dict[int, DataFrame]:
+    """Incremental overview maintenance: apply a delta of leaf tiles
+    (replacements and/or brand-new cells) and recompute ONLY the
+    ancestors of changed cells, level by level.
+
+    The reference rebuilds overviews whole (mask.cpp:170-174 derives
+    every shallower depth from the full quadtree); at 100 TB a few
+    thousand changed tiles must not trigger a full-pyramid rebuild.
+    Per level the work is O(|delta|) Python — see ``_pyramid_steps``
+    for the plan shape. Deletions are out of scope (tiles are
+    immutable snapshots; drop + rebuild the subtree for that).
+
+    ``levels`` is ``{level: DataFrame}`` as returned by
+    :func:`build_pyramid` (or read back from a persisted store);
+    ``delta`` carries leaf tiles at ``max(levels)``. Returns the same
+    dict shape with every level updated.
+    """
+    return {z: merged for z, _, merged in _pyramid_steps(levels, delta, agg)}
+
+
+def pyramid_delta(
+    levels: dict[int, DataFrame], delta: DataFrame, agg: str = "mean"
+) -> DataFrame:
+    """The CHANGED tiles only — delta leaves plus every recomputed
+    ancestor — as one frame with a ``level`` column. This is the
+    commit unit for log-structured pyramid maintenance (streaming
+    ingest commits these rows per epoch; readers resolve latest
+    version per tile), sized O(|delta|·depth) regardless of corpus."""
+    out = None
+    for z, ch, _ in _pyramid_steps(levels, delta, agg):
+        f = ch.select(
+            F.lit(z).cast("int").alias("level"), "cell", "band", "tile", "ts"
+        )
+        out = f if out is None else out.unionByName(f)
     return out
 
 

@@ -223,3 +223,83 @@ def read_stream_index(
     if base is not None:
         idx = base.select(*idx.columns).unionByName(idx)
     return idx
+
+
+def start_pyramid_ingest(
+    leaf_stream: DataFrame,
+    base_levels,
+    writer: CheckpointedWriter,
+    checkpoint_dir: str,
+    agg: str = "mean",
+    fail_after_commit_of: int | None = None,
+):
+    """Continuous overview maintenance (r05): per micro-batch, apply
+    the epoch's leaf-tile delta to the CURRENT pyramid state and
+    commit only the changed tiles (delta leaves + recomputed
+    ancestors, O(|delta|·depth) rows) as ONE checkpoint batch — the
+    log-structured composition of the exactly-once stream sink with
+    ``pyramid.pyramid_delta``. A replayed epoch after a crash is
+    skipped by the manifest anti-join (its rows are already
+    committed), so every tile version exists exactly once and the
+    resolved pyramid equals a batch rebuild over the final leaves
+    (asserted in tests/test_stream_pyramid.py, including kill+replay).
+
+    ``base_levels`` is a callable ``() -> dict[int, DataFrame]``
+    returning the persisted base pyramid (re-read per epoch so each
+    epoch resolves against base + every PRIOR committed epoch).
+    The delta computation runs INSIDE ``foreachBatch`` — on the
+    epoch's batch frame, where plain joins/groupBys apply (a pre-sink
+    stream transformation would compile the rollup's groupBy to a
+    stateful streaming aggregation, the wrong machine)."""
+    from ..operators.pyramid import pyramid_delta
+
+    sink0 = checkpointed_sink(
+        writer, key="cell", fail_after_commit_of=fail_after_commit_of,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+    def _sink(df: DataFrame, epoch_id: int) -> None:
+        levels = read_stream_pyramid(writer, base_levels())
+        changed = pyramid_delta(levels, df.select("cell", "band", "tile", "ts"), agg)
+        sink0(changed, epoch_id)
+
+    return (
+        leaf_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_pyramid(
+    writer: CheckpointedWriter, base_levels: dict
+) -> dict:
+    """Resolve the serving pyramid from base levels + committed
+    epochs: per (level, cell, band) the LATEST committed version wins
+    (``max_by`` on the epoch id — the log-structured read), tiles
+    never committed fall through to the base. Uncommitted or replayed
+    epochs are invisible: the manifest is the single source of
+    version-membership truth. The log is read from the partitioned
+    root (ONE scan with partition pruning on the committed-id filter
+    — ``read_committed`` reads batch dirs directly and so drops the
+    ``batch`` column the version resolution needs)."""
+    done = sorted(writer.committed())
+    if not done:  # nothing committed yet — first epoch
+        return dict(base_levels)
+    spark = next(iter(base_levels.values())).sparkSession
+    committed = spark.read.parquet(writer.out).where(F.col("batch").isin(done))
+    out = {}
+    for z, df in base_levels.items():
+        latest = (
+            committed.filter(F.col("level") == z)
+            .groupBy("cell", "band")
+            .agg(F.max_by(F.struct("tile", "ts"), F.col("batch")).alias("_t"))
+            .select("cell", "band", F.col("_t.tile").alias("tile"),
+                    F.col("_t.ts").alias("ts"))
+        )
+        out[z] = (
+            df.select("cell", "band", "tile", "ts")
+            .join(latest.select("cell", "band"), ["cell", "band"], "left_anti")
+            .unionByName(latest)
+        )
+    return out
