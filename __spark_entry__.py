@@ -3678,6 +3678,49 @@ def q_pyramid_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grid_pattern_tiles(spark, z, n, ts, img_fn, shape="dem", encode=False):
+    """Shared deterministic tile-grid fixture for the raster contract
+    queries (DEM / pyramid / polygonize / color-relief): an n×n grid
+    of ts-px tiles at level z; ``img_fn(gx2d, gy2d) -> array`` gives
+    each tile's pixels from GLOBAL coordinates, so the SQL oracles'
+    closed-form fields mirror it exactly and a fixture change can
+    never desynchronize one query from its oracle. ``shape``:
+    "dem" = (cell, tile), "pyramid" = (cell, band, tile, ts);
+    ``encode=True`` wraps the payload in the codec registry's raw
+    container (operators that decode via codecs)."""
+    import numpy as np
+
+    from gdal_drivers_spark.core import codecs
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                tx, ty = int(i) // n, int(i) % n
+                gx = np.arange(ts)[None, :] + tx * ts
+                gy = np.arange(ts)[:, None] + ty * ts
+                img = img_fn(gx, gy).astype(np.uint8)
+                payload = (
+                    codecs.encode_raw(img[:, :, None]) if encode else img.tobytes()
+                )
+                cellv = (z << 52) | (tx << 26) | ty
+                if shape == "pyramid":
+                    rows.append((cellv, 0, payload, ts))
+                else:
+                    rows.append((cellv, payload))
+            cols = (
+                ["cell", "band", "tile", "ts"] if shape == "pyramid"
+                else ["cell", "tile"]
+            )
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        "cell long, band int, tile binary, ts int" if shape == "pyramid"
+        else "cell long, tile binary"
+    )
+    return spark.range(n * n).mapInPandas(gen, schema)
+
+
 def q_pyramid_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 categorical overview (r05): mode (majority-vote) pyramid
     rollup — the overview kernel for label rasters, where the default
@@ -3688,30 +3731,13 @@ def q_pyramid_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact 2×2 child block, ties → LOWEST value (GDAL's rule), making
     the kernel exact integer arithmetic and the oracle a count/argmax
     in plain SQL."""
-    import numpy as np
-
     from gdal_drivers_spark.operators.pyramid import rollup_tiles_one_level
 
-    ts, n = 32, 4
-    grid = spark.range(n * n).select(
-        (F.col("id") % n).alias("cx"),
-        (F.col("id") / n).cast("long").alias("cy"),
+    tiles = _grid_pattern_tiles(
+        spark, 4, 4, 32,
+        lambda gx, gy: ((gx * 3 + gy * 5 + 11) % 256) // 64 * 64,
+        shape="pyramid",
     )
-
-    def gen(batches):
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples():
-                gx = np.arange(ts) + int(r.cx) * ts
-                gy = np.arange(ts) + int(r.cy) * ts
-                img = (
-                    ((gx[None, :] * 3 + gy[:, None] * 5 + 11) % 256) // 64 * 64
-                ).astype(np.uint8)
-                cell = (4 << 52) | (int(r.cx) << 26) | int(r.cy)
-                rows.append((cell, 0, img.tobytes(), ts))
-            yield pd.DataFrame(rows, columns=["cell", "band", "tile", "ts"])
-
-    tiles = grid.mapInPandas(gen, "cell long, band int, tile binary, ts int")
     out = rollup_tiles_one_level(tiles, agg="mode")
     return out.select(
         (F.shiftright(F.col("cell"), 26) % F.lit(1 << 26)).alias("pcx"),
@@ -3732,40 +3758,17 @@ def q_pyramid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     level is summed. The oracle rolls the MERGED pattern up directly —
     so a stale ancestor, a missed sibling, or a leaf that failed to
     replace all break the hash."""
-    import numpy as np
-
     from gdal_drivers_spark.operators.pyramid import build_pyramid, update_pyramid
 
-    ts, n = 32, 4
-    grid = spark.range(n * n).select(
-        (F.col("id") % n).alias("cx"),
-        (F.col("id") / n).cast("long").alias("cy"),
-    )
-    delta_cells = {(0, 0), (3, 0), (1, 2), (2, 3)}
-
-    def gen_of(which):
-        def gen(batches):
-            for pdf in batches:
-                rows = []
-                for r in pdf.itertuples():
-                    cx, cy = int(r.cx), int(r.cy)
-                    if which == "delta" and (cx, cy) not in delta_cells:
-                        continue
-                    gx = np.arange(ts) + cx * ts
-                    gy = np.arange(ts) + cy * ts
-                    if which == "delta":
-                        img = ((gx[None, :] * 7 + gy[:, None] * 11 + 3) % 256)
-                    else:
-                        img = ((gx[None, :] * 3 + gy[:, None] * 5 + 11) % 256)
-                    cell = (4 << 52) | (cx << 26) | cy
-                    rows.append((cell, 0, img.astype(np.uint8).tobytes(), ts))
-                yield pd.DataFrame(rows, columns=["cell", "band", "tile", "ts"])
-
-        return gen
-
-    schema = "cell long, band int, tile binary, ts int"
-    base = grid.mapInPandas(gen_of("base"), schema)
-    delta = grid.mapInPandas(gen_of("delta"), schema)
+    delta_cells = [(4 << 52) | (cx << 26) | cy
+                   for cx, cy in ((0, 0), (3, 0), (1, 2), (2, 3))]
+    base = _grid_pattern_tiles(
+        spark, 4, 4, 32,
+        lambda gx, gy: (gx * 3 + gy * 5 + 11) % 256, shape="pyramid")
+    delta = _grid_pattern_tiles(
+        spark, 4, 4, 32,
+        lambda gx, gy: (gx * 7 + gy * 11 + 3) % 256, shape="pyramid",
+    ).filter(F.col("cell").isin(delta_cells))
     levels = build_pyramid(base, from_level=4, to_level=2, agg="min")
     updated = update_pyramid(levels, delta, agg="min")
     px = _px_sum_udf()
@@ -4192,22 +4195,9 @@ def q_horn_gradients(spark: SparkSession, sf_dir: str) -> DataFrame:
     replication) is exactly what the oracle's clamped global-field
     arithmetic checks; the trig half (hillshade) is pytest-pinned
     (vectorized numpy is ~1 ulp off libm, not hashable)."""
-    import numpy as np
-
     from gdal_drivers_spark.operators.dem import horn_gradients
 
-    def gen(batches):
-        for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                tx, ty = int(i) // 4, int(i) % 4
-                x = np.arange(32)[None, :] + tx * 32
-                y = np.arange(32)[:, None] + ty * 32
-                tile = ((3 * x + 5 * y) % 256).astype(np.uint8)
-                rows.append(((2 << 52) + (tx << 26) + ty, tile.tobytes()))
-            yield pd.DataFrame(rows, columns=["cell", "tile"])
-
-    tiles = spark.range(16).mapInPandas(gen, "cell long, tile binary")
+    tiles = _grid_pattern_tiles(spark, 2, 4, 32, lambda gx, gy: (3 * gx + 5 * gy) % 256)
     return horn_gradients(tiles, tile_px=32)
 
 
@@ -4245,22 +4235,9 @@ def q_terrain_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     hillshade landed r02-r03). Seam-exactness is the point: every
     index reads the 3×3 window, so a halo-assembly error at any tile
     edge or corner shifts the sums and breaks the hash."""
-    import numpy as np
-
     from gdal_drivers_spark.operators.dem import terrain_indices
 
-    def gen(batches):
-        for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                tx, ty = int(i) // 4, int(i) % 4
-                x = np.arange(32)[None, :] + tx * 32
-                y = np.arange(32)[:, None] + ty * 32
-                tile = ((3 * x + 5 * y) % 256).astype(np.uint8)
-                rows.append(((2 << 52) + (tx << 26) + ty, tile.tobytes()))
-            yield pd.DataFrame(rows, columns=["cell", "tile"])
-
-    tiles = spark.range(16).mapInPandas(gen, "cell long, tile binary")
+    tiles = _grid_pattern_tiles(spark, 2, 4, 32, lambda gx, gy: (3 * gx + 5 * gy) % 256)
     return terrain_indices(tiles, tile_px=32)
 
 
@@ -4311,23 +4288,9 @@ def q_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation-order drift all break the hash."""
     import numpy as np
 
-    from gdal_drivers_spark.core import codecs
     from gdal_drivers_spark.operators.dem import color_relief
 
-    def gen(batches):
-        for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                tx, ty = int(i) // 4, int(i) % 4
-                x = np.arange(32)[None, :] + tx * 32
-                y = np.arange(32)[:, None] + ty * 32
-                tile = ((3 * x + 5 * y) % 256).astype(np.uint8)
-                rows.append(
-                    ((2 << 52) + (tx << 26) + ty, codecs.encode_raw(tile[:, :, None]))
-                )
-            yield pd.DataFrame(rows, columns=["cell", "tile"])
-
-    tiles = spark.range(16).mapInPandas(gen, "cell long, tile binary")
+    tiles = _grid_pattern_tiles(spark, 2, 4, 32, lambda gx, gy: (3 * gx + 5 * gy) % 256, encode=True)
     ramp = [
         (0, (0, 0, 128)),      # deep blue
         (64, (0, 255, 0)),     # green
@@ -4393,22 +4356,9 @@ def q_contour_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonexistent square column/row. n_segments and case_sum are exact
     integers; vertex interpolation rides on these cases and is
     pytest-pinned."""
-    import numpy as np
-
     from gdal_drivers_spark.operators.dem import contour_case_census
 
-    def gen(batches):
-        for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                tx, ty = int(i) // 4, int(i) % 4
-                x = np.arange(32)[None, :] + tx * 32
-                y = np.arange(32)[:, None] + ty * 32
-                tile = ((3 * x + 5 * y) % 256).astype(np.uint8)
-                rows.append(((2 << 52) + (tx << 26) + ty, tile.tobytes()))
-            yield pd.DataFrame(rows, columns=["cell", "tile"])
-
-    tiles = spark.range(16).mapInPandas(gen, "cell long, tile binary")
+    tiles = _grid_pattern_tiles(spark, 2, 4, 32, lambda gx, gy: (3 * gx + 5 * gy) % 256)
     return contour_case_census(
         tiles, tile_px=32, levels=[64.0, 128.0, 192.0], grid_wh=(4, 4)
     )
@@ -4451,23 +4401,13 @@ def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     has analytically known components (the unwrapped-value stripes
     s = (3x+5y)//64, verified by flood fill), so even though iterative
     CC is not SQL-expressible in general, THIS oracle is exact: per
-    stripe min gpid, pixel count and tiles crossed."""
-    import numpy as np
-
+    stripe min gpid, pixel count and per-tile piece count (for THIS
+    fixture each stripe∩tile is one connected piece — verified by the
+    same flood fill — so pieces == tiles crossed)."""
     from gdal_drivers_spark.operators.polygonize import polygonize
 
-    def gen(batches):
-        for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                tx, ty = int(i) // 4, int(i) % 4
-                x = np.arange(32)[None, :] + tx * 32
-                y = np.arange(32)[:, None] + ty * 32
-                tile = (((3 * x + 5 * y) % 256) // 64 * 64).astype(np.uint8)
-                rows.append(((4 << 52) + (tx << 26) + ty, tile.tobytes()))
-            yield pd.DataFrame(rows, columns=["cell", "tile"])
-
-    tiles = spark.range(16).mapInPandas(gen, "cell long, tile binary")
+    tiles = _grid_pattern_tiles(
+        spark, 4, 4, 32, lambda gx, gy: ((3 * gx + 5 * gy) % 256) // 64 * 64)
     return polygonize(tiles, tile_px=32, grid_wh=(4, 4))
 
 
@@ -4485,7 +4425,7 @@ _POLYGONIZE_ORACLE_SQL = """
     SELECT CAST(min(gpid) AS BIGINT) AS component,
            CAST(min(v) AS BIGINT) AS value,
            count(*) AS n_px,
-           CAST(count(DISTINCT (x // 32) * 16 + (y // 32)) AS BIGINT) AS n_tiles
+           CAST(count(DISTINCT (x // 32) * 16 + (y // 32)) AS BIGINT) AS n_pieces
     FROM f GROUP BY s
 """
 

@@ -189,13 +189,14 @@ class TileSet:
 
         return build_pyramid(self.df, from_level, to_level, agg)
 
-    def update_pyramid(self, levels: dict, delta: DataFrame, agg: str = "mean"):
-        """Incremental overview maintenance (r05): apply a leaf delta
-        and recompute only the changed cells' ancestors —
-        pyramid.update_pyramid."""
+    def update_pyramid(self, levels: dict, agg: str = "mean"):
+        """Incremental overview maintenance (r05): apply THIS TileSet's
+        tiles as the leaf delta to an existing pyramid and recompute
+        only the changed cells' ancestors — pyramid.update_pyramid
+        (mirrors how ``pyramid()`` uses self.df as the leaves)."""
         from .operators.pyramid import update_pyramid
 
-        return update_pyramid(levels, delta, agg)
+        return update_pyramid(levels, self.df, agg)
 
     def with_halo(self, ring: int = 1) -> DataFrame:
         from .operators.halo import with_halo

@@ -422,6 +422,10 @@ def color_relief(
     Poison policy: undecodable payload → ok=false, empty planes."""
     xs = np.array([float(e) for e, _ in ramp], np.float64)
     cs = np.array([c for _, c in ramp], np.float64)  # (n, 3)
+    if len(xs) < 2:
+        # one stop would make every segment degenerate (e0 == e1 →
+        # frac = 0/0 → NaN planes silently flagged ok)
+        raise ValueError("ramp needs >= 2 stops")
     if not (np.diff(xs) > 0).all():
         raise ValueError("ramp elevations must be strictly increasing")
     xs_l, cs_l = xs.tolist(), cs.tolist()  # plan-time capture (no numpy pickle)

@@ -45,9 +45,15 @@ from gdal_drivers_spark.operators.dedup import connected_components
 
 
 def _label_tile(v: np.ndarray) -> np.ndarray:
-    """Two-pass union-find labeling, 4-connectivity, equal value.
-    Returns an int array of per-pixel local root indices (root =
-    arbitrary member index; callers canonicalize via min gpid)."""
+    """Union-find labeling, 4-connectivity, equal value. Returns an
+    int array of per-pixel local root indices (root = arbitrary
+    member index; callers canonicalize via min gpid).
+
+    The Python loop runs ONLY over equal-neighbor pairs (numpy masks
+    find them); the final root resolution is vectorized pointer
+    jumping — for a categorical raster with few merges per tile this
+    keeps the kernel numpy-speed instead of 4 interpreted passes over
+    every pixel."""
     t0, t1 = v.shape
     n = t0 * t1
     parent = np.arange(n)
@@ -59,17 +65,23 @@ def _label_tile(v: np.ndarray) -> np.ndarray:
         return a
 
     flat = v.ravel()
-    for i in range(n):
-        r, c = divmod(i, t1)
-        if c and flat[i] == flat[i - 1]:
-            ra, rb = find(i), find(i - 1)
-            if ra != rb:
-                parent[ra] = rb
-        if r and flat[i] == flat[i - t1]:
-            ra, rb = find(i), find(i - t1)
-            if ra != rb:
-                parent[ra] = rb
-    return np.array([find(i) for i in range(n)])
+    left = np.flatnonzero(flat[1:] == flat[:-1])
+    left = left[(left % t1) != (t1 - 1)]  # drop row-wrap false pairs
+    for i in left:
+        ra, rb = find(int(i) + 1), find(int(i))
+        if ra != rb:
+            parent[ra] = rb
+    up = np.flatnonzero(flat[t1:] == flat[:-t1])
+    for i in up:
+        ra, rb = find(int(i) + t1), find(int(i))
+        if ra != rb:
+            parent[ra] = rb
+    # vectorized pointer jumping resolves every pixel to its root
+    while True:
+        p2 = parent[parent]
+        if np.array_equal(p2, parent):
+            return parent
+        parent = p2
 
 
 def polygonize(
@@ -78,17 +90,27 @@ def polygonize(
     grid_wh: tuple,
     cell: str = "cell",
     tile_col: str = "tile",
+    grid_origin: tuple = (0, 0),
     max_iter: int = 50,
 ) -> DataFrame:
     """Global equal-value components over a dense tile grid.
 
     Input rows: (cell, tile: raw u8 payload, t×t). Output one row per
     component: (component = min global pixel id, value, n_px,
-    n_tiles) — all exact integers. Corrupt tiles are skipped and
-    surface as one (component=-1, value=-1, n_px=0, n_tiles=n_bad)
-    poison row (house rule: counted, never fatal, never silent)."""
+    n_pieces) — all exact integers; ``n_pieces`` counts the
+    component's per-tile connected pieces (≥ the tiles it crosses — a
+    component can re-enter a tile). Corrupt tiles are skipped and
+    surface as one (component=-1, value=-1, n_px=0, n_pieces=n_bad)
+    poison row (house rule: counted, never fatal, never silent).
+
+    ``grid_origin`` = (tx0, ty0) of the grid's top-left tile; tiles
+    outside ``[origin, origin + grid_wh)`` RAISE — a mis-declared grid
+    would alias global pixel ids (gpid = gy·W + gx wraps rows) and
+    silently fuse unrelated components, which must fail fast instead.
+    """
     t = int(tile_px)
-    gw = int(grid_wh[0])
+    gw, gh = int(grid_wh[0]), int(grid_wh[1])
+    ox, oy = int(grid_origin[0]), int(grid_origin[1])
     W = gw * t  # global width in pixels (gpid = gy * W + gx)
 
     def gen(batches):
@@ -96,54 +118,56 @@ def polygonize(
             srows = []
             for row in pdf.itertuples():
                 kc = int(getattr(row, cell))
+                tx = ((kc >> 26) & ((1 << 26) - 1)) - ox
+                ty = (kc & ((1 << 26) - 1)) - oy
+                if not (0 <= tx < gw and 0 <= ty < gh):
+                    raise ValueError(
+                        f"tile ({tx + ox}, {ty + oy}) outside the declared "
+                        f"grid origin={grid_origin} size={grid_wh}: gpid "
+                        "linearization would alias across rows and fuse "
+                        "unrelated components"
+                    )
                 try:
                     v = np.frombuffer(bytes(getattr(row, tile_col)), np.uint8)
                     v = v.reshape(t, t).astype(np.int64)
                 except Exception:
                     srows.append((1, -1, -1, -1, 0))  # poison marker
                     continue
-                tx = (kc >> 26) & ((1 << 26) - 1)
-                ty = kc & ((1 << 26) - 1)
                 gx0, gy0 = tx * t, ty * t
                 roots = _label_tile(v)
                 gy = np.arange(t)[:, None] + gy0
                 gx = np.arange(t)[None, :] + gx0
-                gpid = (gy * W + gx).ravel()
+                gpid = (gy * W + gx).ravel().astype(np.int64)
                 flat = v.ravel()
-                # canonical node id per local root: min gpid
-                node_of: dict = {}
-                for i in range(t * t):
-                    r = roots[i]
-                    if r not in node_of or gpid[i] < node_of[r]:
-                        node_of[r] = int(gpid[i])
+                # canonical node id per local root: min gpid (vectorized)
+                min_g = np.full(t * t, np.iinfo(np.int64).max, np.int64)
+                np.minimum.at(min_g, roots, gpid)
+                counts = np.bincount(roots, minlength=t * t)
+                node_px = min_g[roots]  # per-pixel canonical node id
                 # kind 0: local component summaries
-                cnt: dict = {}
-                for i in range(t * t):
-                    cnt[roots[i]] = cnt.get(roots[i], 0) + 1
-                for r, n_px in cnt.items():
-                    srows.append((0, node_of[r], int(flat[r]), -1, n_px))
+                for r in np.flatnonzero(counts):
+                    srows.append((0, int(min_g[r]), int(flat[r]), -1, int(counts[r])))
                 # kind 1: seam rows. pair key: horizontal = west gpid*2,
                 # vertical = north gpid*2+1 — both sides derive it from
                 # their own coordinates alone
-                for j in range(t):
-                    # my east edge (I am the west pixel of the pair)
-                    i = j * t + (t - 1)
-                    srows.append((1, node_of[roots[i]], int(flat[i]),
-                                  int(gpid[i]) * 2, 1))
-                    # my west edge (west neighbor's gpid = mine - 1)
-                    i = j * t
-                    if gx0 > 0:
-                        srows.append((1, node_of[roots[i]], int(flat[i]),
-                                      (int(gpid[i]) - 1) * 2, 1))
-                    # my south edge (I am the north pixel)
-                    i = (t - 1) * t + j
-                    srows.append((1, node_of[roots[i]], int(flat[i]),
-                                  int(gpid[i]) * 2 + 1, 1))
-                    # my north edge (north neighbor's gpid = mine - W)
-                    i = j
-                    if gy0 > 0:
-                        srows.append((1, node_of[roots[i]], int(flat[i]),
-                                      (int(gpid[i]) - W) * 2 + 1, 1))
+                def seam(idx):
+                    for i in idx:
+                        yield int(node_px[i]), int(flat[i])
+
+                east = np.arange(t) * t + (t - 1)
+                for (node, val), i in zip(seam(east), east):
+                    srows.append((1, node, val, int(gpid[i]) * 2, 1))
+                if gx0 > 0:
+                    west = np.arange(t) * t
+                    for (node, val), i in zip(seam(west), west):
+                        srows.append((1, node, val, (int(gpid[i]) - 1) * 2, 1))
+                south = (t - 1) * t + np.arange(t)
+                for (node, val), i in zip(seam(south), south):
+                    srows.append((1, node, val, int(gpid[i]) * 2 + 1, 1))
+                if gy0 > 0:
+                    north = np.arange(t)
+                    for (node, val), i in zip(seam(north), north):
+                        srows.append((1, node, val, (int(gpid[i]) - W) * 2 + 1, 1))
             yield pd.DataFrame(
                 srows, columns=["kind", "node", "value", "pair_key", "n_px"]
             )
@@ -176,12 +200,12 @@ def polygonize(
             "n_px",
         )
         .groupBy("component", "value")
-        .agg(F.sum("n_px").alias("n_px"), F.count("*").alias("n_tiles"))
+        .agg(F.sum("n_px").alias("n_px"), F.count("*").alias("n_pieces"))
     )
     poison = n_bad.groupBy().agg(F.count("*").alias("nb")).filter("nb > 0").select(
         F.lit(-1).cast("long").alias("component"),
         F.lit(-1).cast("long").alias("value"),
         F.lit(0).cast("long").alias("n_px"),
-        F.col("nb").alias("n_tiles"),
+        F.col("nb").alias("n_pieces"),
     )
     return out.unionByName(poison)

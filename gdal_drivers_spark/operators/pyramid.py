@@ -121,6 +121,16 @@ def _pyramid_steps(levels: dict[int, DataFrame], delta: DataFrame, agg: str):
     affected parents' ≤ 4·|delta| children)."""
     from_level = max(levels)
     to_level = min(levels)
+    # deterministic within-delta resolution: a delta carrying two
+    # versions of one (cell, band) — e.g. one streaming epoch batching
+    # several source files — would otherwise write the same parent
+    # quadrant twice with shuffle-order picking the winner. Rule: the
+    # lexicographically greatest (ts, tile) version wins.
+    delta = (
+        delta.groupBy("cell", "band")
+        .agg(F.max(F.struct("ts", "tile")).alias("_v"))
+        .select("cell", "band", F.col("_v.tile").alias("tile"), F.col("_v.ts").alias("ts"))
+    )
     changed = delta.select("cell", "band").distinct()
     merged = (
         levels[from_level]

@@ -437,3 +437,28 @@ def test_with_halo_strips_tile_column_param(spark):
     # 2x2 grid: every tile contributes to itself + its 3 in-bounds
     # neighbors -> 16 exchange rows
     assert a == b and len(a) == 16
+
+
+def test_update_pyramid_duplicate_delta_rows_resolve_deterministically(spark):
+    """A delta carrying two versions of one (cell, band) — e.g. one
+    streaming epoch batching several files — must resolve to ONE
+    deterministic winner (max (ts, tile)), not a shuffle-order race
+    that could put different versions in the leaf and its parent."""
+    ts = 8
+    base_rows = [(int(qcell.pack(4, 0, 0)), 0, bytes([1] * ts * ts), ts)]
+    cols = ["cell", "band", "tile", "ts"]
+    base = spark.createDataFrame(pd.DataFrame(base_rows, columns=cols))
+    dup = [
+        (int(qcell.pack(4, 0, 0)), 0, bytes([7] * ts * ts), ts),
+        (int(qcell.pack(4, 0, 0)), 0, bytes([9] * ts * ts), ts),
+    ]
+    delta = spark.createDataFrame(pd.DataFrame(dup, columns=cols))
+    levels = build_pyramid(base, from_level=4, to_level=3)
+    for _ in range(3):  # stable across repeated evaluation
+        up = update_pyramid(levels, delta, agg="min")
+        leaf = {bytes(r["tile"]) for r in up[4].collect()}
+        parent = {bytes(r["tile"]) for r in up[3].collect()}
+        assert leaf == {bytes([9] * ts * ts)}  # max (ts, tile) wins
+        exp_parent = np.zeros((ts, ts), np.uint8)
+        exp_parent[: ts // 2, : ts // 2] = 9
+        assert parent == {exp_parent.tobytes()}

@@ -90,8 +90,8 @@ def test_polygonize_matches_flood_fill(spark):
     for comp, (value, n_px) in exp.items():
         assert got[comp]["value"] == value
         assert got[comp]["n_px"] == n_px
-    # n_tiles counts local pieces; sum over components == total pieces
-    assert sum(r["n_tiles"] for r in got.values()) == _local_piece_count(full)
+    # n_pieces counts local pieces; sum over components == total pieces
+    assert sum(r["n_pieces"] for r in got.values()) == _local_piece_count(full)
 
 
 def test_polygonize_poison_tile_counted(spark):
@@ -101,5 +101,5 @@ def test_polygonize_poison_tile_counted(spark):
     ]
     tiles = spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "tile"]))
     got = {r["component"]: r for r in polygonize(tiles, T, (2, 1)).collect()}
-    assert got[-1]["n_tiles"] == 1  # the poison row counts bad tiles
+    assert got[-1]["n_pieces"] == 1  # the poison row counts bad tiles
     assert got[0]["n_px"] == T * T  # the good tile is one flat component
