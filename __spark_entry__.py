@@ -4430,6 +4430,62 @@ _POLYGONIZE_ORACLE_SQL = """
 """
 
 
+def q_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_sieve, distributed (r05): components under 300 px merge
+    into their largest-shared-boundary neighbor (ties → lowest
+    component id). On the stripe fixture the two thin corner stripes
+    (152 px and 122 px) each have exactly one neighbor, no chains —
+    so the whole merge, including absorbed pixel sums, is analytic:
+    the oracle derives adjacency from the closed-form field with no
+    joins (s(x+1,y) is just as computable as s(x,y))."""
+    from gdal_drivers_spark.operators.polygonize import sieve
+
+    tiles = _grid_pattern_tiles(
+        spark, 4, 4, 32, lambda gx, gy: ((3 * gx + 5 * gy) % 256) // 64 * 64)
+    return sieve(tiles, tile_px=32, grid_wh=(4, 4), threshold=300)
+
+
+_SIEVE_ORACLE_SQL = """
+    WITH px AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(0, 127) gx(x), generate_series(0, 127) gy(y)
+    ), f AS (
+        SELECT x, y,
+               (3 * x + 5 * y) // 64 AS s,
+               (((3 * x + 5 * y) % 256) // 64) * 64 AS v,
+               y * 128 + x AS gpid
+        FROM px
+    ), comp AS (
+        SELECT s, CAST(min(gpid) AS BIGINT) AS component,
+               CAST(min(v) AS BIGINT) AS value, count(*) AS n_px
+        FROM f GROUP BY s
+    ), adjp AS (
+        SELECT LEAST(sa, sb) AS ax, GREATEST(sa, sb) AS ay, count(*) AS cnt
+        FROM (
+            SELECT s AS sa, (3 * (x + 1) + 5 * y) // 64 AS sb FROM f WHERE x < 127
+            UNION ALL
+            SELECT s AS sa, (3 * x + 5 * (y + 1)) // 64 AS sb FROM f WHERE y < 127
+        ) WHERE sa != sb GROUP BY 1, 2
+    ), adj2 AS (
+        SELECT ax AS x, ay AS y, cnt FROM adjp
+        UNION ALL SELECT ay, ax, cnt FROM adjp
+    ), tgt AS (
+        SELECT b.x AS s, b.y AS t,
+               row_number() OVER (PARTITION BY b.x ORDER BY b.cnt DESC, b.y) AS rn
+        FROM adj2 b JOIN comp c ON c.s = b.x AND c.n_px < 300
+    ), remap AS (SELECT s, t FROM tgt WHERE rn = 1)
+    SELECT c.component, c.value,
+           CAST(c.n_px + COALESCE(ab.apx, 0) AS BIGINT) AS n_px,
+           CAST(COALESCE(ab.k, 0) AS BIGINT) AS n_absorbed
+    FROM comp c
+    LEFT JOIN (
+        SELECT r.t AS s, SUM(c2.n_px) AS apx, count(*) AS k
+        FROM remap r JOIN comp c2 ON c2.s = r.s GROUP BY r.t
+    ) ab ON ab.s = c.s
+    WHERE c.s NOT IN (SELECT s FROM remap)
+"""
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixels → real DCT perceptual hash → per-format rollup. No SQL
     oracle (a 32×32 DCT-II + median threshold is not reasonably
@@ -4714,6 +4770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "color_relief": q_color_relief,
         "contour_census": q_contour_census,
         "polygonize": q_polygonize,
+        "sieve": q_sieve,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
         "blend_cells": q_blend_cells,
@@ -4737,6 +4794,7 @@ def oracle_sql() -> dict[str, str]:
         "color_relief": _color_relief_oracle_sql(),
         "contour_census": _CONTOUR_ORACLE_SQL,
         "polygonize": _POLYGONIZE_ORACLE_SQL,
+        "sieve": _SIEVE_ORACLE_SQL,
         "tile_assign": f"""
             SELECT cell, count(*) AS n_assign, count(DISTINCT k) AS n_images
             FROM ({_ASSIGNED_SQL}) a GROUP BY cell

@@ -244,6 +244,13 @@ class TileSet:
 
         return polygonize(self.df, tile_px, grid_wh, **kw)
 
+    def sieve(self, tile_px: int, grid_wh: tuple, threshold: int, **kw) -> DataFrame:
+        """Merge components under threshold px into their largest-
+        boundary neighbor (r05, polygonize.sieve) — gdal_sieve."""
+        from .operators.polygonize import sieve
+
+        return sieve(self.df, tile_px, grid_wh, threshold, **kw)
+
     def contour_census(self, tile_px: int, levels: list, grid_wh: tuple) -> DataFrame:
         """Marching-squares contour topology census per tile per level
         (r05, dem.contour_case_census) — gdal_contour's exact skeleton."""

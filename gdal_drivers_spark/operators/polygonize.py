@@ -84,30 +84,22 @@ def _label_tile(v: np.ndarray) -> np.ndarray:
         parent = p2
 
 
-def polygonize(
+def _polygonize_parts(
     tiles: DataFrame,
     tile_px: int,
     grid_wh: tuple,
-    cell: str = "cell",
-    tile_col: str = "tile",
-    grid_origin: tuple = (0, 0),
-    max_iter: int = 50,
-) -> DataFrame:
-    """Global equal-value components over a dense tile grid.
-
-    Input rows: (cell, tile: raw u8 payload, t×t). Output one row per
-    component: (component = min global pixel id, value, n_px,
-    n_pieces) — all exact integers; ``n_pieces`` counts the
-    component's per-tile connected pieces (≥ the tiles it crosses — a
-    component can re-enter a tile). Corrupt tiles are skipped and
-    surface as one (component=-1, value=-1, n_px=0, n_pieces=n_bad)
-    poison row (house rule: counted, never fatal, never silent).
-
-    ``grid_origin`` = (tx0, ty0) of the grid's top-left tile; tiles
-    outside ``[origin, origin + grid_wh)`` RAISE — a mis-declared grid
-    would alias global pixel ids (gpid = gy·W + gx wraps rows) and
-    silently fuse unrelated components, which must fail fast instead.
-    """
+    cell: str,
+    tile_col: str,
+    grid_origin: tuple,
+    max_iter: int,
+    adjacency: bool = False,
+):
+    """Shared pipeline front half: tile labeling → (raw frame,
+    summaries, poison rows, grouped seam pairs, CC labels). With
+    ``adjacency=True`` the Arrow hop also emits kind-2 rows — in-tile
+    boundary counts between DIFFERENT local components, with the
+    ``pair_key`` column carrying the second node id — for sieve's
+    largest-neighbor rule."""
     t = int(tile_px)
     gw, gh = int(grid_wh[0]), int(grid_wh[1])
     ox, oy = int(grid_origin[0]), int(grid_origin[1])
@@ -147,6 +139,22 @@ def polygonize(
                 # kind 0: local component summaries
                 for r in np.flatnonzero(counts):
                     srows.append((0, int(min_g[r]), int(flat[r]), -1, int(counts[r])))
+                if adjacency:
+                    # kind 2: in-tile boundary counts between DIFFERENT
+                    # local components (pair_key column = second node)
+                    npx2 = node_px.reshape(t, t)
+                    ha, hb = npx2[:, :-1].ravel(), npx2[:, 1:].ravel()
+                    va, vb = npx2[:-1, :].ravel(), npx2[1:, :].ravel()
+                    a = np.concatenate([ha, va])
+                    b = np.concatenate([hb, vb])
+                    m = a != b
+                    if m.any():
+                        pairs = np.stack(
+                            [np.minimum(a[m], b[m]), np.maximum(a[m], b[m])], 1
+                        )
+                        uq, cnt2 = np.unique(pairs, axis=0, return_counts=True)
+                        for (na, nb), c in zip(uq, cnt2):
+                            srows.append((2, int(na), -1, int(nb), int(c)))
                 # kind 1: seam rows. pair key: horizontal = west gpid*2,
                 # vertical = north gpid*2+1 — both sides derive it from
                 # their own coordinates alone
@@ -179,19 +187,48 @@ def polygonize(
     summaries = raw.filter("kind = 0").select("node", "value", "n_px")
     n_bad = raw.filter("kind = 1 and node = -1")
     seams = raw.filter("kind = 1 and node >= 0")
+    grouped = seams.groupBy("pair_key").agg(
+        F.min_by(F.struct("node", "value"), "node").alias("a"),
+        F.max_by(F.struct("node", "value"), "node").alias("b"),
+        F.count("*").alias("n"),
+    )
     # seam pairs with equal value -> equivalence edge between local nodes
     edges = (
-        seams.groupBy("pair_key")
-        .agg(
-            F.min_by(F.struct("node", "value"), "node").alias("a"),
-            F.max_by(F.struct("node", "value"), "node").alias("b"),
-            F.count("*").alias("n"),
-        )
-        .filter("n = 2 AND a.value = b.value AND a.node != b.node")
+        grouped.filter("n = 2 AND a.value = b.value AND a.node != b.node")
         .select(F.col("a.node").alias("id1"), F.col("b.node").alias("id2"))
         .distinct()
     )
     labels = connected_components(edges, max_iter=max_iter)
+    return raw, summaries, n_bad, grouped, labels
+
+
+def polygonize(
+    tiles: DataFrame,
+    tile_px: int,
+    grid_wh: tuple,
+    cell: str = "cell",
+    tile_col: str = "tile",
+    grid_origin: tuple = (0, 0),
+    max_iter: int = 50,
+) -> DataFrame:
+    """Global equal-value components over a dense tile grid.
+
+    Input rows: (cell, tile: raw u8 payload, t×t). Output one row per
+    component: (component = min global pixel id, value, n_px,
+    n_pieces) — all exact integers; ``n_pieces`` counts the
+    component's per-tile connected pieces (≥ the tiles it crosses — a
+    component can re-enter a tile). Corrupt tiles are skipped and
+    surface as one (component=-1, value=-1, n_px=0, n_pieces=n_bad)
+    poison row (house rule: counted, never fatal, never silent).
+
+    ``grid_origin`` = (tx0, ty0) of the grid's top-left tile; tiles
+    outside ``[origin, origin + grid_wh)`` RAISE — a mis-declared grid
+    would alias global pixel ids (gpid = gy·W + gx wraps rows) and
+    silently fuse unrelated components, which must fail fast instead.
+    """
+    raw, summaries, n_bad, _, labels = _polygonize_parts(
+        tiles, tile_px, grid_wh, cell, tile_col, grid_origin, max_iter
+    )
     out = (
         summaries.join(labels, summaries.node == labels.node, "left")
         .select(
@@ -207,5 +244,129 @@ def polygonize(
         F.lit(-1).cast("long").alias("value"),
         F.lit(0).cast("long").alias("n_px"),
         F.col("nb").alias("n_pieces"),
+    )
+    return out.unionByName(poison)
+
+
+def sieve(
+    tiles: DataFrame,
+    tile_px: int,
+    grid_wh: tuple,
+    threshold: int,
+    cell: str = "cell",
+    tile_col: str = "tile",
+    grid_origin: tuple = (0, 0),
+    max_iter: int = 50,
+    max_remap: int = 1_000_000,
+) -> DataFrame:
+    """gdal_sieve distributed: merge every component smaller than
+    ``threshold`` pixels into its largest-shared-boundary neighbor
+    (GDAL's rule; ties → lowest neighbor component id), one merge
+    round, chains resolved transitively. Output one row per SURVIVING
+    component: (component, value, n_px, n_absorbed) where n_px
+    includes absorbed pixels and value is the ABSORBER's class.
+
+    Plan shape: the polygonize pipeline plus (a) in-tile boundary
+    counts between different local components (emitted by the same
+    Arrow hop — perimeter-of-components-sized rows, not pixels),
+    (b) cross-tile different-value seam pairs from the same seam
+    groupBy, (c) two node→root translations and one groupBy to lift
+    adjacency to global components. Only the small-component remap
+    (≤ #small rows, ``max_remap``-guarded) ever reaches the driver —
+    needed because transitive chain compression (A→B→C when B is
+    itself small) is pointer-chasing on a tiny map, not a dataset
+    operation. A small component with NO neighbor (single-component
+    raster) survives unchanged."""
+    raw, summaries, n_bad, grouped, labels = _polygonize_parts(
+        tiles, tile_px, grid_wh, cell, tile_col, grid_origin, max_iter,
+        adjacency=True,
+    )
+    node_root = (
+        summaries.select("node")
+        .distinct()
+        .join(labels, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("root"))
+    )
+    comp = (
+        summaries.join(node_root, "node")
+        .groupBy("root", "value")
+        .agg(F.sum("n_px").alias("n_px"))
+    )
+    intile = raw.filter("kind = 2").select(
+        F.col("node").alias("na"), F.col("pair_key").alias("nb"),
+        F.col("n_px").alias("cnt"),
+    )
+    cross = grouped.filter("n = 2 AND a.value != b.value").select(
+        F.col("a.node").alias("na"), F.col("b.node").alias("nb"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    r1 = node_root.select(F.col("node").alias("na"), F.col("root").alias("ra"))
+    r2 = node_root.select(F.col("node").alias("nb"), F.col("root").alias("rb"))
+    adj = (
+        intile.unionByName(cross)
+        .join(r1, "na")
+        .join(r2, "nb")
+        .filter("ra != rb")
+        .select(
+            F.least("ra", "rb").alias("x"), F.greatest("ra", "rb").alias("y"), "cnt"
+        )
+        .groupBy("x", "y")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    both = adj.unionByName(
+        adj.select(F.col("y").alias("x"), F.col("x").alias("y"), "cnt")
+    )
+    small = comp.filter(F.col("n_px") < threshold).select(F.col("root").alias("x"))
+    tgt = (
+        both.join(F.broadcast(small), "x")
+        .groupBy("x")
+        .agg(F.max_by("y", F.struct(F.col("cnt"), -F.col("y"))).alias("target"))
+    )
+    remap_rows = tgt.limit(max_remap + 1).collect()
+    if len(remap_rows) > max_remap:
+        raise ValueError(
+            f"sieve remap exceeds max_remap={max_remap} small components; "
+            "raise the cap or lower the threshold"
+        )
+    remap = {int(r["x"]): int(r["target"]) for r in remap_rows}
+    # transitive compression: a small target that is itself small
+    # chains to ITS target (pointer chasing on the tiny driver map).
+    # Mutually-small neighbors form a cycle — merge the whole cycle
+    # into its minimum component id (deterministic, and they ARE one
+    # merged region).
+    def final_of(c):
+        path, seen = [], set()
+        while c in remap and c not in seen:
+            seen.add(c)
+            path.append(c)
+            c = remap[c]
+        if c in seen:
+            return min(path[path.index(c):])
+        return c
+
+    flat = {c: final_of(c) for c in remap}
+    spark = tiles.sparkSession
+    if flat:
+        remap_df = spark.createDataFrame(
+            [(k, v) for k, v in flat.items()], "root long, final long"
+        )
+    else:
+        remap_df = spark.createDataFrame([], "root long, final long")
+    merged = (
+        comp.join(F.broadcast(remap_df), "root", "left")
+        .select(
+            F.coalesce("final", F.col("root")).alias("final"), "root", "value", "n_px"
+        )
+    )
+    out = merged.groupBy("final").agg(
+        F.sum("n_px").alias("n_px"),
+        F.max_by("value", (F.col("root") == F.col("final")).cast("int")).alias("value"),
+        (F.count("*") - 1).alias("n_absorbed"),
+    ).select(F.col("final").alias("component"), "value", "n_px", "n_absorbed")
+    poison = n_bad.groupBy().agg(F.count("*").alias("nb")).filter("nb > 0").select(
+        F.lit(-1).cast("long").alias("component"),
+        F.lit(-1).cast("long").alias("value"),
+        F.lit(0).cast("long").alias("n_px"),
+        F.col("nb").alias("n_absorbed"),
     )
     return out.unionByName(poison)

@@ -103,3 +103,89 @@ def test_polygonize_poison_tile_counted(spark):
     got = {r["component"]: r for r in polygonize(tiles, T, (2, 1)).collect()}
     assert got[-1]["n_pieces"] == 1  # the poison row counts bad tiles
     assert got[0]["n_px"] == T * T  # the good tile is one flat component
+
+
+def test_sieve_matches_scalar_reference(spark):
+    """Distributed sieve == a scalar reference implementing the same
+    rule: components < threshold merge into their largest-shared-
+    boundary neighbor (ties → lowest component id), chains compressed
+    transitively, mutual-small cycles merged into the cycle's min id."""
+    from gdal_drivers_spark.operators.polygonize import sieve
+
+    rng = np.random.default_rng(29)
+    full = (rng.integers(0, 3, (W, W)) * 80).astype(np.uint8)
+    rows = [
+        (_cell(tx, ty), full[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T].tobytes())
+        for tx in range(GRID)
+        for ty in range(GRID)
+    ]
+    tiles = spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "tile"]))
+    threshold = 12
+    got = {r["component"]: (r["value"], r["n_px"], r["n_absorbed"])
+           for r in sieve(tiles, T, (GRID, GRID), threshold).collect()}
+
+    # ---- scalar reference
+    lab = -np.ones(full.shape, int)
+    comp_of = {}
+    for r in range(W):
+        for c in range(W):
+            if lab[r, c] >= 0:
+                continue
+            members = [(r, c)]
+            q = deque([(r, c)])
+            lab[r, c] = 0
+            while q:
+                rr, cc = q.popleft()
+                for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    r2, c2 = rr + dr, cc + dc
+                    if (0 <= r2 < W and 0 <= c2 < W and lab[r2, c2] < 0
+                            and full[r2, c2] == full[rr, cc]):
+                        lab[r2, c2] = 0
+                        q.append((r2, c2))
+                        members.append((r2, c2))
+            key = min(rr2 * W + cc2 for rr2, cc2 in members)
+            for m in members:
+                comp_of[m] = key
+    sizes, values = {}, {}
+    for (r, c), k in comp_of.items():
+        sizes[k] = sizes.get(k, 0) + 1
+        values[k] = int(full[r, c])
+    adj = {}
+    for r in range(W):
+        for c in range(W):
+            for dr, dc in ((0, 1), (1, 0)):
+                r2, c2 = r + dr, c + dc
+                if r2 < W and c2 < W and comp_of[(r, c)] != comp_of[(r2, c2)]:
+                    a, b = sorted((comp_of[(r, c)], comp_of[(r2, c2)]))
+                    adj[(a, b)] = adj.get((a, b), 0) + 1
+    remap = {}
+    for k, n in sizes.items():
+        if n >= threshold:
+            continue
+        nbrs = {}
+        for (a, b), cnt in adj.items():
+            if a == k:
+                nbrs[b] = nbrs.get(b, 0) + cnt
+            elif b == k:
+                nbrs[a] = nbrs.get(a, 0) + cnt
+        if nbrs:
+            remap[k] = max(nbrs.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+
+    def final_of(c):
+        path, seen = [], set()
+        while c in remap and c not in seen:
+            seen.add(c)
+            path.append(c)
+            c = remap[c]
+        if c in seen:
+            return min(path[path.index(c):])
+        return c
+
+    exp = {}
+    for k, n in sizes.items():
+        f = final_of(k)
+        v, px, ab = exp.get(f, (values[f], 0, -1))
+        exp[f] = (v, px + n, ab + 1)
+    assert got == exp
+    # sanity: the fixture actually exercised merges
+    assert any(ab > 0 for _, _, ab in exp.values())
