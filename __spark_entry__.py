@@ -4486,6 +4486,75 @@ _SIEVE_ORACLE_SQL = """
 """
 
 
+def q_sieve_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_sieve's OUTPUT RASTER (r05): rewrite every sub-threshold
+    component's pixels with its absorber's value (``sieve_apply``) —
+    the form gdal_sieve.py actually emits (reference surface: the
+    Resampling/util family, gdaldriversmodule.cpp). Same stripe
+    fixture as q_sieve: the two thin corner stripes merge into their
+    single neighbors, no chains, so the FINAL per-pixel value is
+    closed-form and the oracle replays the relabel analytically.
+    Checked per tile: the relabeled-pixel count and the pixel sum of
+    the output bytes — a wrong absorber value, a missed pixel, or a
+    touched pass-through tile all break the hash."""
+    from gdal_drivers_spark.operators.polygonize import sieve_apply
+
+    tiles = _grid_pattern_tiles(
+        spark, 4, 4, 32, lambda gx, gy: ((3 * gx + 5 * gy) % 256) // 64 * 64)
+    out = sieve_apply(tiles, tile_px=32, grid_wh=(4, 4), threshold=300)
+    return out.select(
+        (F.shiftright(F.col("cell"), 26) % F.lit(1 << 26)).alias("tcx"),
+        (F.col("cell") % F.lit(1 << 26)).alias("tcy"),
+        F.col("n_relabeled"),
+        _px_sum_udf()(F.col("tile")).alias("px_sum"),
+    )
+
+
+_SIEVE_APPLY_ORACLE_SQL = """
+    WITH px AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(0, 127) gx(x), generate_series(0, 127) gy(y)
+    ), f AS (
+        SELECT x, y,
+               (3 * x + 5 * y) // 64 AS s,
+               (((3 * x + 5 * y) % 256) // 64) * 64 AS v,
+               y * 128 + x AS gpid
+        FROM px
+    ), comp AS (
+        SELECT s, CAST(min(v) AS BIGINT) AS value, count(*) AS n_px
+        FROM f GROUP BY s
+    ), adjp AS (
+        SELECT LEAST(sa, sb) AS ax, GREATEST(sa, sb) AS ay, count(*) AS cnt
+        FROM (
+            SELECT s AS sa, (3 * (x + 1) + 5 * y) // 64 AS sb FROM f WHERE x < 127
+            UNION ALL
+            SELECT s AS sa, (3 * x + 5 * (y + 1)) // 64 AS sb FROM f WHERE y < 127
+        ) WHERE sa != sb GROUP BY 1, 2
+    ), adj2 AS (
+        SELECT ax AS x, ay AS y, cnt FROM adjp
+        UNION ALL SELECT ay, ax, cnt FROM adjp
+    ), tgt AS (
+        SELECT b.x AS s, b.y AS t,
+               row_number() OVER (PARTITION BY b.x ORDER BY b.cnt DESC, b.y) AS rn
+        FROM adj2 b JOIN comp c ON c.s = b.x AND c.n_px < 300
+    ), remap AS (SELECT s, t FROM tgt WHERE rn = 1),
+    fin AS (
+        SELECT f.x, f.y,
+               CASE WHEN cv.value IS NOT NULL AND cv.value != f.v
+                    THEN cv.value ELSE f.v END AS fv,
+               CASE WHEN cv.value IS NOT NULL AND cv.value != f.v
+                    THEN 1 ELSE 0 END AS rel
+        FROM f
+        LEFT JOIN remap r ON r.s = f.s
+        LEFT JOIN comp cv ON cv.s = r.t
+    )
+    SELECT CAST(x // 32 AS BIGINT) AS tcx, CAST(y // 32 AS BIGINT) AS tcy,
+           CAST(SUM(rel) AS BIGINT) AS n_relabeled,
+           CAST(SUM(fv) AS BIGINT) AS px_sum
+    FROM fin GROUP BY 1, 2
+"""
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixels → real DCT perceptual hash → per-format rollup. No SQL
     oracle (a 32×32 DCT-II + median threshold is not reasonably
@@ -4771,6 +4840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_census": q_contour_census,
         "polygonize": q_polygonize,
         "sieve": q_sieve,
+        "sieve_apply": q_sieve_apply,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
         "blend_cells": q_blend_cells,
@@ -4795,6 +4865,7 @@ def oracle_sql() -> dict[str, str]:
         "contour_census": _CONTOUR_ORACLE_SQL,
         "polygonize": _POLYGONIZE_ORACLE_SQL,
         "sieve": _SIEVE_ORACLE_SQL,
+        "sieve_apply": _SIEVE_APPLY_ORACLE_SQL,
         "tile_assign": f"""
             SELECT cell, count(*) AS n_assign, count(DISTINCT k) AS n_images
             FROM ({_ASSIGNED_SQL}) a GROUP BY cell

@@ -248,35 +248,14 @@ def polygonize(
     return out.unionByName(poison)
 
 
-def sieve(
-    tiles: DataFrame,
-    tile_px: int,
-    grid_wh: tuple,
-    threshold: int,
-    cell: str = "cell",
-    tile_col: str = "tile",
-    grid_origin: tuple = (0, 0),
-    max_iter: int = 50,
-    max_remap: int = 1_000_000,
-) -> DataFrame:
-    """gdal_sieve distributed: merge every component smaller than
-    ``threshold`` pixels into its largest-shared-boundary neighbor
-    (GDAL's rule; ties → lowest neighbor component id), one merge
-    round, chains resolved transitively. Output one row per SURVIVING
-    component: (component, value, n_px, n_absorbed) where n_px
-    includes absorbed pixels and value is the ABSORBER's class.
-
-    Plan shape: the polygonize pipeline plus (a) in-tile boundary
-    counts between different local components (emitted by the same
-    Arrow hop — perimeter-of-components-sized rows, not pixels),
-    (b) cross-tile different-value seam pairs from the same seam
-    groupBy, (c) two node→root translations and one groupBy to lift
-    adjacency to global components. Only the small-component remap
-    (≤ #small rows, ``max_remap``-guarded) ever reaches the driver —
-    needed because transitive chain compression (A→B→C when B is
-    itself small) is pointer-chasing on a tiny map, not a dataset
-    operation. A small component with NO neighbor (single-component
-    raster) survives unchanged."""
+def _sieve_remap(
+    tiles, tile_px, grid_wh, threshold, cell, tile_col, grid_origin,
+    max_iter, max_remap,
+):
+    """Shared back half of the sieve pair: polygonize parts →
+    component stats → root-level adjacency → small-component targets →
+    driver-side transitive/cycle compression. Returns
+    (raw, summaries, n_bad, node_root, comp, flat_remap)."""
     raw, summaries, n_bad, grouped, labels = _polygonize_parts(
         tiles, tile_px, grid_wh, cell, tile_col, grid_origin, max_iter,
         adjacency=True,
@@ -329,6 +308,7 @@ def sieve(
             "raise the cap or lower the threshold"
         )
     remap = {int(r["x"]): int(r["target"]) for r in remap_rows}
+
     # transitive compression: a small target that is itself small
     # chains to ITS target (pointer chasing on the tiny driver map).
     # Mutually-small neighbors form a cycle — merge the whole cycle
@@ -345,13 +325,46 @@ def sieve(
         return c
 
     flat = {c: final_of(c) for c in remap}
+    return raw, summaries, n_bad, node_root, comp, flat
+
+
+def sieve(
+    tiles: DataFrame,
+    tile_px: int,
+    grid_wh: tuple,
+    threshold: int,
+    cell: str = "cell",
+    tile_col: str = "tile",
+    grid_origin: tuple = (0, 0),
+    max_iter: int = 50,
+    max_remap: int = 1_000_000,
+) -> DataFrame:
+    """gdal_sieve distributed: merge every component smaller than
+    ``threshold`` pixels into its largest-shared-boundary neighbor
+    (GDAL's rule; ties → lowest neighbor component id), one merge
+    round, chains resolved transitively. Output one row per SURVIVING
+    component: (component, value, n_px, n_absorbed) where n_px
+    includes absorbed pixels and value is the ABSORBER's class.
+
+    Plan shape: the polygonize pipeline plus (a) in-tile boundary
+    counts between different local components (emitted by the same
+    Arrow hop — perimeter-of-components-sized rows, not pixels),
+    (b) cross-tile different-value seam pairs from the same seam
+    groupBy, (c) two node→root translations and one groupBy to lift
+    adjacency to global components. Only the small-component remap
+    (≤ #small rows, ``max_remap``-guarded) ever reaches the driver —
+    needed because transitive chain compression (A→B→C when B is
+    itself small) is pointer-chasing on a tiny map, not a dataset
+    operation. A small component with NO neighbor (single-component
+    raster) survives unchanged."""
+    _raw, _summ, n_bad, _nr, comp, flat = _sieve_remap(
+        tiles, tile_px, grid_wh, threshold, cell, tile_col, grid_origin,
+        max_iter, max_remap,
+    )
     spark = tiles.sparkSession
-    if flat:
-        remap_df = spark.createDataFrame(
-            [(k, v) for k, v in flat.items()], "root long, final long"
-        )
-    else:
-        remap_df = spark.createDataFrame([], "root long, final long")
+    remap_df = spark.createDataFrame(
+        [(k, v) for k, v in flat.items()] or [], "root long, final long"
+    )
     merged = (
         comp.join(F.broadcast(remap_df), "root", "left")
         .select(
@@ -370,3 +383,99 @@ def sieve(
         F.col("nb").alias("n_absorbed"),
     )
     return out.unionByName(poison)
+
+
+def sieve_apply(
+    tiles: DataFrame,
+    tile_px: int,
+    grid_wh: tuple,
+    threshold: int,
+    cell: str = "cell",
+    tile_col: str = "tile",
+    grid_origin: tuple = (0, 0),
+    max_iter: int = 50,
+    max_remap: int = 1_000_000,
+) -> DataFrame:
+    """gdal_sieve's OUTPUT RASTER: rewrite the pixels of every
+    sub-threshold component with its absorber's value (same merge rule
+    as :func:`sieve`). Returns (cell, tile, n_relabeled) — tiles whose
+    pixels all survive pass through byte-untouched with n_relabeled=0.
+
+    Distribution: the remap is computed once (sieve's pipeline), then
+    reduced to the CHANGED local pieces only (value actually differs —
+    a small component absorbed by a same-value neighbor, impossible by
+    construction, would be a no-op anyway). Changed pieces ≈ small
+    components, so the relabel join broadcasts a tiny frame keyed by
+    (tx, ty); the second Arrow hop re-labels only tiles that carry a
+    changed piece and passes every other tile through without touching
+    its bytes."""
+    t = int(tile_px)
+    gw = int(grid_wh[0])
+    ox, oy = int(grid_origin[0]), int(grid_origin[1])
+    W = gw * t
+    _raw, summaries, _n_bad, node_root, comp, flat = _sieve_remap(
+        tiles, tile_px, grid_wh, threshold, cell, tile_col, grid_origin,
+        max_iter, max_remap,
+    )
+    spark = tiles.sparkSession
+    remap_df = spark.createDataFrame(
+        [(k, v) for k, v in flat.items()] or [], "root long, final long"
+    )
+    final_value = comp.select(
+        F.col("root").alias("final"), F.col("value").alias("new_value")
+    )
+    # changed local pieces: node -> new value where it differs
+    changed = (
+        node_root.join(F.broadcast(remap_df), "root")
+        .join(final_value, "final")
+        .join(summaries.select("node", "value"), "node")
+        .filter("new_value != value")
+        .select(
+            "node",
+            "new_value",
+            # integer div keeps gpids exact past 2^53 (doubles wouldn't)
+            F.expr(f"(node % {W}) div {t}").alias("_tx"),
+            F.expr(f"(node div {W}) div {t}").alias("_ty"),
+        )
+        .groupBy("_tx", "_ty")
+        .agg(F.collect_list(F.struct("node", "new_value")).alias("_patch"))
+    )
+    tagged = tiles.withColumn(
+        "_tx", (F.shiftright(F.col(cell), 26) % F.lit(1 << 26)) - ox
+    ).withColumn("_ty", (F.col(cell) % F.lit(1 << 26)) - oy)
+    joined = tagged.join(F.broadcast(changed), ["_tx", "_ty"], "left").select(
+        cell, tile_col, "_tx", "_ty", "_patch"
+    )
+
+    def relabel(batches):
+        # positional iteration: itertuples() renames _-prefixed columns
+        for pdf in batches:
+            out = []
+            for kc, payload, rtx, rty, patch in zip(
+                pdf.iloc[:, 0], pdf.iloc[:, 1], pdf.iloc[:, 2],
+                pdf.iloc[:, 3], pdf.iloc[:, 4],
+            ):
+                kc = int(kc)
+                if patch is None or (isinstance(patch, float)):
+                    out.append((kc, payload, 0))
+                    continue
+                tx, ty = int(rtx), int(rty)
+                v = np.frombuffer(bytes(payload), np.uint8).reshape(t, t)
+                roots = _label_tile(v.astype(np.int64))
+                gy = np.arange(t)[:, None] + ty * t
+                gx = np.arange(t)[None, :] + tx * t
+                gpid = (gy * W + gx).ravel().astype(np.int64)
+                min_g = np.full(t * t, np.iinfo(np.int64).max, np.int64)
+                np.minimum.at(min_g, roots, gpid)
+                node_px = min_g[roots]
+                nv = {int(p["node"]): int(p["new_value"]) for p in patch}
+                flatpx = v.ravel().copy()
+                n_rel = 0
+                for node, val in nv.items():
+                    m = node_px == node
+                    n_rel += int(m.sum())
+                    flatpx[m] = val
+                out.append((kc, flatpx.tobytes(), n_rel))
+            yield pd.DataFrame(out, columns=["cell", "tile", "n_relabeled"])
+
+    return joined.mapInPandas(relabel, "cell long, tile binary, n_relabeled long")

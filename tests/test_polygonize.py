@@ -189,3 +189,101 @@ def test_sieve_matches_scalar_reference(spark):
     assert got == exp
     # sanity: the fixture actually exercised merges
     assert any(ab > 0 for _, _, ab in exp.values())
+
+
+def test_sieve_apply_matches_scalar_relabel(spark):
+    """The output raster: every pixel of a sub-threshold component
+    carries its absorber's value; all other bytes untouched. Compared
+    against a scalar relabel of the stitched raster; pass-through
+    tiles report n_relabeled=0."""
+    from gdal_drivers_spark.operators.polygonize import sieve_apply
+
+    rng = np.random.default_rng(29)
+    full = (rng.integers(0, 3, (W, W)) * 80).astype(np.uint8)
+    rows = [
+        (_cell(tx, ty), full[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T].tobytes())
+        for tx in range(GRID)
+        for ty in range(GRID)
+    ]
+    tiles = spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "tile"]))
+    threshold = 12
+    got = {r["cell"]: r for r in sieve_apply(tiles, T, (GRID, GRID), threshold).collect()}
+
+    # scalar reference: flood fill, remap, relabel
+    lab = -np.ones(full.shape, int)
+    comp_of = np.zeros(full.shape, int)
+    for r in range(W):
+        for c in range(W):
+            if lab[r, c] >= 0:
+                continue
+            members = [(r, c)]
+            q = deque([(r, c)])
+            lab[r, c] = 0
+            while q:
+                rr, cc = q.popleft()
+                for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    r2, c2 = rr + dr, cc + dc
+                    if (0 <= r2 < W and 0 <= c2 < W and lab[r2, c2] < 0
+                            and full[r2, c2] == full[rr, cc]):
+                        lab[r2, c2] = 0
+                        q.append((r2, c2))
+                        members.append((r2, c2))
+            key = min(rr2 * W + cc2 for rr2, cc2 in members)
+            for rr2, cc2 in members:
+                comp_of[rr2, cc2] = key
+    sizes, values = {}, {}
+    for r in range(W):
+        for c in range(W):
+            k = comp_of[r, c]
+            sizes[k] = sizes.get(k, 0) + 1
+            values[k] = int(full[r, c])
+    adj = {}
+    for r in range(W):
+        for c in range(W):
+            for dr, dc in ((0, 1), (1, 0)):
+                r2, c2 = r + dr, c + dc
+                if r2 < W and c2 < W and comp_of[r, c] != comp_of[r2, c2]:
+                    a, b = sorted((comp_of[r, c], comp_of[r2, c2]))
+                    adj[(a, b)] = adj.get((a, b), 0) + 1
+    remap = {}
+    for k, n in sizes.items():
+        if n >= threshold:
+            continue
+        nbrs = {}
+        for (a, b), cnt in adj.items():
+            if a == k:
+                nbrs[b] = nbrs.get(b, 0) + cnt
+            elif b == k:
+                nbrs[a] = nbrs.get(a, 0) + cnt
+        if nbrs:
+            remap[k] = max(nbrs.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+
+    def final_of(cc):
+        path, seen = [], set()
+        while cc in remap and cc not in seen:
+            seen.add(cc)
+            path.append(cc)
+            cc = remap[cc]
+        if cc in seen:
+            return min(path[path.index(cc):])
+        return cc
+
+    expect = full.copy()
+    for r in range(W):
+        for c in range(W):
+            k = comp_of[r, c]
+            f = final_of(k)
+            if f != k:
+                expect[r, c] = values[f]
+
+    total_rel = 0
+    for tx in range(GRID):
+        for ty in range(GRID):
+            r = got[_cell(tx, ty)]
+            tile = np.frombuffer(bytes(r["tile"]), np.uint8).reshape(T, T)
+            ref = expect[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            assert (tile == ref).all(), (tx, ty)
+            src = full[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            assert r["n_relabeled"] == int((ref != src).sum())
+            total_rel += r["n_relabeled"]
+    assert total_rel > 0  # the fixture actually relabeled pixels
