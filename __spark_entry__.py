@@ -4555,6 +4555,53 @@ _SIEVE_APPLY_ORACLE_SQL = """
 """
 
 
+def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_proximity with -maxdist (r05): per-pixel squared distance
+    to the nearest class-0 pixel within 5 px. The bounded radius is
+    what makes GDAL's inherently-sequential two-pass sweep distribute:
+    one width-5 band-halo exchange (raster + 4·w·t bytes per tile,
+    never 9×) then an embarrassingly parallel shift-and-min kernel —
+    exact integers end to end, so the oracle replays the disk scan in
+    SQL (pixels × the 81-offset radius disk, bounds-checked at the
+    raster border). Checked per tile: reached-pixel count and the
+    d²-field checksum (sentinel max_dist²+1 included)."""
+    from gdal_drivers_spark.operators.proximity import proximity
+
+    tiles = _grid_pattern_tiles(
+        spark, 4, 4, 32, lambda gx, gy: ((3 * gx + 5 * gy) % 256) // 64 * 64)
+    out = proximity(tiles, tile_px=32, target_value=0, max_dist=5)
+    return out.select(
+        (F.shiftright(F.col("cell"), 26) % F.lit(1 << 26)).alias("tcx"),
+        (F.col("cell") % F.lit(1 << 26)).alias("tcy"),
+        "n_reached",
+        "d2_sum",
+    )
+
+
+_PROXIMITY_ORACLE_SQL = """
+    WITH px AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(0, 127) gx(x), generate_series(0, 127) gy(y)
+    ), off AS (
+        SELECT dx.i AS ddx, dy.i AS ddy
+        FROM generate_series(-5, 5) dx(i), generate_series(-5, 5) dy(i)
+        WHERE dx.i * dx.i + dy.i * dy.i <= 25
+    ), d AS (
+        SELECT p.x, p.y, MIN(o.ddx * o.ddx + o.ddy * o.ddy) AS d2
+        FROM px p JOIN off o
+          ON p.x + o.ddx BETWEEN 0 AND 127
+         AND p.y + o.ddy BETWEEN 0 AND 127
+         AND ((3 * (p.x + o.ddx) + 5 * (p.y + o.ddy)) % 256) // 64 = 0
+        GROUP BY p.x, p.y
+    )
+    SELECT CAST(p.x // 32 AS BIGINT) AS tcx, CAST(p.y // 32 AS BIGINT) AS tcy,
+           CAST(COUNT(d.d2) AS BIGINT) AS n_reached,
+           CAST(SUM(COALESCE(d.d2, 26)) AS BIGINT) AS d2_sum
+    FROM px p LEFT JOIN d ON d.x = p.x AND d.y = p.y
+    GROUP BY 1, 2
+"""
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixels → real DCT perceptual hash → per-format rollup. No SQL
     oracle (a 32×32 DCT-II + median threshold is not reasonably
@@ -4841,6 +4888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize": q_polygonize,
         "sieve": q_sieve,
         "sieve_apply": q_sieve_apply,
+        "proximity": q_proximity,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
         "blend_cells": q_blend_cells,
@@ -4866,6 +4914,7 @@ def oracle_sql() -> dict[str, str]:
         "polygonize": _POLYGONIZE_ORACLE_SQL,
         "sieve": _SIEVE_ORACLE_SQL,
         "sieve_apply": _SIEVE_APPLY_ORACLE_SQL,
+        "proximity": _PROXIMITY_ORACLE_SQL,
         "tile_assign": f"""
             SELECT cell, count(*) AS n_assign, count(DISTINCT k) AS n_images
             FROM ({_ASSIGNED_SQL}) a GROUP BY cell

@@ -268,3 +268,96 @@ def with_halo_strips(
             payload.alias("payload"),
         )
     )
+
+
+def with_halo_bands(
+    tiles: DataFrame,
+    tile_px: int,
+    width: int,
+    cell: str = "cell",
+    tile: str = "tile",
+) -> DataFrame:
+    """``with_halo_strips`` generalized to a ``width``-px halo — the
+    exchange layer for kernels whose support radius exceeds 1 px
+    (bounded-radius proximity, morphology, wide convolutions). Each
+    tile ships its full payload only to itself; each side neighbor
+    receives the ``width`` edge rows/columns it reads, each diagonal
+    neighbor the ``width``×``width`` corner block. Exchange bytes ≈
+    raster + 4·w·t + 4·w² per tile instead of 9× the raster.
+
+    Output contract matches ``with_halo_strips``: (target_cell, dx,
+    dy, payload) with dx/dy the CONTRIBUTING tile's offset relative to
+    the target; band payloads are row-major C-order slices of the
+    source tile (north/south bands: (w, t); west/east bands: (t, w);
+    corners: (w, w)), so the assembler can ``reshape`` without
+    transposes. ``width == tile_px`` degrades gracefully to full-tile
+    shipping (the slices cover the whole array). Poison rows ship NULL
+    bands and the raw payload at (0,0), exactly like the strip path.
+
+    ``width`` must be ≤ ``tile_px``: a wider kernel needs ring-2+
+    halos — re-tile coarser instead (the same answer the DEM halo
+    docs give), so the constraint is validated, not silently clipped.
+    """
+    t, w = int(tile_px), int(width)
+    if not 1 <= w <= t:
+        raise ValueError(f"halo width {w} outside [1, tile_px={t}]")
+    if w == 1:
+        return with_halo_strips(tiles, t, cell=cell, tile=tile)
+
+    def _extract(batches):
+        for pdf in batches:
+            n = len(pdf)
+            cols: dict[str, list] = {k: [None] * n for k in
+                                     ("_r0", "_rl", "_c0", "_cl",
+                                      "_b00", "_b0l", "_bl0", "_bll")}
+            for i, raw in enumerate(pdf["tile"]):
+                try:
+                    arr = np.frombuffer(bytes(raw), np.uint8).reshape(t, t)
+                except Exception:
+                    continue  # bands stay NULL; (0,0) ships the raw payload
+                cols["_r0"][i] = arr[:w].tobytes()
+                cols["_rl"][i] = arr[t - w:].tobytes()
+                cols["_c0"][i] = np.ascontiguousarray(arr[:, :w]).tobytes()
+                cols["_cl"][i] = np.ascontiguousarray(arr[:, t - w:]).tobytes()
+                cols["_b00"][i] = np.ascontiguousarray(arr[:w, :w]).tobytes()
+                cols["_b0l"][i] = np.ascontiguousarray(arr[:w, t - w:]).tobytes()
+                cols["_bl0"][i] = np.ascontiguousarray(arr[t - w:, :w]).tobytes()
+                cols["_bll"][i] = np.ascontiguousarray(arr[t - w:, t - w:]).tobytes()
+            yield pd.DataFrame({cell: pdf[cell], "tile": pdf["tile"], **cols})
+
+    stripped = tiles.select(F.col(cell).alias(cell), F.col(tile).alias("tile")).mapInPandas(
+        _extract,
+        f"{cell} long, tile binary, _r0 binary, _rl binary, _c0 binary, "
+        "_cl binary, _b00 binary, _b0l binary, _bl0 binary, _bll binary",
+    )
+
+    z = F.shiftright(F.col(cell), 52)
+    x = F.shiftright(F.col(cell), 26) % F.lit(1 << 26)
+    y = F.col(cell) % F.lit(1 << 26)
+    n = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(shiftright({cell}, 52) AS INT))")
+    dx, dy = -F.col("_dx"), -F.col("_dy")  # contribution offset rel. target
+    payload = (
+        F.when((dx == 0) & (dy == 0), F.col("tile"))
+        .when((dx == -1) & (dy == 0), F.col("_cl"))
+        .when((dx == 1) & (dy == 0), F.col("_c0"))
+        .when((dx == 0) & (dy == -1), F.col("_rl"))
+        .when((dx == 0) & (dy == 1), F.col("_r0"))
+        .when((dx == -1) & (dy == -1), F.col("_bll"))
+        .when((dx == 1) & (dy == -1), F.col("_bl0"))
+        .when((dx == -1) & (dy == 1), F.col("_b0l"))
+        .otherwise(F.col("_b00"))  # (1, 1)
+    )
+    return (
+        stripped.withColumn("_dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("_tx", x + F.col("_dx"))
+        .withColumn("_ty", y + F.col("_dy"))
+        # same out-of-domain drop semantics as with_halo
+        .filter((F.col("_tx") >= 0) & (F.col("_tx") < n) & (F.col("_ty") >= 0) & (F.col("_ty") < n))
+        .select(
+            (z * F.lit(1 << 52) + F.col("_tx") * F.lit(1 << 26) + F.col("_ty")).alias("target_cell"),
+            dx.cast("int").alias("dx"),
+            dy.cast("int").alias("dy"),
+            payload.alias("payload"),
+        )
+    )

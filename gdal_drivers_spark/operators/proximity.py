@@ -1,0 +1,139 @@
+"""Bounded-radius proximity raster — gdal_proximity.py's semantics
+(distance to the nearest target-class pixel), distributed.
+
+GDAL's proximity utility is a whole-raster two-pass sweep — inherently
+sequential, the exact shape that cannot distribute. Its own escape
+hatch is ``-maxdist``: users bound the search radius because an
+unbounded distance field is rarely wanted (buffer zones, shoreline
+masks, road setbacks are all bounded). With the radius bounded at
+``max_dist ≤ tile_px``, the nearest target for every pixel of a tile
+lies inside the tile plus a ``max_dist``-px halo — so the operator
+becomes one band-halo exchange (``with_halo_bands``: raster + 4·w·t
+bytes per tile, never 9× the raster) followed by an embarrassingly
+parallel per-tile kernel. No iteration, no global sweep, no shuffle
+beyond the one halo re-key — at 100 TB the plan is a single exchange
+of ≈raster bytes and one Arrow hop, identical in shape to the DEM
+operators.
+
+Distances are SQUARED INTEGERS (exact — no FP rounding enters the
+operator, so results are bit-reproducible across partitionings and
+replayable by a SQL oracle); pixels with no target within ``max_dist``
+carry the sentinel ``max_dist² + 1`` (GDAL writes its nodata there;
+callers wanting metres take ``sqrt`` as a trivial map afterwards).
+The raster boundary is "no targets beyond it" (GDAL's convention —
+the sweep never sees pixels outside the raster); a missing neighbor
+tile (edge of the stored grid) means the same thing.
+
+Per-tile kernel: the (t+2w)² assembled target mask is reduced by a
+vectorized shift-and-min over the ≤(2w+1)² offsets of the radius
+disk — O(w²) numpy passes over the tile, no Python per pixel.
+
+Reference surface: the utility family exposed around the driver read
+path (``python/gdaldriversmodule.cpp:205-225`` exposes the GDAL
+dataset the utilities consume); tile/cell conventions follow
+``detail/mbtiles.cpp:146-155``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gdal_drivers_spark.operators.halo import with_halo_bands
+
+_OUT_SCHEMA = (
+    "cell long, dist2 binary, n_reached long, d2_sum long, "
+    "px_ok boolean, n_bad_nbrs int"
+)
+
+
+def proximity(
+    tiles: DataFrame,
+    tile_px: int,
+    target_value: int,
+    max_dist: int,
+    cell: str = "cell",
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Per-pixel squared distance to the nearest ``target_value``
+    pixel within ``max_dist`` (Euclidean, exact integer). Output one
+    row per input tile:
+
+    - ``dist2``: uint16 little-endian t×t row-major squared distances,
+      ``max_dist²+1`` where no target is within reach (a target pixel
+      itself reads 0);
+    - ``n_reached``: pixels with a target within ``max_dist``;
+    - ``d2_sum``: sum of the emitted field (sentinels included) — the
+      cheap downstream checksum;
+    - ``px_ok``: False for a corrupt/NULL center payload (house poison
+      rule: its row survives with NULL ``dist2``, never kills the
+      stage);
+    - ``n_bad_nbrs``: corrupt neighbor bands treated as target-free
+      (counted, not fatal).
+    """
+    t, r = int(tile_px), int(max_dist)
+    if not 1 <= r <= t:
+        raise ValueError(f"max_dist {r} outside [1, tile_px={t}]")
+    cap = r * r + 1
+    if cap > np.iinfo(np.uint16).max:
+        raise ValueError(f"max_dist {r} overflows the uint16 dist2 payload")
+    tv = int(target_value)
+    w = r
+    # radius-disk offsets, precomputed once on the driver
+    offs = [
+        (ddx, ddy, ddx * ddx + ddy * ddy)
+        for ddx in range(-r, r + 1)
+        for ddy in range(-r, r + 1)
+        if ddx * ddx + ddy * ddy <= r * r
+    ]
+
+    def _kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        kc = int(key[0])
+        tgt = np.zeros((t + 2 * w, t + 2 * w), bool)
+        center = None
+        center_row, bad_nbrs = False, 0
+        for dxv, dyv, payload in zip(pdf["dx"], pdf["dy"], pdf["payload"]):
+            dxv, dyv = int(dxv), int(dyv)
+            if dxv == 0 and dyv == 0:
+                center_row = True
+                try:
+                    center = np.frombuffer(bytes(payload), np.uint8).reshape(t, t)
+                except Exception:
+                    pass  # poison center: flagged below
+                continue
+            shape = (
+                (w, w) if dxv and dyv else (t, w) if dxv else (w, t)
+            )
+            try:
+                band = np.frombuffer(bytes(payload), np.uint8).reshape(shape)
+            except Exception:
+                bad_nbrs += 1
+                continue
+            y0 = 0 if dyv < 0 else w + t if dyv > 0 else w
+            x0 = 0 if dxv < 0 else w + t if dxv > 0 else w
+            tgt[y0:y0 + shape[0], x0:x0 + shape[1]] = band == tv
+        cols = ["cell", "dist2", "n_reached", "d2_sum", "px_ok", "n_bad_nbrs"]
+        if center is None:
+            if not center_row:
+                # sparse neighbor group — the target cell holds no tile
+                return pd.DataFrame([], columns=cols)
+            # poison center: flagged row, never a stage kill
+            return pd.DataFrame([(kc, None, 0, 0, False, bad_nbrs)], columns=cols)
+        tgt[w:w + t, w:w + t] = center == tv
+        d2 = np.full((t, t), cap, np.int64)
+        for ddx, ddy, dd in offs:
+            sl = tgt[w + ddy:w + ddy + t, w + ddx:w + ddx + t]
+            np.minimum(d2, np.where(sl, dd, cap), out=d2)
+        n_reached = int((d2 <= r * r).sum())
+        return pd.DataFrame(
+            [(kc, d2.astype("<u2").tobytes(), n_reached,
+              int(d2.sum()), True, bad_nbrs)],
+            columns=cols,
+        )
+
+    halo = with_halo_bands(
+        tiles.select(cell, tile_col), t, w, cell=cell, tile=tile_col
+    )
+    return halo.groupBy("target_cell").applyInPandas(_kernel, _OUT_SCHEMA)
