@@ -4602,6 +4602,42 @@ _PROXIMITY_ORACLE_SQL = """
 """
 
 
+def q_sample_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdallocationinfo, set-at-a-time (r05): sample the pixel under
+    500 deterministic points from the tiled stripe fixture — the
+    label-sampling primitive (ground truth under annotation points at
+    10⁹-point scale). The whole operator is ONE whole-stage-codegen
+    projection + a broadcast equi-join on the cell id: the byte is
+    extracted JVM-side via conv(hex(substring(tile, off, 1)), 16, 10),
+    no Python worker anywhere (plan-asserted in pytest). The oracle
+    replays the closed-form field at the same points."""
+    from gdal_drivers_spark.operators.lookup import sample_points
+
+    tiles = _grid_pattern_tiles(
+        spark, 4, 4, 32, lambda gx, gy: ((3 * gx + 5 * gy) % 256) // 64 * 64)
+    pts = spark.range(500).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 37) % 128).alias("px"),
+        ((F.col("id") * 61) % 128).alias("py"),
+    )
+    return sample_points(pts, tiles, tile_px=32, z=4)
+
+
+_SAMPLE_POINTS_ORACLE_SQL = """
+    WITH pts AS (
+        SELECT i.i AS pid, (i.i * 37) % 128 AS px, (i.i * 61) % 128 AS py
+        FROM generate_series(0, 499) i(i)
+    )
+    SELECT CAST(pid AS BIGINT) AS pid,
+           CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+           CAST((4 * 4503599627370496) + (px // 32) * 67108864 + (py // 32)
+                AS BIGINT) AS cell_id,
+           CAST((((3 * px + 5 * py) % 256) // 64) * 64 AS INT) AS value,
+           TRUE AS px_ok
+    FROM pts
+"""
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixels → real DCT perceptual hash → per-format rollup. No SQL
     oracle (a 32×32 DCT-II + median threshold is not reasonably
@@ -4889,6 +4925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sieve": q_sieve,
         "sieve_apply": q_sieve_apply,
         "proximity": q_proximity,
+        "sample_points": q_sample_points,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
         "blend_cells": q_blend_cells,
@@ -4915,6 +4952,7 @@ def oracle_sql() -> dict[str, str]:
         "sieve": _SIEVE_ORACLE_SQL,
         "sieve_apply": _SIEVE_APPLY_ORACLE_SQL,
         "proximity": _PROXIMITY_ORACLE_SQL,
+        "sample_points": _SAMPLE_POINTS_ORACLE_SQL,
         "tile_assign": f"""
             SELECT cell, count(*) AS n_assign, count(DISTINCT k) AS n_images
             FROM ({_ASSIGNED_SQL}) a GROUP BY cell

@@ -70,3 +70,68 @@ def fetch_tiles(requests: DataFrame, store: DataFrame) -> DataFrame:
         return pd.Series(out)
 
     return joined.withColumn("tile_data", _gunzip(F.col("tile_data")))
+
+
+def sample_points(
+    points: DataFrame,
+    tiles: DataFrame,
+    tile_px: int,
+    z: int,
+    cell: str = "cell",
+    tile_col: str = "tile",
+    px: str = "px",
+    py: str = "py",
+    grid_origin: tuple = (0, 0),
+    broadcast_points: bool = True,
+) -> DataFrame:
+    """gdallocationinfo, set-at-a-time: sample the pixel value under
+    each point of ``points`` (global integer pixel coords ``px``/
+    ``py``) from a tiled u8 raster — the label-sampling primitive of a
+    training pipeline (fetch ground-truth class under 10⁹ annotation
+    points).
+
+    ENTIRELY JVM-side: the tile key is integer bit-arithmetic, the
+    byte extraction is ``conv(hex(substring(tile, off, 1)), 16, 10)``
+    — one whole-stage-codegen projection, no Python worker, no Arrow
+    hop; the only exchange is the point⇄tile equi-join on the cell id
+    (points broadcast by default; ``broadcast_points=False`` for bulk
+    sampling lets AQE pick SMJ — the r04 large-|Q| rule). Points
+    outside the tile grid or on a missing tile produce NO row (inner
+    join — gdallocationinfo prints "outside raster"; set-at-a-time
+    the analogue is absence, same rule as ``fetch_tiles``); a
+    too-short/corrupt payload yields value NULL with ``px_ok=false``
+    (house poison rule). Reference surface: the dataset read path the
+    utility family consumes (python/gdaldriversmodule.cpp:252-256);
+    cell conventions detail/mbtiles.cpp:146-155."""
+    t = int(tile_px)
+    ox, oy = int(grid_origin[0]), int(grid_origin[1])
+    n = 1 << int(z)
+    pts = (
+        points.withColumn("_tx", F.expr(f"({px} div {t}) + {ox}"))
+        .withColumn("_ty", F.expr(f"({py} div {t}) + {oy}"))
+        .filter(
+            (F.col(px) >= 0) & (F.col(py) >= 0)
+            & (F.col("_tx") >= 0) & (F.col("_tx") < n)
+            & (F.col("_ty") >= 0) & (F.col("_ty") < n)
+        )
+        .withColumn(
+            "_cell",
+            F.lit(int(z) << 52).cast("long")
+            + F.col("_tx") * F.lit(1 << 26) + F.col("_ty"),
+        )
+    )
+    if broadcast_points:
+        pts = F.broadcast(pts)
+    joined = pts.join(
+        tiles.select(F.col(cell).alias("_cell"), F.col(tile_col).alias("_tile")),
+        "_cell",
+    )
+    # 1-based substring; one byte → 2 hex chars → base-16 parse
+    off = F.expr(f"({py} % {t}) * {t} + ({px} % {t})")
+    val = F.conv(F.hex(F.substring(F.col("_tile"), off + F.lit(1), 1)), 16, 10)
+    out_cols = [c for c in points.columns]
+    return joined.select(
+        *out_cols,
+        F.col("_cell").alias("cell_id"),
+        val.cast("int").alias("value"),
+    ).withColumn("px_ok", F.col("value").isNotNull())
