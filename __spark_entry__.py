@@ -4638,6 +4638,136 @@ _SAMPLE_POINTS_ORACLE_SQL = """
 """
 
 
+def _grid_fixture_points(spark):
+    """60 deterministic scattered points for the gdal_grid queries —
+    closed-form so the oracles regenerate them with generate_series."""
+    return spark.range(60).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 41) % 128).alias("px"),
+        ((F.col("id") * 89) % 128).alias("py"),
+        (1 + (F.col("id") * 7) % 255).alias("v"),
+    )
+
+
+def q_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_grid -a nearest (r05): 60 scattered points interpolate a
+    4×4-tile raster — nearest point within radius 7, equidistant ties
+    → lowest pid (pinned: gdal_grid leaves it unspecified, a
+    distributed engine cannot). The point→tile scatter is a JVM
+    explode over radius-expanded envelopes (no Python), one shuffle,
+    then a per-tile vectorized kernel; empty tiles coalesce to nodata
+    rasters JVM-side so the output is the DENSE cell universe. Exact
+    integer metric → the oracle replays pixel argmin in SQL; checked
+    per tile: candidate count, filled count, value sum and a
+    position-weighted value sum (pixel placement sensitive)."""
+    from gdal_drivers_spark.operators.gridding import grid_nearest
+
+    out = grid_nearest(_grid_fixture_points(spark), 32, 4, 7, (4, 4))
+
+    @F.pandas_udf("struct<v_sum long, vpos_sum long>")
+    def _ck(raster: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        rows = []
+        for b in raster:
+            flat = np.frombuffer(bytes(b), np.uint8).astype(np.int64)
+            rows.append((int(flat.sum()),
+                         int((flat * (np.arange(flat.size) + 1)).sum())))
+        return pd.DataFrame(rows, columns=["v_sum", "vpos_sum"])
+
+    return out.select(
+        (F.shiftright(F.col("cell"), 26) % F.lit(1 << 26)).alias("tcx"),
+        (F.col("cell") % F.lit(1 << 26)).alias("tcy"),
+        "n_points", "n_filled",
+        _ck(F.col("raster")).alias("_c"),
+    ).select("tcx", "tcy", "n_points", "n_filled", "_c.v_sum", "_c.vpos_sum")
+
+
+_GRID_PTS_CTE = """
+    pts AS (
+        SELECT i.i AS pid, (i.i * 41) % 128 AS px, (i.i * 89) % 128 AS py,
+               1 + (i.i * 7) % 255 AS v
+        FROM generate_series(0, 59) i(i)
+    ), gpx AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(0, 127) gx(x), generate_series(0, 127) gy(y)
+    ), tiles AS (
+        SELECT tx.i AS tcx, ty.i AS tcy
+        FROM generate_series(0, 3) tx(i), generate_series(0, 3) ty(i)
+    ), np AS (
+        SELECT t.tcx, t.tcy, count(*) AS n_points
+        FROM tiles t JOIN pts p
+          ON t.tcx BETWEEN (p.px - 7) // 32 AND (p.px + 7) // 32
+         AND t.tcy BETWEEN (p.py - 7) // 32 AND (p.py + 7) // 32
+        GROUP BY 1, 2
+    ), cand AS (
+        SELECT g.x, g.y, p.v, p.pid,
+               (p.px - g.x) * (p.px - g.x) + (p.py - g.y) * (p.py - g.y) AS d2
+        FROM gpx g JOIN pts p
+          ON (p.px - g.x) * (p.px - g.x) + (p.py - g.y) * (p.py - g.y) <= 49
+    )
+"""
+
+_GRID_NEAREST_ORACLE_SQL = f"""
+    WITH {_GRID_PTS_CTE}, sel AS (
+        SELECT x, y, v,
+               row_number() OVER (PARTITION BY x, y ORDER BY d2, pid) AS rn
+        FROM cand
+    ), fill AS (
+        SELECT x, y, v,
+               ((y % 32) * 32 + (x % 32) + 1) AS pos
+        FROM sel WHERE rn = 1
+    )
+    SELECT t.tcx AS tcx, t.tcy AS tcy,
+           CAST(COALESCE(n.n_points, 0) AS BIGINT) AS n_points,
+           CAST(COALESCE(f.n_filled, 0) AS BIGINT) AS n_filled,
+           CAST(COALESCE(f.v_sum, 0) AS BIGINT) AS v_sum,
+           CAST(COALESCE(f.vpos_sum, 0) AS BIGINT) AS vpos_sum
+    FROM tiles t
+    LEFT JOIN np n ON n.tcx = t.tcx AND n.tcy = t.tcy
+    LEFT JOIN (
+        SELECT x // 32 AS tcx, y // 32 AS tcy, count(*) AS n_filled,
+               SUM(v) AS v_sum, SUM(v * pos) AS vpos_sum
+        FROM fill GROUP BY 1, 2
+    ) f ON f.tcx = t.tcx AND f.tcy = t.tcy
+"""
+
+
+def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_grid -a invdist (r05): inverse-distance-squared mean of
+    the in-radius points, coincident pixel takes the point's value
+    exactly. FP weights are not SQL-replayable (sum order), so the
+    hash gate covers the EXACT-INTEGER surface — per-tile candidate
+    and filled-pixel counts (scatter correctness + reachability);
+    the interpolated bytes are pinned bit-for-bit by
+    tests/test_gridding.py's scalar oracle (house rule for FP
+    kernels, same as warp_lanczos)."""
+    from gdal_drivers_spark.operators.gridding import grid_idw
+
+    out = grid_idw(_grid_fixture_points(spark), 32, 4, 7, (4, 4))
+    return out.select(
+        (F.shiftright(F.col("cell"), 26) % F.lit(1 << 26)).alias("tcx"),
+        (F.col("cell") % F.lit(1 << 26)).alias("tcy"),
+        "n_points", "n_filled",
+    )
+
+
+_GRID_IDW_ORACLE_SQL = f"""
+    WITH {_GRID_PTS_CTE}, reach AS (
+        SELECT x, y FROM cand GROUP BY x, y
+    )
+    SELECT t.tcx AS tcx, t.tcy AS tcy,
+           CAST(COALESCE(n.n_points, 0) AS BIGINT) AS n_points,
+           CAST(COALESCE(f.n_filled, 0) AS BIGINT) AS n_filled
+    FROM tiles t
+    LEFT JOIN np n ON n.tcx = t.tcx AND n.tcy = t.tcy
+    LEFT JOIN (
+        SELECT x // 32 AS tcx, y // 32 AS tcy, count(*) AS n_filled
+        FROM reach GROUP BY 1, 2
+    ) f ON f.tcx = t.tcx AND f.tcy = t.tcy
+"""
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixels → real DCT perceptual hash → per-format rollup. No SQL
     oracle (a 32×32 DCT-II + median threshold is not reasonably
@@ -4926,6 +5056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sieve_apply": q_sieve_apply,
         "proximity": q_proximity,
         "sample_points": q_sample_points,
+        "grid_nearest": q_grid_nearest,
+        "grid_idw": q_grid_idw,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
         "blend_cells": q_blend_cells,
@@ -4953,6 +5085,8 @@ def oracle_sql() -> dict[str, str]:
         "sieve_apply": _SIEVE_APPLY_ORACLE_SQL,
         "proximity": _PROXIMITY_ORACLE_SQL,
         "sample_points": _SAMPLE_POINTS_ORACLE_SQL,
+        "grid_nearest": _GRID_NEAREST_ORACLE_SQL,
+        "grid_idw": _GRID_IDW_ORACLE_SQL,
         "tile_assign": f"""
             SELECT cell, count(*) AS n_assign, count(DISTINCT k) AS n_images
             FROM ({_ASSIGNED_SQL}) a GROUP BY cell

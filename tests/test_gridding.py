@@ -1,0 +1,103 @@
+"""gdal_grid parity vs scalar whole-raster interpolation: nearest
+(exact integer metric, pid tie-break) and IDW (float, coincident-point
+rule) on random scattered points, plus the dense-universe contract
+(tiles with no candidate emit nodata rasters, never disappear)."""
+
+import numpy as np
+import pandas as pd
+
+from gdal_drivers_spark.operators.gridding import grid_idw, grid_nearest
+
+T, GRID, Z = 16, 3, 4
+W = T * GRID
+
+
+def _cell(tx, ty):
+    return (Z << 52) + (tx << 26) + ty
+
+
+def _points(spark, n, seed):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame({
+        "pid": range(n),
+        "px": rng.integers(0, W, n),
+        "py": rng.integers(0, W, n),
+        "v": rng.integers(1, 256, n),
+    })
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_grid_nearest_matches_scalar(spark):
+    sdf, pdf = _points(spark, 25, 17)
+    r = 7
+    got = {row["cell"]: row for row in
+           grid_nearest(sdf, T, Z, r, (GRID, GRID)).collect()}
+    assert len(got) == GRID * GRID  # dense universe
+    exp = np.zeros((W, W), np.uint8)
+    filled = np.zeros((W, W), bool)
+    for y in range(W):
+        for x in range(W):
+            d2 = (pdf["px"] - x) ** 2 + (pdf["py"] - y) ** 2
+            cand = d2[d2 <= r * r]
+            if len(cand):
+                # min (d2, pid): pandas idxmin returns first occurrence
+                # and pid == index order, so ties go to the lowest pid
+                best = cand.idxmin()
+                exp[y, x] = pdf["v"].iloc[best]
+                filled[y, x] = True
+    for tx in range(GRID):
+        for ty in range(GRID):
+            row = got[_cell(tx, ty)]
+            tile = np.frombuffer(bytes(row["raster"]), np.uint8).reshape(T, T)
+            ref = exp[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            assert (tile == ref).all(), (tx, ty)
+            assert row["n_filled"] == int(
+                filled[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T].sum())
+    assert 0 < filled.sum() < W * W  # both reach and nodata exercised
+
+
+def test_grid_nearest_tie_breaks_to_lowest_pid(spark):
+    # two points equidistant from (5,5): (3,5) and (7,5); pid 1 wins
+    pdf = pd.DataFrame({
+        "pid": [2, 1], "px": [3, 7], "py": [5, 5], "v": [100, 200]})
+    out = grid_nearest(spark.createDataFrame(pdf), T, Z, 4, (GRID, GRID))
+    tile0 = next(r for r in out.collect() if r["cell"] == _cell(0, 0))
+    arr = np.frombuffer(bytes(tile0["raster"]), np.uint8).reshape(T, T)
+    assert arr[5, 5] == 200  # pid 1's value
+
+
+def test_grid_idw_matches_scalar(spark):
+    sdf, pdf = _points(spark, 20, 19)
+    r = 9
+    got = {row["cell"]: row for row in
+           grid_idw(sdf, T, Z, r, (GRID, GRID)).collect()}
+    exp = np.zeros((W, W), np.uint8)
+    for y in range(W):
+        for x in range(W):
+            on = pdf[(pdf["px"] == x) & (pdf["py"] == y)]
+            if len(on):
+                exp[y, x] = on["v"].iloc[0]  # lowest pid (index order)
+                continue
+            d2 = ((pdf["px"] - x) ** 2 + (pdf["py"] - y) ** 2).to_numpy()
+            m = d2 <= r * r
+            if not m.any():
+                continue
+            w = 1.0 / d2[m].astype(np.float64)
+            exp[y, x] = np.uint8(np.rint(
+                (w * pdf["v"].to_numpy()[m]).sum() / w.sum()))
+    for tx in range(GRID):
+        for ty in range(GRID):
+            tile = np.frombuffer(
+                bytes(got[_cell(tx, ty)]["raster"]), np.uint8).reshape(T, T)
+            ref = exp[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            assert (tile == ref).all(), (tx, ty)
+
+
+def test_grid_empty_points_yields_all_nodata(spark):
+    sdf = spark.createDataFrame(
+        [], "pid long, px long, py long, v long")
+    out = grid_nearest(sdf, T, Z, 5, (GRID, GRID), nodata=9).collect()
+    assert len(out) == GRID * GRID
+    for row in out:
+        assert row["n_points"] == 0 and row["n_filled"] == 0
+        assert bytes(row["raster"]) == bytes([9]) * (T * T)
