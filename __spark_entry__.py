@@ -4768,6 +4768,68 @@ _GRID_IDW_ORACLE_SQL = f"""
 """
 
 
+def q_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalinfo -stats (r05): whole-raster GetStatistics
+    (min/max/mean/stddev) plus poison accounting, over the codec
+    registry (encode=True fixture — the Arrow hop exercises the magic
+    sniff). Both moments ride exact integer sums, so mean and the
+    population stddev are each ONE correctly-rounded IEEE op away —
+    the oracle replays the identical expression (CAST/divide/sqrt)
+    and the hash gate checks the doubles bit-for-bit. Pixels never
+    shuffle: one Arrow hop to per-tile moments, one map-side-combined
+    global aggregate."""
+    from gdal_drivers_spark.operators.zonal import raster_stats
+
+    tiles = _grid_pattern_tiles(
+        spark, 4, 4, 32,
+        lambda gx, gy: ((3 * gx + 5 * gy) % 256) // 64 * 64, encode=True)
+    return raster_stats(tiles)
+
+
+_RASTER_STATS_ORACLE_SQL = """
+    WITH px AS (
+        SELECT (((3 * gx.x + 5 * gy.y) % 256) // 64) * 64 AS v
+        FROM generate_series(0, 127) gx(x), generate_series(0, 127) gy(y)
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(SUM(v * v) AS BIGINT) AS px_sq,
+               CAST(MIN(v) AS BIGINT) AS px_min,
+               CAST(MAX(v) AS BIGINT) AS px_max
+        FROM px
+    )
+    SELECT CAST(16 AS BIGINT) AS n_tiles, CAST(0 AS BIGINT) AS n_bad_tiles,
+           n_px, px_sum, px_min, px_max,
+           CAST(px_sum AS DOUBLE) / CAST(n_px AS DOUBLE) AS mean,
+           sqrt(CAST(px_sq AS DOUBLE) / CAST(n_px AS DOUBLE)
+                - (CAST(px_sum AS DOUBLE) / CAST(n_px AS DOUBLE))
+                  * (CAST(px_sum AS DOUBLE) / CAST(n_px AS DOUBLE))) AS stddev
+    FROM agg
+"""
+
+
+def q_raster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalinfo -hist (r05): the exact global value histogram — pixels
+    reduce to ≤|classes| count rows per tile in one Arrow hop, the
+    groupBy moves counts only (map-side combine). Four closed-form
+    classes on the stripe fixture; the oracle counts them from
+    generate_series."""
+    from gdal_drivers_spark.operators.zonal import raster_histogram
+
+    tiles = _grid_pattern_tiles(
+        spark, 4, 4, 32,
+        lambda gx, gy: ((3 * gx + 5 * gy) % 256) // 64 * 64, encode=True)
+    return raster_histogram(tiles)
+
+
+_RASTER_HIST_ORACLE_SQL = """
+    SELECT CAST((((3 * gx.x + 5 * gy.y) % 256) // 64) * 64 AS INT) AS value,
+           CAST(COUNT(*) AS BIGINT) AS n_px
+    FROM generate_series(0, 127) gx(x), generate_series(0, 127) gy(y)
+    GROUP BY 1
+"""
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixels → real DCT perceptual hash → per-format rollup. No SQL
     oracle (a 32×32 DCT-II + median threshold is not reasonably
@@ -5058,6 +5120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_points": q_sample_points,
         "grid_nearest": q_grid_nearest,
         "grid_idw": q_grid_idw,
+        "raster_stats": q_raster_stats,
+        "raster_hist": q_raster_hist,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
         "blend_cells": q_blend_cells,
@@ -5087,6 +5151,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_points": _SAMPLE_POINTS_ORACLE_SQL,
         "grid_nearest": _GRID_NEAREST_ORACLE_SQL,
         "grid_idw": _GRID_IDW_ORACLE_SQL,
+        "raster_stats": _RASTER_STATS_ORACLE_SQL,
+        "raster_hist": _RASTER_HIST_ORACLE_SQL,
         "tile_assign": f"""
             SELECT cell, count(*) AS n_assign, count(DISTINCT k) AS n_images
             FROM ({_ASSIGNED_SQL}) a GROUP BY cell

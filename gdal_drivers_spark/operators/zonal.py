@@ -194,6 +194,91 @@ def zonal_histogram(
     )
 
 
+def raster_stats(
+    tiles: DataFrame, tile_col: str = "tile", nodata: int | None = None
+) -> DataFrame:
+    """gdalinfo -stats for the whole tiled raster: one row of
+    (n_tiles, n_bad_tiles, n_px, px_min, px_max, mean, stddev) —
+    GDAL's GetStatistics quartet plus the engine's poison accounting.
+    stddev is the population form sqrt(E[x²]−mean²), GDAL's formula;
+    both moments ride exact integer sums (Σx, Σx² — a u8 raster needs
+    ~2⁵³/65025 ≈ 1.4·10⁸ tiles of 256² px before Σx² can overflow a
+    long, and the partial aggregation is mergeable at any scale), so
+    the only FP ops are the final two divisions and one sqrt — single
+    correctly-rounded IEEE ops, bit-replayable in a SQL oracle.
+    Plan: one Arrow hop to per-tile moments, one map-side-combined
+    global aggregate — pixels never shuffle."""
+
+    @F.pandas_udf("struct<n_px long, px_sum long, px_sq long, px_min long, px_max long, px_ok boolean>")
+    def _mom(col: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        from gdal_drivers_spark.core import codecs
+
+        rows = []
+        for b in col:
+            try:
+                px = codecs.decode(bytes(b)).ravel()
+            except Exception:
+                rows.append((0, 0, 0, 255, 0, False))
+                continue
+            if nodata is not None:
+                px = px[px != nodata]
+            if px.size:
+                x = px.astype(np.int64)
+                rows.append((int(px.size), int(x.sum()), int((x * x).sum()),
+                             int(px.min()), int(px.max()), True))
+            else:
+                rows.append((0, 0, 0, 255, 0, True))
+        return pd.DataFrame(
+            rows,
+            columns=["n_px", "px_sum", "px_sq", "px_min", "px_max", "px_ok"],
+        )
+
+    m = tiles.withColumn("_m", _mom(F.col(tile_col))).select("_m.*")
+    no_px = F.col("n_px") == 0
+    mean = F.col("px_sum") / F.col("n_px")
+    return (
+        m.agg(
+            F.sum(F.col("px_ok").cast("long")).alias("n_tiles"),
+            F.sum((~F.col("px_ok")).cast("long")).alias("n_bad_tiles"),
+            F.sum("n_px").alias("n_px"),
+            F.sum("px_sum").alias("px_sum"),
+            F.sum("px_sq").alias("px_sq"),
+            F.min("px_min").alias("px_min"),
+            F.max("px_max").alias("px_max"),
+        )
+        .withColumn("px_min", F.when(~no_px, F.col("px_min")))
+        .withColumn("px_max", F.when(~no_px, F.col("px_max")))
+        .withColumn("mean", F.when(~no_px, mean))
+        .withColumn(
+            "stddev",
+            F.when(~no_px, F.sqrt(F.col("px_sq") / F.col("n_px") - mean * mean)),
+        )
+        .drop("px_sq")
+    )
+
+
+def raster_histogram(
+    tiles: DataFrame, tile_col: str = "tile", nodata: int | None = None
+) -> DataFrame:
+    """gdalinfo -hist: one row per pixel value with its global count
+    (GDAL's exact 256-bucket histogram for Byte rasters). Pixels
+    reduce to ≤256 (value, n) rows per tile in one Arrow hop
+    (``tile_class_counts``); the groupBy then moves count rows only,
+    with map-side partial aggregation. Corrupt tiles surface as ONE
+    (value NULL, n_bad_tiles) row — poison counted, never fatal;
+    values never seen simply have no row (GDAL prints 0 buckets; the
+    relational form is absence)."""
+    c = tile_class_counts(tiles.select(tile_col), tile_col=tile_col, nodata=nodata)
+    c = c.filter(F.col("value").isNotNull() | ~F.col("px_ok"))
+    return c.groupBy("value").agg(
+        F.when(F.col("value").isNull(), F.count("*"))
+        .otherwise(F.sum("n_px"))
+        .alias("n_px")
+    )
+
+
 def zonal_mode(
     tiles: DataFrame,
     zones: DataFrame,

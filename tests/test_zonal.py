@@ -170,3 +170,54 @@ def test_zonal_histogram_all_nodata_is_not_poison(spark):
     assert got.pop(None) == 1  # ONLY the corrupt tile
     vals, cnts = np.unique(img[img != 0], return_counts=True)
     assert got == {int(v): int(n) for v, n in zip(vals, cnts)}
+
+
+def test_raster_stats_matches_numpy(spark):
+    """gdalinfo -stats: global moments vs numpy over the stitched
+    pixels, mean/stddev compared BIT-EXACTLY via the same IEEE
+    expression (sum/n, sqrt(sq/n - mean²) — single rounded ops)."""
+    import math
+
+    from gdal_drivers_spark.operators.zonal import raster_stats
+
+    df = _tiles_df(spark)
+    allpx = np.concatenate(
+        [pattern(16, 16, 1, i * 31).ravel() for i in range(24)]
+    ).astype(np.int64)
+    row = raster_stats(df).collect()[0]
+    n, s, sq = allpx.size, int(allpx.sum()), int((allpx * allpx).sum())
+    mean = s / n
+    assert row["n_tiles"] == 24 and row["n_bad_tiles"] == 0
+    assert row["n_px"] == n and row["px_sum"] == s
+    assert row["px_min"] == int(allpx.min()) and row["px_max"] == int(allpx.max())
+    assert row["mean"] == mean
+    assert row["stddev"] == math.sqrt(sq / n - mean * mean)
+
+    # nodata exclusion + poison accounting + empty-raster NULLs
+    rows = [(0, 0, b"\x00corrupt"),
+            (1, 1, codecs.encode_raw(np.zeros((4, 4, 1), np.uint8)))]
+    df2 = spark.createDataFrame(pd.DataFrame(rows, columns=["tid", "cell", "tile"]))
+    r2 = raster_stats(df2, nodata=0).collect()[0]
+    assert r2["n_bad_tiles"] == 1 and r2["n_tiles"] == 1
+    assert r2["n_px"] == 0
+    assert r2["px_min"] is None and r2["px_max"] is None
+    assert r2["mean"] is None and r2["stddev"] is None
+
+
+def test_raster_histogram_matches_numpy(spark):
+    from gdal_drivers_spark.operators.zonal import raster_histogram
+
+    df = _tiles_df(spark)
+    allpx = np.concatenate(
+        [pattern(16, 16, 1, i * 31).ravel() for i in range(24)])
+    got = {r["value"]: r["n_px"] for r in raster_histogram(df).collect()}
+    vals, cnts = np.unique(allpx, return_counts=True)
+    assert got == {int(v): int(c) for v, c in zip(vals, cnts)}
+    # poison bucket: corrupt tile counts as ONE in the NULL row
+    rows = [(0, 0, b"\x00corrupt"),
+            (1, 1, codecs.encode_raw(pattern(8, 8, 1, 3)))]
+    df2 = spark.createDataFrame(pd.DataFrame(rows, columns=["tid", "cell", "tile"]))
+    got2 = {r["value"]: r["n_px"] for r in raster_histogram(df2).collect()}
+    assert got2.pop(None) == 1
+    v2, c2 = np.unique(pattern(8, 8, 1, 3), return_counts=True)
+    assert got2 == {int(v): int(c) for v, c in zip(v2, c2)}
