@@ -4768,6 +4768,81 @@ _GRID_IDW_ORACLE_SQL = f"""
 """
 
 
+def q_fillnodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_fillnodata with -md (r05): nodata pixels take the NEAREST
+    valid value within 5 px (ties → lowest neighbor gpid — pinned so
+    output is partitioning-invariant, unlike GDAL's scan-order IDW).
+    On the stripe fixture class 0 is declared nodata, so the holes,
+    their nearest valid sources, and the unfillable cores are all
+    closed-form; the oracle replays the (d², gpid) argmin in SQL.
+    Checked per tile: filled/unfilled counts, value sum and the
+    position-weighted value sum of the patched raster."""
+    from gdal_drivers_spark.operators.proximity import fillnodata
+
+    tiles = _grid_pattern_tiles(
+        spark, 4, 4, 32, lambda gx, gy: ((3 * gx + 5 * gy) % 256) // 64 * 64)
+    out = fillnodata(tiles, tile_px=32, nodata=0, max_dist=5)
+
+    @F.pandas_udf("struct<v_sum long, vpos_sum long>")
+    def _ck(raster: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        rows = []
+        for b in raster:
+            flat = np.frombuffer(bytes(b), np.uint8).astype(np.int64)
+            rows.append((int(flat.sum()),
+                         int((flat * (np.arange(flat.size) + 1)).sum())))
+        return pd.DataFrame(rows, columns=["v_sum", "vpos_sum"])
+
+    return out.select(
+        (F.shiftright(F.col("cell"), 26) % F.lit(1 << 26)).alias("tcx"),
+        (F.col("cell") % F.lit(1 << 26)).alias("tcy"),
+        "n_filled", "n_unfilled",
+        _ck(F.col("tile")).alias("_c"),
+    ).select("tcx", "tcy", "n_filled", "n_unfilled", "_c.v_sum", "_c.vpos_sum")
+
+
+_FILLNODATA_ORACLE_SQL = """
+    WITH px AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(0, 127) gx(x), generate_series(0, 127) gy(y)
+    ), f AS (
+        SELECT x, y, (((3 * x + 5 * y) % 256) // 64) * 64 AS v FROM px
+    ), off AS (
+        SELECT dx.i AS ddx, dy.i AS ddy
+        FROM generate_series(-5, 5) dx(i), generate_series(-5, 5) dy(i)
+        WHERE dx.i * dx.i + dy.i * dy.i BETWEEN 1 AND 25
+    ), cand AS (
+        SELECT h.x, h.y,
+               o.ddx * o.ddx + o.ddy * o.ddy AS d2,
+               (h.y + o.ddy) * 128 + (h.x + o.ddx) AS gpid,
+               (((3 * (h.x + o.ddx) + 5 * (h.y + o.ddy)) % 256) // 64) * 64 AS nv
+        FROM f h JOIN off o
+          ON h.v = 0
+         AND h.x + o.ddx BETWEEN 0 AND 127
+         AND h.y + o.ddy BETWEEN 0 AND 127
+         AND (((3 * (h.x + o.ddx) + 5 * (h.y + o.ddy)) % 256) // 64) != 0
+    ), sel AS (
+        SELECT x, y, nv,
+               row_number() OVER (PARTITION BY x, y ORDER BY d2, gpid) AS rn
+        FROM cand
+    ), fin AS (
+        SELECT f.x, f.y,
+               CASE WHEN f.v != 0 THEN f.v ELSE COALESCE(s.nv, 0) END AS fv,
+               CASE WHEN f.v = 0 AND s.nv IS NOT NULL THEN 1 ELSE 0 END AS filled,
+               CASE WHEN f.v = 0 AND s.nv IS NULL THEN 1 ELSE 0 END AS unfilled
+        FROM f LEFT JOIN (SELECT x, y, nv FROM sel WHERE rn = 1) s
+          ON s.x = f.x AND s.y = f.y
+    )
+    SELECT CAST(x // 32 AS BIGINT) AS tcx, CAST(y // 32 AS BIGINT) AS tcy,
+           CAST(SUM(filled) AS BIGINT) AS n_filled,
+           CAST(SUM(unfilled) AS BIGINT) AS n_unfilled,
+           CAST(SUM(fv) AS BIGINT) AS v_sum,
+           CAST(SUM(fv * ((y % 32) * 32 + (x % 32) + 1)) AS BIGINT) AS vpos_sum
+    FROM fin GROUP BY 1, 2
+"""
+
+
 def q_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalinfo -stats (r05): whole-raster GetStatistics
     (min/max/mean/stddev) plus poison accounting, over the codec
@@ -5122,6 +5197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_idw": q_grid_idw,
         "raster_stats": q_raster_stats,
         "raster_hist": q_raster_hist,
+        "fillnodata": q_fillnodata,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
         "blend_cells": q_blend_cells,
@@ -5153,6 +5229,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_idw": _GRID_IDW_ORACLE_SQL,
         "raster_stats": _RASTER_STATS_ORACLE_SQL,
         "raster_hist": _RASTER_HIST_ORACLE_SQL,
+        "fillnodata": _FILLNODATA_ORACLE_SQL,
         "tile_assign": f"""
             SELECT cell, count(*) AS n_assign, count(DISTINCT k) AS n_images
             FROM ({_ASSIGNED_SQL}) a GROUP BY cell

@@ -137,3 +137,100 @@ def proximity(
         tiles.select(cell, tile_col), t, w, cell=cell, tile=tile_col
     )
     return halo.groupBy("target_cell").applyInPandas(_kernel, _OUT_SCHEMA)
+
+
+_FILL_SCHEMA = (
+    "cell long, tile binary, n_filled long, n_unfilled long, "
+    "px_ok boolean, n_bad_nbrs int"
+)
+
+
+def fillnodata(
+    tiles: DataFrame,
+    tile_px: int,
+    nodata: int,
+    max_dist: int,
+    cell: str = "cell",
+    tile_col: str = "tile",
+) -> DataFrame:
+    """gdal_fillnodata.py's job — patch nodata holes from surrounding
+    valid pixels — distributed with the same bounded-radius discipline
+    as :func:`proximity` (GDAL's own ``-md`` cap). Each nodata pixel
+    takes the value of the NEAREST valid pixel within ``max_dist``
+    (squared-integer Euclidean metric; equidistant ties → the valid
+    pixel with the lowest global pixel id, so output is partitioning-
+    invariant and SQL-replayable — GDAL's IDW-of-found-pixels variant
+    is FP and scan-order dependent, exactly what a distributed engine
+    must not be). Holes wider than ``max_dist`` stay nodata and are
+    counted in ``n_unfilled``.
+
+    One width-``max_dist`` band-halo exchange, then an embarrassingly
+    parallel shift-and-fill kernel: offsets of the radius disk are
+    visited in (d², Δy, Δx) order, so the first valid hit IS the
+    min-gpid nearest valid — O(w²) vectorized passes, no per-pixel
+    Python. Valid pixels pass through byte-untouched. Poison rules
+    match proximity (corrupt center → flagged row with NULL payload;
+    corrupt neighbor band → treated all-nodata, counted)."""
+    t, r = int(tile_px), int(max_dist)
+    if not 1 <= r <= t:
+        raise ValueError(f"max_dist {r} outside [1, tile_px={t}]")
+    nd = int(nodata)
+    w = r
+    # (d², Δy, Δx) visit order ⇒ first hit = lowest-gpid nearest valid
+    offs = sorted(
+        (ddx * ddx + ddy * ddy, ddy, ddx)
+        for ddx in range(-r, r + 1)
+        for ddy in range(-r, r + 1)
+        if 0 < ddx * ddx + ddy * ddy <= r * r
+    )
+
+    def _kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        kc = int(key[0])
+        vals = np.full((t + 2 * w, t + 2 * w), nd, np.int64)
+        center = None
+        center_row, bad_nbrs = False, 0
+        for dxv, dyv, payload in zip(pdf["dx"], pdf["dy"], pdf["payload"]):
+            dxv, dyv = int(dxv), int(dyv)
+            if dxv == 0 and dyv == 0:
+                center_row = True
+                try:
+                    center = np.frombuffer(bytes(payload), np.uint8).reshape(t, t)
+                except Exception:
+                    pass
+                continue
+            shape = (w, w) if dxv and dyv else (t, w) if dxv else (w, t)
+            try:
+                band = np.frombuffer(bytes(payload), np.uint8).reshape(shape)
+            except Exception:
+                bad_nbrs += 1
+                continue
+            y0 = 0 if dyv < 0 else w + t if dyv > 0 else w
+            x0 = 0 if dxv < 0 else w + t if dxv > 0 else w
+            vals[y0:y0 + shape[0], x0:x0 + shape[1]] = band
+        cols = ["cell", "tile", "n_filled", "n_unfilled", "px_ok", "n_bad_nbrs"]
+        if center is None:
+            if not center_row:
+                return pd.DataFrame([], columns=cols)
+            return pd.DataFrame([(kc, None, 0, 0, False, bad_nbrs)], columns=cols)
+        vals[w:w + t, w:w + t] = center
+        out = center.astype(np.int64).copy()
+        hole = out == nd
+        unfilled = hole.copy()
+        for _, ddy, ddx in offs:
+            if not unfilled.any():
+                break
+            nb = vals[w + ddy:w + ddy + t, w + ddx:w + ddx + t]
+            hit = unfilled & (nb != nd)
+            out[hit] = nb[hit]
+            unfilled &= ~hit
+        n_filled = int((hole & ~unfilled).sum())
+        return pd.DataFrame(
+            [(kc, out.astype(np.uint8).tobytes(), n_filled,
+              int(unfilled.sum()), True, bad_nbrs)],
+            columns=cols,
+        )
+
+    halo = with_halo_bands(
+        tiles.select(cell, tile_col), t, w, cell=cell, tile=tile_col
+    )
+    return halo.groupBy("target_cell").applyInPandas(_kernel, _FILL_SCHEMA)

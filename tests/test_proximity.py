@@ -94,3 +94,53 @@ def test_proximity_validates_radius(spark):
         proximity(tiles, T, 0, T + 1)
     with pytest.raises(ValueError):
         proximity(tiles, T, 0, 0)
+
+
+def _scalar_fill(full, nd, r):
+    """Nearest-valid fill, ties → lowest neighbor gpid."""
+    out = full.astype(np.int64).copy()
+    unfilled = np.zeros(full.shape, bool)
+    for y in range(W):
+        for x in range(W):
+            if full[y, x] != nd:
+                continue
+            best = None
+            for ny in range(max(0, y - r), min(W, y + r + 1)):
+                for nx in range(max(0, x - r), min(W, x + r + 1)):
+                    d2 = (ny - y) ** 2 + (nx - x) ** 2
+                    if 0 < d2 <= r * r and full[ny, nx] != nd:
+                        k = (d2, ny * W + nx)
+                        if best is None or k < best:
+                            best = (d2, ny * W + nx)
+                            bv = int(full[ny, nx])
+            if best is None:
+                unfilled[y, x] = True
+            else:
+                out[y, x] = bv
+    return out.astype(np.uint8), unfilled
+
+
+def test_fillnodata_matches_scalar_nearest_valid(spark):
+    from gdal_drivers_spark.operators.proximity import fillnodata
+
+    rng = np.random.default_rng(41)
+    # ~30% holes, including blobs wider than r (unfilled survivors)
+    full = np.where(rng.random((W, W)) < 0.3, 0, rng.integers(1, 256, (W, W))).astype(np.uint8)
+    full[20:30, 20:30] = 0  # a hole wider than 2r
+    r = 3
+    exp, exp_unfilled = _scalar_fill(full, 0, r)
+    got = {row["cell"]: row for row in
+           fillnodata(_tiles_df(spark, full), T, 0, r).collect()}
+    assert len(got) == GRID * GRID
+    for tx in range(GRID):
+        for ty in range(GRID):
+            row = got[_cell(tx, ty)]
+            assert row["px_ok"]
+            tile = np.frombuffer(bytes(row["tile"]), np.uint8).reshape(T, T)
+            ref = exp[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            assert (tile == ref).all(), (tx, ty)
+            src = full[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            un = exp_unfilled[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            assert row["n_filled"] == int(((src == 0) & ~un).sum())
+            assert row["n_unfilled"] == int(un.sum())
+    assert exp_unfilled.sum() > 0  # the wide hole survived
