@@ -4843,6 +4843,124 @@ _FILLNODATA_ORACLE_SQL = """
 """
 
 
+def q_rgb2pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rgb2pct.py (r05): supplier-keyed 32×32 RGB pattern images
+    quantize to the 216-entry web-safe cube — the operator runs the
+    GENERAL nearest-palette argmin (ties → lowest index, pinned), but
+    the cube palette factorizes per channel on the closed-form
+    fixture, so the oracle derives every index in SQL ((v+25)//51 per
+    channel — 51 is odd, exact ties impossible) and checks per-image
+    index sums plus a position-weighted sum."""
+    import numpy as np
+
+    from gdal_drivers_spark.core import codecs
+    from gdal_drivers_spark.operators.multimodal import rgb2pct, websafe_palette
+    from gdal_drivers_spark.sources.synth import pattern
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for s in pdf["s_suppkey"]:
+                img = pattern(32, 32, 3, int(s) % 256)
+                rows.append((str(int(s)), codecs.encode_raw(img), 32, 32, "raw"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    images = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey").mapInPandas(
+        gen, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    out = rgb2pct(images, websafe_palette())
+
+    @F.pandas_udf("struct<idx_sum long, idxpos_sum long>")
+    def _ck(b: pd.Series) -> pd.DataFrame:
+        rows = []
+        for x in b:
+            flat = codecs.decode(bytes(x)).ravel().astype(np.int64)
+            rows.append((int(flat.sum()),
+                         int((flat * (np.arange(flat.size) + 1)).sum())))
+        return pd.DataFrame(rows, columns=["idx_sum", "idxpos_sum"])
+
+    return out.select(
+        F.col("image_id").cast("long").alias("sid"),
+        _ck(F.col("bytes")).alias("_c"),
+    ).select("sid", "_c.idx_sum", "_c.idxpos_sum")
+
+
+_RGB2PCT_ORACLE_SQL = """
+    WITH px AS (
+        SELECT s.s_suppkey AS sid, gx.x AS x, gy.y AS y,
+               (gx.x * 3 + gy.y * 5 + s.s_suppkey % 256) % 256 AS r,
+               (gx.x * 3 + gy.y * 5 + 7 + s.s_suppkey % 256) % 256 AS g,
+               (gx.x * 3 + gy.y * 5 + 14 + s.s_suppkey % 256) % 256 AS b
+        FROM supplier s,
+             generate_series(0, 31) gx(x), generate_series(0, 31) gy(y)
+    ), idx AS (
+        SELECT sid, 36 * ((r + 25) // 51) + 6 * ((g + 25) // 51)
+                    + ((b + 25) // 51) AS i,
+               y * 32 + x + 1 AS pos
+        FROM px
+    )
+    SELECT CAST(sid AS BIGINT) AS sid,
+           CAST(SUM(i) AS BIGINT) AS idx_sum,
+           CAST(SUM(i * pos) AS BIGINT) AS idxpos_sum
+    FROM idx GROUP BY sid
+"""
+
+
+def q_pct2rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pct2rgb.py (r05): supplier-keyed 32×32 single-band index
+    patterns (mod 216) expand through the web-safe LUT — one
+    vectorized gather per image; the oracle recomputes the palette
+    arithmetic (r = 51·(i÷36), g = 51·((i÷6)%6), b = 51·(i%6)) per
+    closed-form pixel and checks per-image per-channel sums."""
+    import numpy as np
+
+    from gdal_drivers_spark.core import codecs
+    from gdal_drivers_spark.operators.multimodal import pct2rgb, websafe_palette
+    from gdal_drivers_spark.sources.synth import pattern
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for s in pdf["s_suppkey"]:
+                idx = (pattern(32, 32, 1, int(s) % 256).astype(np.int64) % 216).astype(np.uint8)
+                rows.append((str(int(s)), codecs.encode_raw(idx), 32, 32, "raw"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    images = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey").mapInPandas(
+        gen, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    out = pct2rgb(images, websafe_palette())
+
+    @F.pandas_udf("struct<r_sum long, g_sum long, b_sum long>")
+    def _ck(b: pd.Series) -> pd.DataFrame:
+        rows = []
+        for x in b:
+            img = codecs.decode(bytes(x)).astype(np.int64)
+            rows.append((int(img[:, :, 0].sum()), int(img[:, :, 1].sum()),
+                         int(img[:, :, 2].sum())))
+        return pd.DataFrame(rows, columns=["r_sum", "g_sum", "b_sum"])
+
+    return out.select(
+        F.col("image_id").cast("long").alias("sid"),
+        _ck(F.col("bytes")).alias("_c"),
+    ).select("sid", "_c.r_sum", "_c.g_sum", "_c.b_sum")
+
+
+_PCT2RGB_ORACLE_SQL = """
+    WITH idx AS (
+        SELECT s.s_suppkey AS sid,
+               ((gx.x * 3 + gy.y * 5 + s.s_suppkey % 256) % 256) % 216 AS i
+        FROM supplier s,
+             generate_series(0, 31) gx(x), generate_series(0, 31) gy(y)
+    )
+    SELECT CAST(sid AS BIGINT) AS sid,
+           CAST(SUM(51 * (i // 36)) AS BIGINT) AS r_sum,
+           CAST(SUM(51 * ((i // 6) % 6)) AS BIGINT) AS g_sum,
+           CAST(SUM(51 * (i % 6)) AS BIGINT) AS b_sum
+    FROM idx GROUP BY sid
+"""
+
+
 def q_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalinfo -stats (r05): whole-raster GetStatistics
     (min/max/mean/stddev) plus poison accounting, over the codec
@@ -5198,6 +5316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_stats": q_raster_stats,
         "raster_hist": q_raster_hist,
         "fillnodata": q_fillnodata,
+        "rgb2pct": q_rgb2pct,
+        "pct2rgb": q_pct2rgb,
         "top_revenue": q_top_revenue,
         "rasterize_quads": q_rasterize_quads,
         "blend_cells": q_blend_cells,
@@ -5230,6 +5350,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_stats": _RASTER_STATS_ORACLE_SQL,
         "raster_hist": _RASTER_HIST_ORACLE_SQL,
         "fillnodata": _FILLNODATA_ORACLE_SQL,
+        "rgb2pct": _RGB2PCT_ORACLE_SQL,
+        "pct2rgb": _PCT2RGB_ORACLE_SQL,
         "tile_assign": f"""
             SELECT cell, count(*) AS n_assign, count(DISTINCT k) AS n_images
             FROM ({_ASSIGNED_SQL}) a GROUP BY cell

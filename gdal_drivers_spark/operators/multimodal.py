@@ -393,3 +393,173 @@ def phash_images(
     return images.withColumn("_p", _ph(F.col(bytes_col))).select(
         F.col(id_col), F.col("_p.phash").alias("phash"), F.col("_p.ph_ok").alias("ph_ok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Palette quantization — rgb2pct.py / pct2rgb.py parity
+# ---------------------------------------------------------------------------
+
+def websafe_palette() -> np.ndarray:
+    """The 216-entry 6×6×6 web-safe cube (levels 0,51,…,255), index =
+    36·ri + 6·gi + bi — the classic fixed palette; because it is a
+    full per-channel product, the nearest entry factorizes per channel
+    (useful for exact SQL oracles, irrelevant to the operator which
+    does the general argmin)."""
+    lv = np.arange(6) * 51
+    r, g, b = np.meshgrid(lv, lv, lv, indexing="ij")
+    return np.stack([r, g, b], axis=-1).reshape(216, 3).astype(np.int64)
+
+
+PCT_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string, ok boolean"
+
+
+def rgb2pct(images: DataFrame, palette: np.ndarray) -> DataFrame:
+    """rgb2pct.py's quantization pass: every RGB pixel takes the index
+    of the nearest palette entry (squared RGB distance; ties → LOWEST
+    index — GDAL's nearest-color search scans the palette in order, and
+    a distributed engine must pin the rule anyway). Output is a raw
+    single-band index raster per image. One Arrow hop, vectorized
+    (h·w × |palette|) distance argmin per image; the palette is a
+    closure constant shipped once per task, never a shuffle. Poison
+    rows follow the house rule (bytes NULL, ok false).
+
+    Build the palette with :func:`build_palette_median_cut` (GDAL's
+    default) or pass :func:`websafe_palette` / any (P,3) array."""
+    pal = np.asarray(palette, np.int64)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+        raise ValueError(f"palette must be (P<=256, 3), got {pal.shape}")
+
+    def _run(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                try:
+                    img = codecs.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                    if img.shape[2] != 3:
+                        raise ValueError("rgb2pct needs a 3-band image")
+                    d2 = ((img[:, :, None, :] - pal[None, None, :, :]) ** 2).sum(-1)
+                    idx = d2.argmin(axis=2).astype(np.uint8)  # first min = lowest index
+                except Exception:
+                    out.append((r.image_id, None, None, None, None, False))
+                    continue
+                out.append((r.image_id, codecs.encode_raw(idx[:, :, None]),
+                            int(img.shape[1]), int(img.shape[0]), "raw", True))
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h", "fmt", "ok"])
+
+    return images.mapInPandas(_run, PCT_SCHEMA)
+
+
+def pct2rgb(images: DataFrame, palette: np.ndarray) -> DataFrame:
+    """pct2rgb.py: expand a single-band paletted raster to RGB via the
+    lookup table — one vectorized gather per image, exact by
+    construction. An index beyond the palette is corrupt input →
+    poison row (GDAL errors out; set-at-a-time the row is flagged,
+    never the stage)."""
+    pal = np.asarray(palette, np.int64)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+        raise ValueError(f"palette must be (P<=256, 3), got {pal.shape}")
+    lut = pal.astype(np.uint8)
+    pmax = pal.shape[0]
+
+    def _run(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                try:
+                    img = codecs.decode(bytes(r.bytes), r.fmt)
+                    if img.shape[2] != 1:
+                        raise ValueError("pct2rgb needs a 1-band image")
+                    if int(img.max(initial=0)) >= pmax:
+                        raise ValueError("palette index out of range")
+                    rgb = lut[img[:, :, 0]]
+                except Exception:
+                    out.append((r.image_id, None, None, None, None, False))
+                    continue
+                out.append((r.image_id, codecs.encode_raw(rgb),
+                            int(img.shape[1]), int(img.shape[0]), "raw", True))
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h", "fmt", "ok"])
+
+    return images.mapInPandas(_run, PCT_SCHEMA)
+
+
+def color_histogram(images: DataFrame, bits: int = 5) -> DataFrame:
+    """Distributed color census for palette building: each image
+    reduces to ≤2^(3·bits) (color, n_px) partial-histogram rows in one
+    Arrow hop (colors quantized to ``bits`` per channel — GDAL's
+    median cut works on a reduced histogram too); the groupBy then
+    merges counts relationally with map-side combine. Output:
+    (r, g, b quantized-bucket CENTERS as u8, n_px) — bounded at 2^15
+    rows total for the default 5 bits regardless of corpus size."""
+    if not 1 <= int(bits) <= 8:
+        raise ValueError("bits must be in [1, 8]")
+    shift = 8 - int(bits)
+    half = (1 << shift) // 2 if shift else 0
+
+    def _run(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                try:
+                    img = codecs.decode(bytes(r.bytes), r.fmt)
+                    if img.shape[2] != 3:
+                        raise ValueError("needs a 3-band image")
+                except Exception:
+                    out.append((None, None, None, 0, False))
+                    continue
+                q = (img.reshape(-1, 3) >> shift).astype(np.int64)
+                key = (q[:, 0] << 16) | (q[:, 1] << 8) | q[:, 2]
+                uk, cnt = np.unique(key, return_counts=True)
+                for k, n in zip(uk, cnt):
+                    out.append((int((k >> 16) << shift) + half,
+                                int(((k >> 8) & 0xFF) << shift) + half,
+                                int((k & 0xFF) << shift) + half, int(n), True))
+            yield pd.DataFrame(out, columns=["r", "g", "b", "n_px", "ok"])
+
+    part = images.mapInPandas(_run, "r int, g int, b int, n_px long, ok boolean")
+    return part.groupBy("r", "g", "b", "ok").agg(F.sum("n_px").alias("n_px"))
+
+
+def build_palette_median_cut(images: DataFrame, ncolors: int = 256,
+                             bits: int = 5) -> np.ndarray:
+    """rgb2pct.py's default palette: median cut over the (distributed,
+    exact) color histogram. The cut itself runs on the driver over the
+    ≤2^(3·bits) aggregated rows — bounded work independent of corpus
+    size, the same decomposition as the IVF k-means trainer (heavy
+    census distributed, tiny optimization local). Deterministic: boxes
+    split on their widest channel at the weighted median, ties and
+    orderings pinned by (count, box-index); entries are the weighted
+    mean color of each final box, rounded half-to-even."""
+    hist = (
+        color_histogram(images, bits=bits)
+        .filter(F.col("ok"))
+        .select("r", "g", "b", "n_px")
+        .collect()
+    )
+    if not hist:
+        return np.zeros((1, 3), np.int64)
+    cols = np.array([(h["r"], h["g"], h["b"]) for h in hist], np.int64)
+    wts = np.array([h["n_px"] for h in hist], np.int64)
+    order = np.lexsort((cols[:, 2], cols[:, 1], cols[:, 0]))
+    cols, wts = cols[order], wts[order]
+    boxes = [(cols, wts)]
+    while len(boxes) < int(ncolors):
+        # split the most-populous splittable box (deterministic: first
+        # among equals in list order)
+        cands = [i for i, (c, _) in enumerate(boxes) if len(c) > 1]
+        if not cands:
+            break
+        i = max(cands, key=lambda j: (int(boxes[j][1].sum()), -j))
+        c, n = boxes.pop(i)
+        ch = int(np.argmax(c.max(0) - c.min(0)))
+        o = np.lexsort((c[:, (ch + 2) % 3], c[:, (ch + 1) % 3], c[:, ch]))
+        c, n = c[o], n[o]
+        cum = np.cumsum(n)
+        k = int(np.searchsorted(cum, cum[-1] / 2)) + 1
+        k = min(max(k, 1), len(c) - 1)
+        boxes.insert(i, (c[:k], n[:k]))
+        boxes.insert(i + 1, (c[k:], n[k:]))
+    pal = np.array(
+        [np.rint((c * n[:, None]).sum(0) / n.sum()) for c, n in boxes],
+        np.int64,
+    )
+    return pal
