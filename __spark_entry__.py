@@ -4768,6 +4768,77 @@ _GRID_IDW_ORACLE_SQL = f"""
 """
 
 
+def q_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_grid data metrics (r05): -a count/minimum/maximum/range in
+    ONE scatter+kernel pass over the 60-point fixture — four u8 raster
+    bands per tile. Exact integer arithmetic (the saturating
+    least(count,255) included) → the oracle replays every pixel's
+    in-radius aggregate in SQL; checked per tile: candidate and filled
+    counts plus (sum, position-weighted sum) of each band."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.gridding import grid_datametrics
+
+    out = grid_datametrics(_grid_fixture_points(spark), 32, 4, 7, (4, 4))
+
+    @F.pandas_udf("struct<s long, p long>")
+    def _ck(raster: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in raster:
+            flat = np.frombuffer(bytes(b), np.uint8).astype(np.int64)
+            rows.append((int(flat.sum()),
+                         int((flat * (np.arange(flat.size) + 1)).sum())))
+        return pd.DataFrame(rows, columns=["s", "p"])
+
+    return out.select(
+        (F.shiftright(F.col("cell"), 26) % F.lit(1 << 26)).alias("tcx"),
+        (F.col("cell") % F.lit(1 << 26)).alias("tcy"),
+        "n_points", "n_filled",
+        _ck(F.col("count")).alias("_c"), _ck(F.col("vmin")).alias("_n"),
+        _ck(F.col("vmax")).alias("_x"), _ck(F.col("vrange")).alias("_r"),
+    ).select(
+        "tcx", "tcy", "n_points", "n_filled",
+        F.col("_c.s").alias("cnt_sum"), F.col("_c.p").alias("cnt_pos"),
+        F.col("_n.s").alias("min_sum"), F.col("_n.p").alias("min_pos"),
+        F.col("_x.s").alias("max_sum"), F.col("_x.p").alias("max_pos"),
+        F.col("_r.s").alias("rng_sum"), F.col("_r.p").alias("rng_pos"),
+    )
+
+
+_GRID_METRICS_ORACLE_SQL = f"""
+    WITH {_GRID_PTS_CTE}, agg AS (
+        SELECT x, y, count(*) AS n, min(v) AS mn, max(v) AS mx
+        FROM cand GROUP BY x, y
+    ), met AS (
+        SELECT x // 32 AS tcx, y // 32 AS tcy,
+               least(n, 255) AS c, mn, mx, mx - mn AS rg,
+               ((y % 32) * 32 + (x % 32) + 1) AS pos
+        FROM agg
+    ), sums AS (
+        SELECT tcx, tcy, count(*) AS n_filled,
+               SUM(c) AS cnt_sum, SUM(c * pos) AS cnt_pos,
+               SUM(mn) AS min_sum, SUM(mn * pos) AS min_pos,
+               SUM(mx) AS max_sum, SUM(mx * pos) AS max_pos,
+               SUM(rg) AS rng_sum, SUM(rg * pos) AS rng_pos
+        FROM met GROUP BY 1, 2
+    )
+    SELECT t.tcx AS tcx, t.tcy AS tcy,
+           CAST(COALESCE(n.n_points, 0) AS BIGINT) AS n_points,
+           CAST(COALESCE(s.n_filled, 0) AS BIGINT) AS n_filled,
+           CAST(COALESCE(s.cnt_sum, 0) AS BIGINT) AS cnt_sum,
+           CAST(COALESCE(s.cnt_pos, 0) AS BIGINT) AS cnt_pos,
+           CAST(COALESCE(s.min_sum, 0) AS BIGINT) AS min_sum,
+           CAST(COALESCE(s.min_pos, 0) AS BIGINT) AS min_pos,
+           CAST(COALESCE(s.max_sum, 0) AS BIGINT) AS max_sum,
+           CAST(COALESCE(s.max_pos, 0) AS BIGINT) AS max_pos,
+           CAST(COALESCE(s.rng_sum, 0) AS BIGINT) AS rng_sum,
+           CAST(COALESCE(s.rng_pos, 0) AS BIGINT) AS rng_pos
+    FROM tiles t
+    LEFT JOIN np n ON n.tcx = t.tcx AND n.tcy = t.tcy
+    LEFT JOIN sums s ON s.tcx = t.tcx AND s.tcy = t.tcy
+"""
+
+
 def q_fillnodata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_fillnodata with -md (r05): nodata pixels take the NEAREST
     valid value within 5 px (ties → lowest neighbor gpid — pinned so
@@ -5316,6 +5387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_stats": q_raster_stats,
         "raster_hist": q_raster_hist,
         "fillnodata": q_fillnodata,
+        "grid_metrics": q_grid_metrics,
         "rgb2pct": q_rgb2pct,
         "pct2rgb": q_pct2rgb,
         "top_revenue": q_top_revenue,
@@ -5350,6 +5422,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_stats": _RASTER_STATS_ORACLE_SQL,
         "raster_hist": _RASTER_HIST_ORACLE_SQL,
         "fillnodata": _FILLNODATA_ORACLE_SQL,
+        "grid_metrics": _GRID_METRICS_ORACLE_SQL,
         "rgb2pct": _RGB2PCT_ORACLE_SQL,
         "pct2rgb": _PCT2RGB_ORACLE_SQL,
         "tile_assign": f"""

@@ -101,3 +101,56 @@ def test_grid_empty_points_yields_all_nodata(spark):
     for row in out:
         assert row["n_points"] == 0 and row["n_filled"] == 0
         assert bytes(row["raster"]) == bytes([9]) * (T * T)
+
+
+def test_grid_datametrics_matches_scalar(spark):
+    from gdal_drivers_spark.operators.gridding import grid_datametrics
+
+    sdf, pdf = _points(spark, 30, 23)
+    r = 6
+    got = {row["cell"]: row for row in
+           grid_datametrics(sdf, T, Z, r, (GRID, GRID), nodata=7).collect()}
+    assert len(got) == GRID * GRID
+    cnt = np.zeros((W, W), np.int64)
+    vmin = np.full((W, W), 256, np.int64)
+    vmax = np.full((W, W), -1, np.int64)
+    for y in range(W):
+        for x in range(W):
+            d2 = (pdf["px"] - x) ** 2 + (pdf["py"] - y) ** 2
+            cand = pdf["v"][d2 <= r * r]
+            cnt[y, x] = len(cand)
+            if len(cand):
+                vmin[y, x], vmax[y, x] = cand.min(), cand.max()
+    fill = cnt > 0
+    exp = {
+        "count": np.minimum(cnt, 255).astype(np.uint8),
+        "vmin": np.where(fill, vmin, 7).astype(np.uint8),
+        "vmax": np.where(fill, vmax, 7).astype(np.uint8),
+        "vrange": np.where(fill, vmax - vmin, 7).astype(np.uint8),
+    }
+    for tx in range(GRID):
+        for ty in range(GRID):
+            row = got[_cell(tx, ty)]
+            sl = np.s_[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            for band, ref in exp.items():
+                tile = np.frombuffer(bytes(row[band]), np.uint8).reshape(T, T)
+                assert (tile == ref[sl]).all(), (band, tx, ty)
+            assert row["n_filled"] == int(fill[sl].sum())
+    assert 0 < fill.sum() < W * W
+
+
+def test_grid_datametrics_empty_and_saturation(spark):
+    from gdal_drivers_spark.operators.gridding import grid_datametrics
+
+    empty = spark.createDataFrame([], "pid long, px long, py long, v long")
+    out = grid_datametrics(empty, T, Z, 5, (1, 1), nodata=3).collect()[0]
+    assert bytes(out["count"]) == bytes(T * T)
+    assert bytes(out["vmin"]) == bytes([3]) * (T * T)
+    # 300 coincident points at (0,0): count saturates at 255, range exact
+    pdf = pd.DataFrame({"pid": range(300), "px": 0, "py": 0,
+                        "v": [1 + i % 200 for i in range(300)]})
+    row = grid_datametrics(spark.createDataFrame(pdf), T, Z, 2, (1, 1)).collect()[0]
+    c = np.frombuffer(bytes(row["count"]), np.uint8).reshape(T, T)
+    rg = np.frombuffer(bytes(row["vrange"]), np.uint8).reshape(T, T)
+    assert c[0, 0] == 255 and c[T - 1, T - 1] == 0
+    assert rg[0, 0] == 199
