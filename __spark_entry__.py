@@ -4768,6 +4768,71 @@ _GRID_IDW_ORACLE_SQL = f"""
 """
 
 
+def q_tindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaltindex (r05): one index feature per raster — footprint
+    corners (the bit-exact phash→unit-world derivation of
+    assign.with_footprint, power-of-two divisions so the doubles are
+    identical in Spark and DuckDB), per-axis resolution, pixel count,
+    and the degenerate-raster flag (every 97th order gets w=0 and must
+    come back ok=false with NULL geometry, not vanish). Pure JVM
+    Column projection — no Python, no shuffle."""
+    from gdal_drivers_spark.operators.assign import with_footprint
+    from gdal_drivers_spark.operators.tindex import tile_index
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(1 << 60)).alias("phash"),
+        )
+        .withColumn(
+            "w",
+            F.when(F.col("k") % 97 == 0, F.lit(0))
+            .otherwise((F.col("k") % 7) * 32 + 64)
+            .cast("int"),
+        )
+        .withColumn("h", ((F.col("k") % 5) * 32 + 64).cast("int"))
+    )
+    idx = tile_index(with_footprint(o), location="k")
+    return idx.select(
+        F.col("location").alias("k"),
+        "x0", "y0", "x1", "y1", "res_x", "res_y",
+        F.coalesce("n_px", F.lit(-1)).alias("n_px"),
+        "ok",
+    )
+
+
+_TINDEX_ORACLE_SQL = """
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               (o_orderkey * 2654435761) % 1152921504606846976 AS ph,
+               CASE WHEN o_orderkey % 97 = 0 THEN 0
+                    ELSE (o_orderkey % 7) * 32 + 64 END AS w,
+               (o_orderkey % 5) * 32 + 64 AS h
+        FROM orders
+    ), fp AS (
+        SELECT k, w, h,
+               (CAST(ph % 1048576 AS DOUBLE) / 1048576.0) * 0.984375 AS x0,
+               (CAST((ph // 1048576) % 1048576 AS DOUBLE) / 1048576.0) * 0.984375 AS y0,
+               ((CAST((ph // 1099511627776) % 1024 AS DOUBLE) + 1.0) / 1024.0)
+                   * 0.015625 AS sw,
+               ((CAST((ph // 1125899906842624) % 1024 AS DOUBLE) + 1.0) / 1024.0)
+                   * 0.015625 AS sh
+        FROM base
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CASE WHEN w > 0 THEN x0 END AS x0,
+           CASE WHEN w > 0 THEN y0 END AS y0,
+           CASE WHEN w > 0 THEN x0 + sw END AS x1,
+           CASE WHEN w > 0 THEN y0 + sh END AS y1,
+           CASE WHEN w > 0 THEN ((x0 + sw) - x0) / CAST(w AS DOUBLE) END AS res_x,
+           CASE WHEN w > 0 THEN ((y0 + sh) - y0) / CAST(h AS DOUBLE) END AS res_y,
+           CAST(CASE WHEN w > 0 THEN w * h ELSE -1 END AS BIGINT) AS n_px,
+           w > 0 AS ok
+    FROM fp
+"""
+
+
 def q_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_grid data metrics (r05): -a count/minimum/maximum/range in
     ONE scatter+kernel pass over the 60-point fixture — four u8 raster
@@ -5388,6 +5453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_hist": q_raster_hist,
         "fillnodata": q_fillnodata,
         "grid_metrics": q_grid_metrics,
+        "tindex": q_tindex,
         "rgb2pct": q_rgb2pct,
         "pct2rgb": q_pct2rgb,
         "top_revenue": q_top_revenue,
@@ -5423,6 +5489,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_hist": _RASTER_HIST_ORACLE_SQL,
         "fillnodata": _FILLNODATA_ORACLE_SQL,
         "grid_metrics": _GRID_METRICS_ORACLE_SQL,
+        "tindex": _TINDEX_ORACLE_SQL,
         "rgb2pct": _RGB2PCT_ORACLE_SQL,
         "pct2rgb": _PCT2RGB_ORACLE_SQL,
         "tile_assign": f"""
