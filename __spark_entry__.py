@@ -4768,6 +4768,148 @@ _GRID_IDW_ORACLE_SQL = f"""
 """
 
 
+def q_band_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_calc.py (r05): two supplier-keyed single-band operand
+    frames join on the image key and evaluate
+    ``where(A >= B, A - B, (B - A) * 2) + minimum(A, 200) % 7``
+    through the whitelisted-AST compiler — exact int64 arithmetic with
+    a saturating-u8 write (the un-clipped max is 516, so the clip IS
+    exercised). The oracle replays the same expression per closed-form
+    pixel in SQL; checked per image: value sum and position-weighted
+    sum."""
+    import numpy as np
+
+    from gdal_drivers_spark.core import codecs
+    from gdal_drivers_spark.operators.calc import band_calc
+    from gdal_drivers_spark.sources.synth import pattern
+
+    def gen_for(shift7: bool):
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for s in pdf["s_suppkey"]:
+                    ph = (7 * int(s) + 11) % 256 if shift7 else int(s) % 256
+                    img = pattern(32, 32, 1, ph)
+                    rows.append((str(int(s)), codecs.encode_raw(img), 32, 32, "raw"))
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+        return gen
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey")
+    schema = "image_id string, bytes binary, w int, h int, fmt string"
+    fa = sup.mapInPandas(gen_for(False), schema)
+    fb = sup.mapInPandas(gen_for(True), schema)
+    out = band_calc(
+        {"A": fa, "B": fb},
+        "where(A >= B, A - B, (B - A) * 2) + minimum(A, 200) % 7",
+    )
+
+    @F.pandas_udf("struct<v_sum long, vpos_sum long>")
+    def _ck(b: pd.Series) -> pd.DataFrame:
+        rows = []
+        for x in b:
+            flat = codecs.decode(bytes(x)).ravel().astype(np.int64)
+            rows.append((int(flat.sum()),
+                         int((flat * (np.arange(flat.size) + 1)).sum())))
+        return pd.DataFrame(rows, columns=["v_sum", "vpos_sum"])
+
+    return out.select(
+        F.col("image_id").cast("long").alias("sid"),
+        _ck(F.col("bytes")).alias("_c"),
+    ).select("sid", "_c.v_sum", "_c.vpos_sum")
+
+
+_BAND_CALC_ORACLE_SQL = """
+    WITH px AS (
+        SELECT s.s_suppkey AS sid, gx.x AS x, gy.y AS y,
+               (gx.x * 3 + gy.y * 5 + s.s_suppkey % 256) % 256 AS a,
+               (gx.x * 3 + gy.y * 5 + (7 * s.s_suppkey + 11) % 256) % 256 AS b
+        FROM supplier s,
+             generate_series(0, 31) gx(x), generate_series(0, 31) gy(y)
+    ), v AS (
+        SELECT sid,
+               least(greatest(
+                   (CASE WHEN a >= b THEN a - b ELSE (b - a) * 2 END)
+                   + (least(a, 200) % 7), 0), 255) AS val,
+               y * 32 + x + 1 AS pos
+        FROM px
+    )
+    SELECT CAST(sid AS BIGINT) AS sid,
+           CAST(SUM(val) AS BIGINT) AS v_sum,
+           CAST(SUM(val * pos) AS BIGINT) AS vpos_sum
+    FROM v GROUP BY sid
+"""
+
+
+def q_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -cutline (r05): mask a 6×6-tile mosaic of the diagonal
+    field (3x+5y)%256 against a convex quad whose edges all have odd
+    dx+dy — doubled-coordinate cross products at pixel centers are
+    then ODD integers, so no center ever sits on an edge and the
+    engine's even-odd ray cast provably equals the oracle's four
+    half-plane tests. Tiles disjoint from the ring bbox are masked
+    JVM-side (no Python, no decode); only boundary tiles rasterize.
+    Checked per tile: kept-pixel count, value sum, position-weighted
+    value sum of the masked raster."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.cutline import cutline_crop
+
+    t, grid, z = 16, 6, 4
+    ring = [[5, 3], [58, 13], [40, 62], [9, 50]]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                tx, ty = int(i) // grid, int(i) % grid
+                x = np.arange(t)[None, :] + tx * t
+                y = np.arange(t)[:, None] + ty * t
+                tile = ((3 * x + 5 * y) % 256).astype(np.uint8)
+                rows.append(((z << 52) + (tx << 26) + ty, tile.tobytes()))
+            yield pd.DataFrame(rows, columns=["cell", "raster"])
+
+    tiles = spark.range(grid * grid).mapInPandas(gen, "cell long, raster binary")
+    out = cutline_crop(tiles, ring, t, nodata=0)
+
+    @F.pandas_udf("struct<v_sum long, vpos_sum long>")
+    def _ck(b: pd.Series) -> pd.DataFrame:
+        rows = []
+        for x in b:
+            flat = np.frombuffer(bytes(x), np.uint8).astype(np.int64)
+            rows.append((int(flat.sum()),
+                         int((flat * (np.arange(flat.size) + 1)).sum())))
+        return pd.DataFrame(rows, columns=["v_sum", "vpos_sum"])
+
+    return out.select(
+        (F.shiftright(F.col("cell"), 26) % F.lit(1 << 26)).alias("tcx"),
+        (F.col("cell") % F.lit(1 << 26)).alias("tcy"),
+        "n_kept",
+        _ck(F.col("raster")).alias("_c"),
+    ).select("tcx", "tcy", "n_kept", "_c.v_sum", "_c.vpos_sum")
+
+
+_CUTLINE_ORACLE_SQL = """
+    WITH px AS (
+        SELECT gx.x AS x, gy.y AS y, (3 * gx.x + 5 * gy.y) % 256 AS v
+        FROM generate_series(0, 95) gx(x), generate_series(0, 95) gy(y)
+    ), m AS (
+        SELECT x, y, v,
+               CASE WHEN 53 * (2*y+1 - 6)   - 10 * (2*x+1 - 10)  > 0
+                     AND -18 * (2*y+1 - 26) - 49 * (2*x+1 - 116) > 0
+                     AND -31 * (2*y+1 - 124) + 12 * (2*x+1 - 80) > 0
+                     AND  -4 * (2*y+1 - 100) + 47 * (2*x+1 - 18) > 0
+                    THEN 1 ELSE 0 END AS ins
+        FROM px
+    )
+    SELECT CAST(x // 16 AS BIGINT) AS tcx, CAST(y // 16 AS BIGINT) AS tcy,
+           CAST(SUM(ins) AS BIGINT) AS n_kept,
+           CAST(SUM(v * ins) AS BIGINT) AS v_sum,
+           CAST(SUM(v * ins * ((y % 16) * 16 + (x % 16) + 1)) AS BIGINT) AS vpos_sum
+    FROM m GROUP BY 1, 2
+"""
+
+
 def q_tindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdaltindex (r05): one index feature per raster — footprint
     corners (the bit-exact phash→unit-world derivation of
@@ -5453,6 +5595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_hist": q_raster_hist,
         "fillnodata": q_fillnodata,
         "grid_metrics": q_grid_metrics,
+        "band_calc": q_band_calc,
+        "cutline": q_cutline,
         "tindex": q_tindex,
         "rgb2pct": q_rgb2pct,
         "pct2rgb": q_pct2rgb,
@@ -5489,6 +5633,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_hist": _RASTER_HIST_ORACLE_SQL,
         "fillnodata": _FILLNODATA_ORACLE_SQL,
         "grid_metrics": _GRID_METRICS_ORACLE_SQL,
+        "band_calc": _BAND_CALC_ORACLE_SQL,
+        "cutline": _CUTLINE_ORACLE_SQL,
         "tindex": _TINDEX_ORACLE_SQL,
         "rgb2pct": _RGB2PCT_ORACLE_SQL,
         "pct2rgb": _PCT2RGB_ORACLE_SQL,
