@@ -4768,6 +4768,98 @@ _GRID_IDW_ORACLE_SQL = f"""
 """
 
 
+def q_burn_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_rasterize (r05): three convex features (two overlapping —
+    LAST-WINS in fid order is the pinned rule) burn into a 4×4-tile
+    raster over init=7 background. Every ring edge has odd dx+dy so no
+    pixel center sits on an edge (doubled-coordinate crosses are odd)
+    and the even-odd cast equals the oracle's half-plane tests. The
+    feature→tile fan-out is a JVM bbox explode; the oracle mirrors it
+    for n_features. Checked per tile: burned-pixel count, landed
+    features, value sum, position-weighted sum."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.rasterize import burn_features
+
+    feats = [
+        (1, [(3.0, 2.0), (40.0, 6.0), (30.0, 37.0), (6.0, 28.0)], 50),
+        (2, [(20.0, 18.0), (59.0, 24.0), (50.0, 58.0), (23.0, 56.0)], 200),
+        (3, [(1.0, 50.0), (12.0, 52.0), (7.0, 62.0)], 99),
+    ]
+    fdf = spark.createDataFrame(
+        pd.DataFrame(
+            [(fid, [[x, y] for x, y in ring], v) for fid, ring, v in feats],
+            columns=["fid", "ring", "v"],
+        ),
+        "fid long, ring array<array<double>>, v long",
+    )
+    out = burn_features(fdf, 16, 4, (4, 4), init=7)
+
+    @F.pandas_udf("struct<v_sum long, vpos_sum long>")
+    def _ck(b: pd.Series) -> pd.DataFrame:
+        rows = []
+        for x in b:
+            flat = np.frombuffer(bytes(x), np.uint8).astype(np.int64)
+            rows.append((int(flat.sum()),
+                         int((flat * (np.arange(flat.size) + 1)).sum())))
+        return pd.DataFrame(rows, columns=["v_sum", "vpos_sum"])
+
+    return out.select(
+        (F.shiftright(F.col("cell"), 26) % F.lit(1 << 26)).alias("tcx"),
+        (F.col("cell") % F.lit(1 << 26)).alias("tcy"),
+        "n_burned", "n_features",
+        _ck(F.col("raster")).alias("_c"),
+    ).select("tcx", "tcy", "n_burned", "n_features", "_c.v_sum", "_c.vpos_sum")
+
+
+_BURN_ORACLE_SQL = """
+    WITH px AS (
+        SELECT gx.x AS x, gy.y AS y, 2 * gx.x + 1 AS cx, 2 * gy.y + 1 AS cy
+        FROM generate_series(0, 63) gx(x), generate_series(0, 63) gy(y)
+    ), m AS (
+        SELECT x, y,
+               CASE WHEN 37 * (cy - 4)   -  4 * (cx - 6)   > 0
+                     AND -10 * (cy - 12) - 31 * (cx - 80)  > 0
+                     AND -24 * (cy - 74) +  9 * (cx - 60)  > 0
+                     AND  -3 * (cy - 56) + 26 * (cx - 12)  > 0
+                    THEN 1 ELSE 0 END AS f1,
+               CASE WHEN 39 * (cy - 36)  -  6 * (cx - 40)  > 0
+                     AND  -9 * (cy - 48) - 34 * (cx - 118) > 0
+                     AND -27 * (cy - 116) + 2 * (cx - 100) > 0
+                     AND  -3 * (cy - 112) + 38 * (cx - 46) > 0
+                    THEN 1 ELSE 0 END AS f2,
+               CASE WHEN 11 * (cy - 100) -  2 * (cx - 2)   > 0
+                     AND  -5 * (cy - 104) - 10 * (cx - 24) > 0
+                     AND  -6 * (cy - 124) + 12 * (cx - 14) > 0
+                    THEN 1 ELSE 0 END AS f3
+        FROM px
+    ), v AS (
+        SELECT x // 16 AS tcx, y // 16 AS tcy,
+               CASE WHEN f3 = 1 THEN 99 WHEN f2 = 1 THEN 200
+                    WHEN f1 = 1 THEN 50 ELSE 7 END AS val,
+               CASE WHEN f1 + f2 + f3 > 0 THEN 1 ELSE 0 END AS b,
+               (y % 16) * 16 + (x % 16) + 1 AS pos
+        FROM m
+    ), nf AS (
+        SELECT t.tcx, t.tcy, count(*) AS n_features
+        FROM (SELECT tx.i AS tcx, ty.i AS tcy
+              FROM generate_series(0, 3) tx(i), generate_series(0, 3) ty(i)) t
+        JOIN (VALUES (3, 40, 2, 37), (20, 59, 18, 58), (1, 12, 50, 62))
+             f(bx0, bx1, by0, by1)
+          ON t.tcx BETWEEN f.bx0 // 16 AND f.bx1 // 16
+         AND t.tcy BETWEEN f.by0 // 16 AND f.by1 // 16
+        GROUP BY 1, 2
+    )
+    SELECT CAST(v.tcx AS BIGINT) AS tcx, CAST(v.tcy AS BIGINT) AS tcy,
+           CAST(SUM(v.b) AS BIGINT) AS n_burned,
+           CAST(COALESCE(MAX(nf.n_features), 0) AS BIGINT) AS n_features,
+           CAST(SUM(v.val) AS BIGINT) AS v_sum,
+           CAST(SUM(v.val * v.pos) AS BIGINT) AS vpos_sum
+    FROM v LEFT JOIN nf ON nf.tcx = v.tcx AND nf.tcy = v.tcy
+    GROUP BY 1, 2
+"""
+
+
 def q_band_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_calc.py (r05): two supplier-keyed single-band operand
     frames join on the image key and evaluate
@@ -5596,6 +5688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fillnodata": q_fillnodata,
         "grid_metrics": q_grid_metrics,
         "band_calc": q_band_calc,
+        "burn_raster": q_burn_raster,
         "cutline": q_cutline,
         "tindex": q_tindex,
         "rgb2pct": q_rgb2pct,
@@ -5634,6 +5727,7 @@ def oracle_sql() -> dict[str, str]:
         "fillnodata": _FILLNODATA_ORACLE_SQL,
         "grid_metrics": _GRID_METRICS_ORACLE_SQL,
         "band_calc": _BAND_CALC_ORACLE_SQL,
+        "burn_raster": _BURN_ORACLE_SQL,
         "cutline": _CUTLINE_ORACLE_SQL,
         "tindex": _TINDEX_ORACLE_SQL,
         "rgb2pct": _RGB2PCT_ORACLE_SQL,

@@ -1,0 +1,74 @@
+"""gdal_rasterize parity: tiled burn equals whole-raster scalar paint,
+overlaps resolve last-wins in fid order, untouched tiles keep -init,
+degenerate rings are skipped."""
+
+import numpy as np
+import pandas as pd
+
+from gdal_drivers_spark.core.geometry import points_in_polygon
+from gdal_drivers_spark.operators.rasterize import burn_features
+
+T, GRID, Z = 16, 4, 4
+W = T * GRID
+
+
+def _cell(tx, ty):
+    return (Z << 52) + (tx << 26) + ty
+
+
+def _features(spark, feats):
+    pdf = pd.DataFrame(
+        [(fid, [[float(x), float(y)] for x, y in ring], v)
+         for fid, ring, v in feats],
+        columns=["fid", "ring", "v"],
+    )
+    return spark.createDataFrame(
+        pdf, "fid long, ring array<array<double>>, v long")
+
+
+FEATS = [
+    (1, [(3, 2), (40, 5), (30, 37), (5, 28)], 50),
+    (2, [(20, 18), (59, 23), (50, 58), (24, 55)], 200),  # overlaps fid 1
+    (3, [(1, 50), (12, 51), (6, 62)], 99),
+]
+
+
+def test_burn_matches_scalar_paint_last_wins(spark):
+    got = {r["cell"]: r for r in
+           burn_features(_features(spark, FEATS), T, Z, (GRID, GRID),
+                         init=7).collect()}
+    assert len(got) == GRID * GRID
+    exp = np.full((W, W), 7, np.uint8)
+    burned = np.zeros((W, W), bool)
+    gy, gx = np.mgrid[0:W, 0:W]
+    for fid, ring, v in sorted(FEATS):  # ascending fid = paint order
+        inside = points_in_polygon(
+            (gx + 0.5).ravel(), (gy + 0.5).ravel(),
+            np.asarray(ring, np.float64)).reshape(W, W)
+        exp[inside] = v
+        burned |= inside
+    assert 0 < burned.sum() < W * W
+    for tx in range(GRID):
+        for ty in range(GRID):
+            row = got[_cell(tx, ty)]
+            tile = np.frombuffer(bytes(row["raster"]), np.uint8).reshape(T, T)
+            sl = np.s_[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            assert (tile == exp[sl]).all(), (tx, ty)
+            assert row["n_burned"] == int(burned[sl].sum())
+    # overlap region really took fid 2's value
+    assert (exp == 200).sum() > 0 and (exp == 50).sum() > 0
+
+
+def test_burn_empty_and_degenerate(spark):
+    feats = [(1, [(2, 2), (9, 3)], 50),  # 2-point ring: dropped
+             (2, [(2, 2), (9, 3), (5, 9)], 80)]
+    got = {r["cell"]: r for r in
+           burn_features(_features(spark, feats), T, Z, (GRID, GRID),
+                         init=3).collect()}
+    far = got[_cell(3, 3)]
+    assert far["n_features"] == 0 and far["n_burned"] == 0
+    assert bytes(far["raster"]) == bytes([3]) * (T * T)
+    near = got[_cell(0, 0)]
+    assert near["n_features"] == 1  # only the valid triangle landed
+    tile = np.frombuffer(bytes(near["raster"]), np.uint8)
+    assert set(np.unique(tile)) <= {3, 80}
