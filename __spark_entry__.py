@@ -4768,6 +4768,113 @@ _GRID_IDW_ORACLE_SQL = f"""
 """
 
 
+def _supplier_pattern_images(spark, sf_dir, band_phash):
+    """Supplier-keyed 32×32 single-band pattern images; ``band_phash``
+    maps s_suppkey → the pattern phash (closed-form, oracle-mirrored)."""
+    from gdal_drivers_spark.core import codecs
+    from gdal_drivers_spark.sources.synth import pattern
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for s in pdf["s_suppkey"]:
+                img = pattern(32, 32, 1, band_phash(int(s)))
+                rows.append((str(int(s)), codecs.encode_raw(img), 32, 32, "raw"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey"
+    ).mapInPandas(gen, "image_id string, bytes binary, w int, h int, fmt string")
+
+
+def _raster_checksum_cols(out):
+    """(sid, v_sum, vpos_sum) from a (image_id, bytes) raster frame —
+    the house per-image hash-gate reduction."""
+    import numpy as np
+
+    from gdal_drivers_spark.core import codecs
+
+    @F.pandas_udf("struct<v_sum long, vpos_sum long>")
+    def _ck(b: pd.Series) -> pd.DataFrame:
+        rows = []
+        for x in b:
+            flat = codecs.decode(bytes(x)).ravel().astype(np.int64)
+            rows.append((int(flat.sum()),
+                         int((flat * (np.arange(flat.size) + 1)).sum())))
+        return pd.DataFrame(rows, columns=["v_sum", "vpos_sum"])
+
+    return out.select(
+        F.col("image_id").cast("long").alias("sid"),
+        _ck(F.col("bytes")).alias("_c"),
+    ).select("sid", "_c.v_sum", "_c.vpos_sum")
+
+
+def q_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalenhance -equalize (r05): per-image histogram equalization
+    under the pinned integer rule out = (cdf(v)−cdf_min)·255 //
+    (N−cdf_min). The oracle rebuilds each image's histogram, windowed
+    CDF and LUT in SQL and maps every closed-form pixel through it;
+    checked per image: value sum + position-weighted sum."""
+    from gdal_drivers_spark.operators.multimodal import equalize_images
+
+    imgs = _supplier_pattern_images(spark, sf_dir, lambda s: s % 256)
+    return _raster_checksum_cols(equalize_images(imgs))
+
+
+_EQUALIZE_ORACLE_SQL = """
+    WITH px AS (
+        SELECT s.s_suppkey AS sid, gx.x AS x, gy.y AS y,
+               (gx.x * 3 + gy.y * 5 + s.s_suppkey % 256) % 256 AS v
+        FROM supplier s,
+             generate_series(0, 31) gx(x), generate_series(0, 31) gy(y)
+    ), cdf AS (
+        SELECT sid, v, SUM(n) OVER (PARTITION BY sid ORDER BY v) AS cdf
+        FROM (SELECT sid, v, count(*) AS n FROM px GROUP BY sid, v)
+    ), cmin AS (
+        SELECT c.sid, c.cdf AS cmin
+        FROM cdf c JOIN (SELECT sid, MIN(v) AS vmin FROM px GROUP BY sid) m
+          ON m.sid = c.sid AND m.vmin = c.v
+    ), lut AS (
+        SELECT c.sid, c.v,
+               (c.cdf - m.cmin) * 255 // (1024 - m.cmin) AS ov
+        FROM cdf c JOIN cmin m ON m.sid = c.sid
+    )
+    SELECT CAST(p.sid AS BIGINT) AS sid,
+           CAST(SUM(l.ov) AS BIGINT) AS v_sum,
+           CAST(SUM(l.ov * (p.y * 32 + p.x + 1)) AS BIGINT) AS vpos_sum
+    FROM px p JOIN lut l ON l.sid = p.sid AND l.v = p.v
+    GROUP BY p.sid
+"""
+
+
+def q_img_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -scale (r05): per-image auto linear stretch
+    under the pinned rule out = (v−min)·255 // (max−min); the oracle
+    computes each image's min/max and replays the remap per pixel."""
+    from gdal_drivers_spark.operators.multimodal import scale_images
+
+    imgs = _supplier_pattern_images(spark, sf_dir, lambda s: s % 256)
+    return _raster_checksum_cols(scale_images(imgs))
+
+
+_IMG_SCALE_ORACLE_SQL = """
+    WITH px AS (
+        SELECT s.s_suppkey AS sid, gx.x AS x, gy.y AS y,
+               (gx.x * 3 + gy.y * 5 + s.s_suppkey % 256) % 256 AS v
+        FROM supplier s,
+             generate_series(0, 31) gx(x), generate_series(0, 31) gy(y)
+    ), mm AS (
+        SELECT sid, MIN(v) AS mn, MAX(v) AS mx FROM px GROUP BY sid
+    )
+    SELECT CAST(p.sid AS BIGINT) AS sid,
+           CAST(SUM((p.v - m.mn) * 255 // (m.mx - m.mn)) AS BIGINT) AS v_sum,
+           CAST(SUM(((p.v - m.mn) * 255 // (m.mx - m.mn))
+                    * (p.y * 32 + p.x + 1)) AS BIGINT) AS vpos_sum
+    FROM px p JOIN mm m ON m.sid = p.sid
+    GROUP BY p.sid
+"""
+
+
 def q_burn_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_rasterize (r05): three convex features (two overlapping —
     LAST-WINS in fid order is the pinned rule) burn into a 4×4-tile
@@ -5689,6 +5796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_metrics": q_grid_metrics,
         "band_calc": q_band_calc,
         "burn_raster": q_burn_raster,
+        "equalize": q_equalize,
+        "img_scale": q_img_scale,
         "cutline": q_cutline,
         "tindex": q_tindex,
         "rgb2pct": q_rgb2pct,
@@ -5728,6 +5837,8 @@ def oracle_sql() -> dict[str, str]:
         "grid_metrics": _GRID_METRICS_ORACLE_SQL,
         "band_calc": _BAND_CALC_ORACLE_SQL,
         "burn_raster": _BURN_ORACLE_SQL,
+        "equalize": _EQUALIZE_ORACLE_SQL,
+        "img_scale": _IMG_SCALE_ORACLE_SQL,
         "cutline": _CUTLINE_ORACLE_SQL,
         "tindex": _TINDEX_ORACLE_SQL,
         "rgb2pct": _RGB2PCT_ORACLE_SQL,

@@ -563,3 +563,90 @@ def build_palette_median_cut(images: DataFrame, ncolors: int = 256,
         np.int64,
     )
     return pal
+
+
+# ---------------------------------------------------------------------------
+# Enhancement — gdalenhance -equalize / gdal_translate -scale
+# ---------------------------------------------------------------------------
+
+def equalize_images(images: DataFrame) -> DataFrame:
+    """gdalenhance -equalize: per-image, per-band histogram
+    equalization. Pinned EXACT-INTEGER rule (gdalenhance computes the
+    LUT in float; a distributed engine pins arithmetic so output is
+    replayable):  out(v) = (cdf(v) − cdf_min) · 255 // (N − cdf_min),
+    with cdf(v) = #pixels ≤ v in the band, cdf_min = cdf(min value),
+    N = band pixel count; a constant band (N == cdf_min) maps to 0.
+    One Arrow hop per batch — bincount + cumsum + LUT gather per band,
+    no shuffle; poison rows follow the house rule."""
+
+    def _run(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                try:
+                    img = codecs.decode(bytes(r.bytes), r.fmt)
+                    h, w, c = img.shape
+                    res = np.empty_like(img)
+                    n = h * w
+                    for b in range(c):
+                        cdf = np.cumsum(np.bincount(
+                            img[:, :, b].ravel(), minlength=256).astype(np.int64))
+                        cdf_min = int(cdf[int(img[:, :, b].min())])
+                        if n == cdf_min:
+                            res[:, :, b] = 0
+                            continue
+                        lut = ((cdf - cdf_min) * 255 // (n - cdf_min))
+                        res[:, :, b] = np.clip(lut, 0, 255).astype(
+                            np.uint8)[img[:, :, b]]
+                except Exception:
+                    out.append((r.image_id, None, None, None, None, False))
+                    continue
+                out.append((r.image_id, codecs.encode_raw(res),
+                            int(w), int(h), "raw", True))
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h", "fmt", "ok"])
+
+    return images.mapInPandas(_run, PCT_SCHEMA)
+
+
+def scale_images(
+    images: DataFrame,
+    src: tuple[int, int] | None = None,
+    dst: tuple[int, int] = (0, 255),
+) -> DataFrame:
+    """gdal_translate -scale: linear remap [src_min, src_max] →
+    [dst_min, dst_max], clipped. ``src=None`` uses each image's own
+    per-band min/max (gdal_translate's default -scale). Pinned
+    exact-integer rule: out = dst_min + (v − src_min) · (dst_max −
+    dst_min) // (src_max − src_min); a constant band maps to dst_min.
+    One Arrow hop, no shuffle."""
+    d0, d1 = int(dst[0]), int(dst[1])
+    if not 0 <= d0 <= d1 <= 255:
+        raise ValueError(f"dst range {dst} must satisfy 0 <= lo <= hi <= 255")
+    if src is not None and not src[0] < src[1]:
+        raise ValueError(f"src range {src} must be increasing")
+
+    def _run(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                try:
+                    img = codecs.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                    h, w, c = img.shape
+                    res = np.empty((h, w, c), np.uint8)
+                    for b in range(c):
+                        band = img[:, :, b]
+                        s0, s1 = (int(band.min()), int(band.max())) \
+                            if src is None else (int(src[0]), int(src[1]))
+                        if s0 == s1:
+                            res[:, :, b] = d0
+                            continue
+                        v = d0 + (np.clip(band, s0, s1) - s0) * (d1 - d0) // (s1 - s0)
+                        res[:, :, b] = v.astype(np.uint8)
+                except Exception:
+                    out.append((r.image_id, None, None, None, None, False))
+                    continue
+                out.append((r.image_id, codecs.encode_raw(res),
+                            int(w), int(h), "raw", True))
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h", "fmt", "ok"])
+
+    return images.mapInPandas(_run, PCT_SCHEMA)
