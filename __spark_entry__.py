@@ -4875,6 +4875,44 @@ _IMG_SCALE_ORACLE_SQL = """
 """
 
 
+def q_contour_polys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_contour -p (r05): band the diagonal field (3x+5y)%256 at
+    fixed levels [64,128,192] and polygonize the bands. The band field
+    IS the polygonize fixture's 4-class field, so its components are
+    the analytically-known unwrapped stripes s=(3x+5y)//64 (flood-fill
+    verified there) and the iterative CC has an exact SQL oracle:
+    per stripe min gpid, band, pixel count, tile-piece count, and the
+    band's level bounds (-1 for the two open bands)."""
+    from gdal_drivers_spark.operators.polygonize import contour_polygons
+
+    tiles = _grid_pattern_tiles(
+        spark, 4, 4, 32, lambda gx, gy: (3 * gx + 5 * gy) % 256)
+    return contour_polygons(tiles, [64, 128, 192], tile_px=32, grid_wh=(4, 4))
+
+
+_CONTOUR_POLYS_ORACLE_SQL = """
+    WITH px AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(0, 127) gx(x), generate_series(0, 127) gy(y)
+    ), f AS (
+        SELECT x, y,
+               (3 * x + 5 * y) // 64 AS s,
+               ((3 * x + 5 * y) % 256) // 64 AS band,
+               y * 128 + x AS gpid
+        FROM px
+    )
+    SELECT CAST(min(gpid) AS BIGINT) AS component,
+           CAST(min(band) AS BIGINT) AS band,
+           count(*) AS n_px,
+           CAST(count(DISTINCT (x // 32) * 16 + (y // 32)) AS BIGINT) AS n_pieces,
+           CAST(CASE WHEN min(band) = 0 THEN -1 ELSE min(band) * 64 END
+                AS BIGINT) AS lo,
+           CAST(CASE WHEN min(band) = 3 THEN -1 ELSE (min(band) + 1) * 64 END
+                AS BIGINT) AS hi
+    FROM f GROUP BY s
+"""
+
+
 def q_burn_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_rasterize (r05): three convex features (two overlapping —
     LAST-WINS in fid order is the pinned rule) burn into a 4×4-tile
@@ -5796,6 +5834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_metrics": q_grid_metrics,
         "band_calc": q_band_calc,
         "burn_raster": q_burn_raster,
+        "contour_polys": q_contour_polys,
         "equalize": q_equalize,
         "img_scale": q_img_scale,
         "cutline": q_cutline,
@@ -5837,6 +5876,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_metrics": _GRID_METRICS_ORACLE_SQL,
         "band_calc": _BAND_CALC_ORACLE_SQL,
         "burn_raster": _BURN_ORACLE_SQL,
+        "contour_polys": _CONTOUR_POLYS_ORACLE_SQL,
         "equalize": _EQUALIZE_ORACLE_SQL,
         "img_scale": _IMG_SCALE_ORACLE_SQL,
         "cutline": _CUTLINE_ORACLE_SQL,

@@ -479,3 +479,66 @@ def sieve_apply(
             yield pd.DataFrame(out, columns=["cell", "tile", "n_relabeled"])
 
     return joined.mapInPandas(relabel, "cell long, tile binary, n_relabeled long")
+
+
+def contour_polygons(
+    tiles: DataFrame,
+    levels: list[int],
+    tile_px: int,
+    grid_wh: tuple,
+    cell: str = "cell",
+    tile_col: str = "tile",
+    grid_origin: tuple = (0, 0),
+    max_iter: int = 50,
+) -> DataFrame:
+    """gdal_contour -p (polygon output): classify every pixel into the
+    band between consecutive fixed levels (band k ⇔ #levels ≤ v — the
+    half-open [l_{k-1}, l_k) convention gdal_contour uses for -p), then
+    emit the connected equal-band components. The banding is ONE narrow
+    Arrow hop writing band-index tiles; everything after is the
+    existing distributed polygonize (local union-find → seam edges →
+    hash-min CC), so the scale shape is identical to it.
+
+    Output: (component = min global pixel id, band, n_px, n_pieces,
+    lo, hi) — lo/hi are the band's level bounds, -1 for the open
+    below-first / above-last bands (and on the poison row). Corrupt
+    payloads pass through the banding hop untouched so polygonize's
+    validation owns the poison accounting (single source of truth)."""
+    lv = sorted(int(x) for x in levels)
+    if not lv or len(lv) > 255:
+        raise ValueError("levels must have 1..255 entries")
+    if lv[0] < 1 or lv[-1] > 255 or len(set(lv)) != len(lv):
+        raise ValueError("levels must be distinct and within [1, 255]")
+    t = int(tile_px)
+    lva = np.asarray(lv, np.int64)
+
+    def _band(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                buf = bytes(getattr(r, tile_col))
+                if len(buf) != t * t:
+                    out.append((getattr(r, cell), buf))  # polygonize flags it
+                    continue
+                img = np.frombuffer(buf, np.uint8)
+                out.append((getattr(r, cell),
+                            np.searchsorted(lva, img, side="right")
+                            .astype(np.uint8).tobytes()))
+            yield pd.DataFrame(out, columns=[cell, tile_col])
+
+    banded = tiles.select(cell, tile_col).mapInPandas(
+        _band, f"{cell} long, {tile_col} binary")
+    comp = polygonize(banded, t, grid_wh, cell, tile_col, grid_origin, max_iter)
+    arr = F.array(*[F.lit(x).cast("long") for x in lv])
+    band = F.col("value")
+    lo = F.when(band <= 0, F.lit(-1)).otherwise(F.element_at(arr, band.cast("int")))
+    hi = F.when(band < 0, F.lit(-1)).when(
+        band >= len(lv), F.lit(-1)
+    ).otherwise(F.element_at(arr, (band + 1).cast("int")))
+    return comp.select(
+        "component",
+        band.alias("band"),
+        "n_px", "n_pieces",
+        lo.cast("long").alias("lo"),
+        hi.cast("long").alias("hi"),
+    )

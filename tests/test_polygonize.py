@@ -287,3 +287,46 @@ def test_sieve_apply_matches_scalar_relabel(spark):
             assert r["n_relabeled"] == int((ref != src).sum())
             total_rel += r["n_relabeled"]
     assert total_rel > 0  # the fixture actually relabeled pixels
+
+
+def test_contour_polygons_matches_banded_flood_fill(spark):
+    from gdal_drivers_spark.operators.polygonize import contour_polygons
+
+    rng = np.random.default_rng(29)
+    full = rng.integers(0, 256, (W, W)).astype(np.uint8)
+    levels = [64, 128, 192]
+    rows = [
+        (_cell(tx, ty),
+         full[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T].tobytes())
+        for tx in range(GRID) for ty in range(GRID)
+    ]
+    tiles = spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "tile"]))
+    got = contour_polygons(tiles, levels, T, (GRID, GRID)).collect()
+    banded = np.searchsorted(np.array(levels), full, side="right").astype(np.uint8)
+    exp = _flood(banded)
+    gmap = {r["component"]: r for r in got}
+    assert set(gmap) == set(exp)
+    bounds = {0: (-1, 64), 1: (64, 128), 2: (128, 192), 3: (192, -1)}
+    for comp, (band, n_px) in exp.items():
+        r = gmap[comp]
+        assert r["band"] == band and r["n_px"] == n_px
+        assert (r["lo"], r["hi"]) == bounds[band]
+
+
+def test_contour_polygons_validation_and_poison(spark):
+    from gdal_drivers_spark.operators.polygonize import contour_polygons
+
+    tiles = spark.createDataFrame(
+        pd.DataFrame([(_cell(0, 0), b"short")], columns=["cell", "tile"]))
+    import pytest
+    with pytest.raises(ValueError):
+        contour_polygons(tiles, [], T, (1, 1))
+    with pytest.raises(ValueError):
+        contour_polygons(tiles, [10, 10], T, (1, 1))
+    rows = [(_cell(tx, ty), bytes(T * T) if (tx, ty) != (0, 0) else b"bad")
+            for tx in range(GRID) for ty in range(GRID)]
+    tiles2 = spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "tile"]))
+    got = contour_polygons(tiles2, [128], T, (GRID, GRID)).collect()
+    poison = [r for r in got if r["component"] == -1]
+    assert len(poison) == 1 and poison[0]["n_pieces"] == 1
+    assert poison[0]["lo"] == -1 and poison[0]["hi"] == -1
