@@ -4875,6 +4875,96 @@ _IMG_SCALE_ORACLE_SQL = """
 """
 
 
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_viewshed (r05): 16 observers on the sawtooth DEM
+    (3x+5y)%256, radius 10, observer height 2, under the pinned
+    integer ray rule (step i of the line to (a,b) lands on
+    sign·((2i|d|+n) // 2n), blocking is the cross-multiplied slope
+    comparison — grazing-equal blocks). Every quantity is exact
+    integers, so the oracle replays the ENTIRE sweep in SQL —
+    16 observers × ≤317 targets × ≤9 steps. Checked per observer:
+    in-grid window size, evaluated and visible counts, and the
+    position-weighted sum of the visibility raster."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.viewshed import viewshed
+
+    tiles = _grid_pattern_tiles(
+        spark, 4, 4, 32, lambda gx, gy: (3 * gx + 5 * gy) % 256)
+    obs = spark.range(16).select(
+        F.col("id").alias("oid"),
+        (8 + (F.col("id") % 4) * 32).alias("px"),
+        (8 + (F.col("id") / 4).cast("long") * 32).alias("py"),
+    )
+    out = viewshed(obs, tiles, 32, 4, (4, 4), radius=10, observer_height=2)
+
+    @F.pandas_udf("long")
+    def _vpos(b: pd.Series) -> pd.Series:
+        vals = []
+        for x in b:
+            flat = np.frombuffer(bytes(x), np.uint8).astype(np.int64)
+            vals.append(int((flat * (np.arange(flat.size) + 1)).sum()))
+        return pd.Series(vals)
+
+    return out.select(
+        "oid", "n_window", "n_eval", "n_visible",
+        _vpos(F.col("vis")).alias("vpos_sum"),
+    )
+
+
+_VIEWSHED_ORACLE_SQL = """
+    WITH obs AS (
+        SELECT k.i AS oid, 8 + (k.i % 4) * 32 AS ox, 8 + (k.i // 4) * 32 AS oy,
+               (3 * (8 + (k.i % 4) * 32) + 5 * (8 + (k.i // 4) * 32)) % 256
+                   + 2 AS h0
+        FROM generate_series(0, 15) k(i)
+    ), tgt AS (
+        SELECT o.oid, o.ox, o.oy, o.h0, a.i AS a, b.i AS b,
+               greatest(abs(a.i), abs(b.i)) AS n,
+               (3 * (o.ox + a.i) + 5 * (o.oy + b.i)) % 256 AS ht
+        FROM obs o, generate_series(-10, 10) a(i), generate_series(-10, 10) b(i)
+        WHERE a.i * a.i + b.i * b.i <= 100 AND NOT (a.i = 0 AND b.i = 0)
+          AND o.ox + a.i BETWEEN 0 AND 127 AND o.oy + b.i BETWEEN 0 AND 127
+    ), blk AS (
+        SELECT t.oid, t.a, t.b,
+               max(CASE WHEN
+                   ((3 * (t.ox + CASE WHEN t.a >= 0 THEN 1 ELSE -1 END
+                          * ((2 * s.i * abs(t.a) + t.n) // (2 * t.n)))
+                     + 5 * (t.oy + CASE WHEN t.b >= 0 THEN 1 ELSE -1 END
+                            * ((2 * s.i * abs(t.b) + t.n) // (2 * t.n))))
+                    % 256 - t.h0) * t.n >= (t.ht - t.h0) * s.i
+                   THEN 1 ELSE 0 END) AS blocked
+        FROM tgt t JOIN generate_series(1, 9) s(i) ON s.i < t.n
+        GROUP BY 1, 2, 3
+    ), vis AS (
+        SELECT t.oid, t.a, t.b
+        FROM tgt t LEFT JOIN blk ON blk.oid = t.oid AND blk.a = t.a
+                                AND blk.b = t.b
+        WHERE COALESCE(blk.blocked, 0) = 0
+    ), nw AS (
+        SELECT o.oid, count(*) AS n_window
+        FROM obs o, generate_series(-10, 10) a(i), generate_series(-10, 10) b(i)
+        WHERE o.ox + a.i BETWEEN 0 AND 127 AND o.oy + b.i BETWEEN 0 AND 127
+        GROUP BY 1
+    ), ne AS (
+        SELECT oid, count(*) AS n_tgt FROM tgt GROUP BY 1
+    ), nv AS (
+        SELECT oid, count(*) AS n_vis,
+               SUM((b + 10) * 21 + (a + 10) + 1) AS tpos
+        FROM vis GROUP BY 1
+    )
+    SELECT CAST(o.oid AS BIGINT) AS oid,
+           CAST(nw.n_window AS BIGINT) AS n_window,
+           CAST(1 + COALESCE(ne.n_tgt, 0) AS BIGINT) AS n_eval,
+           CAST(1 + COALESCE(nv.n_vis, 0) AS BIGINT) AS n_visible,
+           CAST(221 + COALESCE(nv.tpos, 0) AS BIGINT) AS vpos_sum
+    FROM obs o
+    LEFT JOIN nw ON nw.oid = o.oid
+    LEFT JOIN ne ON ne.oid = o.oid
+    LEFT JOIN nv ON nv.oid = o.oid
+"""
+
+
 def q_contour_polys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_contour -p (r05): band the diagonal field (3x+5y)%256 at
     fixed levels [64,128,192] and polygonize the bands. The band field
@@ -5835,6 +5925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_calc": q_band_calc,
         "burn_raster": q_burn_raster,
         "contour_polys": q_contour_polys,
+        "viewshed": q_viewshed,
         "equalize": q_equalize,
         "img_scale": q_img_scale,
         "cutline": q_cutline,
@@ -5877,6 +5968,7 @@ def oracle_sql() -> dict[str, str]:
         "band_calc": _BAND_CALC_ORACLE_SQL,
         "burn_raster": _BURN_ORACLE_SQL,
         "contour_polys": _CONTOUR_POLYS_ORACLE_SQL,
+        "viewshed": _VIEWSHED_ORACLE_SQL,
         "equalize": _EQUALIZE_ORACLE_SQL,
         "img_scale": _IMG_SCALE_ORACLE_SQL,
         "cutline": _CUTLINE_ORACLE_SQL,
