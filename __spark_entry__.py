@@ -4875,6 +4875,52 @@ _IMG_SCALE_ORACLE_SQL = """
 """
 
 
+def q_retile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_retile.py (r05): re-cut the 3×3×32px diagonal-field mosaic
+    into NON-NESTING 48-px tiles — every output tile stitches from 4
+    sources, the shuffle moves raster bytes exactly once. Byte-exact
+    by construction; the oracle regroups the closed-form pixels by the
+    output grid. Checked per output tile: source count, value sum,
+    position-weighted sum."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.pyramid import retile
+
+    tiles = _grid_pattern_tiles(
+        spark, 4, 3, 32, lambda gx, gy: (3 * gx + 5 * gy) % 256)
+    out = retile(tiles, 32, 48, 4, (3, 3))
+
+    @F.pandas_udf("struct<v_sum long, vpos_sum long>")
+    def _ck(b: pd.Series) -> pd.DataFrame:
+        rows = []
+        for x in b:
+            flat = np.frombuffer(bytes(x), np.uint8).astype(np.int64)
+            rows.append((int(flat.sum()),
+                         int((flat * (np.arange(flat.size) + 1)).sum())))
+        return pd.DataFrame(rows, columns=["v_sum", "vpos_sum"])
+
+    return out.select(
+        (F.shiftright(F.col("cell"), 26) % F.lit(1 << 26)).alias("tcx"),
+        (F.col("cell") % F.lit(1 << 26)).alias("tcy"),
+        "n_src", "ok",
+        _ck(F.col("tile")).alias("_c"),
+    ).select("tcx", "tcy", "n_src", "ok", "_c.v_sum", "_c.vpos_sum")
+
+
+_RETILE_ORACLE_SQL = """
+    WITH px AS (
+        SELECT gx.x AS x, gy.y AS y, (3 * gx.x + 5 * gy.y) % 256 AS v
+        FROM generate_series(0, 95) gx(x), generate_series(0, 95) gy(y)
+    )
+    SELECT CAST(x // 48 AS BIGINT) AS tcx, CAST(y // 48 AS BIGINT) AS tcy,
+           CAST(count(DISTINCT (x // 32) * 100 + (y // 32)) AS BIGINT) AS n_src,
+           TRUE AS ok,
+           CAST(SUM(v) AS BIGINT) AS v_sum,
+           CAST(SUM(v * ((y % 48) * 48 + (x % 48) + 1)) AS BIGINT) AS vpos_sum
+    FROM px GROUP BY 1, 2
+"""
+
+
 def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_viewshed (r05): 16 observers on the sawtooth DEM
     (3x+5y)%256, radius 10, observer height 2, under the pinned
@@ -5925,6 +5971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_calc": q_band_calc,
         "burn_raster": q_burn_raster,
         "contour_polys": q_contour_polys,
+        "retile": q_retile,
         "viewshed": q_viewshed,
         "equalize": q_equalize,
         "img_scale": q_img_scale,
@@ -5968,6 +6015,7 @@ def oracle_sql() -> dict[str, str]:
         "band_calc": _BAND_CALC_ORACLE_SQL,
         "burn_raster": _BURN_ORACLE_SQL,
         "contour_polys": _CONTOUR_POLYS_ORACLE_SQL,
+        "retile": _RETILE_ORACLE_SQL,
         "viewshed": _VIEWSHED_ORACLE_SQL,
         "equalize": _EQUALIZE_ORACLE_SQL,
         "img_scale": _IMG_SCALE_ORACLE_SQL,

@@ -227,3 +227,110 @@ def rollup_tristate(quads: DataFrame) -> DataFrame:
         )
         .drop("n_children", "n_white", "any_nonblack")
     )
+
+
+# ---------------------------------------------------------------------------
+# gdal_retile — change a mosaic's tile size
+# ---------------------------------------------------------------------------
+
+def retile(
+    tiles: DataFrame,
+    t_in: int,
+    t_out: int,
+    z: int,
+    grid_wh: tuple,
+    cell: str = "cell",
+    tile_col: str = "tile",
+    nodata: int = 0,
+) -> DataFrame:
+    """gdal_retile.py: re-cut a (cell, tile) mosaic from ``t_in``-px to
+    ``t_out``-px tiles over the same pixel plane. ``grid_wh`` counts
+    INPUT tiles; the output grid is the same world re-gridded (world
+    pixels must divide evenly into t_out — a partial edge tile would
+    need a fill rule gdal_retile doesn't define for mosaics; raise).
+
+    Distributed shape: each input tile is SLICED into the fragments
+    that land in each output tile (one Arrow hop, ⌈t_in/t_out⌉²-ish
+    fragments, numpy views — no per-pixel work), shuffled once on the
+    output cell, and assembled by a second kernel. The shuffle moves
+    exactly the raster bytes once — the optimal lower bound for a
+    re-tiling whose input and output grids don't nest. Missing input
+    tiles surface as ``nodata`` regions (mosaics are sparse); corrupt
+    payloads poison the OUTPUT tiles they touch (ok=false, raster
+    NULL) rather than the stage."""
+    ti, to = int(t_in), int(t_out)
+    gw, gh = int(grid_wh[0]), int(grid_wh[1])
+    if ti < 1 or to < 1:
+        raise ValueError("tile sizes must be >= 1")
+    wpx, hpx = gw * ti, gh * ti
+    if wpx % to or hpx % to:
+        raise ValueError(
+            f"world {wpx}x{hpx}px does not divide into {to}-px tiles")
+    ow, ohn = wpx // to, hpx // to
+    nd = int(nodata) & 0xFF
+
+    frag_schema = ("ocell long, ox int, oy int, fw int, fh int, "
+                   "frag binary, bad boolean")
+
+    def _slice(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                kc = int(getattr(r, cell))
+                tx = (kc >> 26) & ((1 << 26) - 1)
+                ty = kc & ((1 << 26) - 1)
+                gx0, gy0 = tx * ti, ty * ti
+                buf = bytes(getattr(r, tile_col))
+                bad = len(buf) != ti * ti
+                img = (None if bad
+                       else np.frombuffer(buf, np.uint8).reshape(ti, ti))
+                for otx in range(gx0 // to, (gx0 + ti - 1) // to + 1):
+                    for oty in range(gy0 // to, (gy0 + ti - 1) // to + 1):
+                        ix0 = max(gx0, otx * to)
+                        ix1 = min(gx0 + ti, (otx + 1) * to)
+                        iy0 = max(gy0, oty * to)
+                        iy1 = min(gy0 + ti, (oty + 1) * to)
+                        if ix0 >= ix1 or iy0 >= iy1:
+                            continue
+                        oc = (int(z) << 52) + (otx << 26) + oty
+                        if bad:
+                            out.append((oc, 0, 0, 0, 0, b"", True))
+                            continue
+                        fr = img[iy0 - gy0:iy1 - gy0, ix0 - gx0:ix1 - gx0]
+                        out.append((oc, ix0 - otx * to, iy0 - oty * to,
+                                    ix1 - ix0, iy1 - iy0,
+                                    fr.tobytes(), False))
+            yield pd.DataFrame(
+                out, columns=["ocell", "ox", "oy", "fw", "fh", "frag", "bad"])
+
+    def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        kc = int(key[0])
+        if pdf["bad"].any():
+            return pd.DataFrame([(kc, None, -1, False)],
+                                columns=["cell", "tile", "n_src", "ok"])
+        img = np.full((to, to), nd, np.uint8)
+        for r in pdf.itertuples():
+            fr = np.frombuffer(bytes(r.frag), np.uint8).reshape(r.fh, r.fw)
+            img[r.oy:r.oy + r.fh, r.ox:r.ox + r.fw] = fr
+        return pd.DataFrame(
+            [(kc, img.tobytes(), len(pdf), True)],
+            columns=["cell", "tile", "n_src", "ok"])
+
+    frags = tiles.select(cell, tile_col).mapInPandas(_slice, frag_schema)
+    assembled = frags.groupBy("ocell").applyInPandas(
+        _assemble, "cell long, tile binary, n_src long, ok boolean")
+    spark = tiles.sparkSession
+    universe = spark.range(ow * ohn).select(
+        (
+            F.lit(int(z) << 52).cast("long")
+            + (F.col("id") % ow) * F.lit(1 << 26) + (F.col("id") / ow).cast("long")
+        ).alias("cell")
+    )
+    empty = bytes([nd]) * (to * to)
+    return universe.join(assembled, "cell", "left").select(
+        "cell",
+        F.when(F.col("ok").isNull(), F.lit(empty))
+        .otherwise(F.col("tile")).alias("tile"),
+        F.coalesce("n_src", F.lit(0)).alias("n_src"),
+        F.coalesce("ok", F.lit(True)).alias("ok"),
+    )
