@@ -4875,6 +4875,64 @@ _IMG_SCALE_ORACLE_SQL = """
 """
 
 
+def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_pansharpen.py (r05): weighted Brovey under the pinned
+    integer rule out_b = (band·pan·ΣW) // Σ(W_i·band_i), weights
+    (1,2,1), supplier-keyed 3-band MS + 1-band pan pattern pairs.
+    The oracle replays the fusion per closed-form pixel (the pattern
+    guarantees a nonzero pseudo-pan, but the zero rule is mirrored
+    anyway); checked per image: value sum + position-weighted sum of
+    the fused 3-band raster."""
+    from gdal_drivers_spark.core import codecs
+    from gdal_drivers_spark.operators.multimodal import pansharpen
+    from gdal_drivers_spark.sources.synth import pattern
+
+    def gen_for(bands):
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for s in pdf["s_suppkey"]:
+                    ph = int(s) % 256 if bands == 3 else (3 * int(s) + 5) % 256
+                    img = pattern(32, 32, bands, ph)
+                    rows.append((str(int(s)), codecs.encode_raw(img),
+                                 32, 32, "raw"))
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+        return gen
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey")
+    schema = "image_id string, bytes binary, w int, h int, fmt string"
+    ms = sup.mapInPandas(gen_for(3), schema)
+    pan = sup.mapInPandas(gen_for(1), schema)
+    return _raster_checksum_cols(pansharpen(ms, pan, weights=(1, 2, 1)))
+
+
+_PANSHARPEN_ORACLE_SQL = """
+    WITH px AS (
+        SELECT s.s_suppkey AS sid, gx.x AS x, gy.y AS y, c.i AS c,
+               (gx.x * 3 + gy.y * 5 + c.i * 7 + s.s_suppkey % 256) % 256 AS m,
+               (gx.x * 3 + gy.y * 5 + (3 * s.s_suppkey + 5) % 256) % 256 AS p
+        FROM supplier s,
+             generate_series(0, 31) gx(x), generate_series(0, 31) gy(y),
+             generate_series(0, 2) c(i)
+    ), den AS (
+        SELECT sid, x, y,
+               SUM(m * CASE c WHEN 1 THEN 2 ELSE 1 END) AS d
+        FROM px GROUP BY 1, 2, 3
+    ), v AS (
+        SELECT px.sid,
+               CASE WHEN den.d > 0
+                    THEN least(px.m * px.p * 4 // den.d, 255) ELSE 0 END AS val,
+               (px.y * 32 + px.x) * 3 + px.c + 1 AS pos
+        FROM px JOIN den ON den.sid = px.sid AND den.x = px.x AND den.y = px.y
+    )
+    SELECT CAST(sid AS BIGINT) AS sid,
+           CAST(SUM(val) AS BIGINT) AS v_sum,
+           CAST(SUM(val * pos) AS BIGINT) AS vpos_sum
+    FROM v GROUP BY sid
+"""
+
+
 def q_retile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_retile.py (r05): re-cut the 3×3×32px diagonal-field mosaic
     into NON-NESTING 48-px tiles — every output tile stitches from 4
@@ -5971,6 +6029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_calc": q_band_calc,
         "burn_raster": q_burn_raster,
         "contour_polys": q_contour_polys,
+        "pansharpen": q_pansharpen,
         "retile": q_retile,
         "viewshed": q_viewshed,
         "equalize": q_equalize,
@@ -6015,6 +6074,7 @@ def oracle_sql() -> dict[str, str]:
         "band_calc": _BAND_CALC_ORACLE_SQL,
         "burn_raster": _BURN_ORACLE_SQL,
         "contour_polys": _CONTOUR_POLYS_ORACLE_SQL,
+        "pansharpen": _PANSHARPEN_ORACLE_SQL,
         "retile": _RETILE_ORACLE_SQL,
         "viewshed": _VIEWSHED_ORACLE_SQL,
         "equalize": _EQUALIZE_ORACLE_SQL,

@@ -650,3 +650,67 @@ def scale_images(
             yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h", "fmt", "ok"])
 
     return images.mapInPandas(_run, PCT_SCHEMA)
+
+
+def pansharpen(
+    ms: DataFrame,
+    pan: DataFrame,
+    weights: tuple = (1, 1, 1),
+    id_col: str = "image_id",
+) -> DataFrame:
+    """gdal_pansharpen.py — weighted Brovey. Pinned EXACT-INTEGER
+    rule (gdal_pansharpen computes in float; the engine pins so output
+    is replayable): with integer weights W and S = ΣW,
+    out_b = (band_b · pan · S) // Σ(W_i · band_i), 0 where the
+    pseudo-pan denominator is 0, clipped to u8. The multispectral and
+    pan inputs must already share a pixel grid — aligning resolutions
+    is the warp family's job (gdal_pansharpen resamples internally;
+    the engine composes operators instead). One JVM equi-join on the
+    image key + one Arrow kernel; band-count/shape mismatch or a
+    corrupt operand poisons the row."""
+    w = [int(x) for x in weights]
+    if len(w) < 1 or any(x < 1 for x in w):
+        raise ValueError(f"weights must be positive ints, got {weights}")
+    ws = sum(w)
+    wa = np.asarray(w, np.int64)
+
+    joined = ms.select(
+        F.col(id_col).alias("_id"), F.col("bytes").alias("_mb"),
+        F.col("fmt").alias("_mf"),
+    ).join(
+        pan.select(F.col(id_col).alias("_id"), F.col("bytes").alias("_pb"),
+                   F.col("fmt").alias("_pf")),
+        "_id", "inner",
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            out = []
+            for i in range(len(pdf)):
+                rid = pdf["_id"].iloc[i]
+                try:
+                    m = codecs.decode(bytes(pdf["_mb"].iloc[i]),
+                                      pdf["_mf"].iloc[i]).astype(np.int64)
+                    p = codecs.decode(bytes(pdf["_pb"].iloc[i]),
+                                      pdf["_pf"].iloc[i]).astype(np.int64)
+                    if m.shape[2] != len(wa):
+                        raise ValueError("band count != weight count")
+                    if p.shape[2] != 1 or p.shape[:2] != m.shape[:2]:
+                        raise ValueError(f"grid mismatch {p.shape} vs {m.shape}")
+                    den = (m * wa[None, None, :]).sum(axis=2)
+                    num = m * p * ws  # broadcasts the (h,w,1) pan
+                    res = np.where(
+                        den[:, :, None] > 0,
+                        num // np.where(den[:, :, None] > 0, den[:, :, None], 1),
+                        0,
+                    )
+                    outb = np.clip(res, 0, 255).astype(np.uint8)
+                except Exception:
+                    out.append((rid, None, None, None, None, False))
+                    continue
+                out.append((rid, codecs.encode_raw(outb),
+                            int(outb.shape[1]), int(outb.shape[0]), "raw", True))
+            yield pd.DataFrame(
+                out, columns=["image_id", "bytes", "w", "h", "fmt", "ok"])
+
+    return joined.mapInPandas(_run, PCT_SCHEMA)
