@@ -371,6 +371,32 @@ def run(sf_dir: str, cpus: int) -> dict:
         queries["pyramid_full_rebuild"] / max(dt, 1e-9), 1
     )
 
+    # round-5: cutline masking over the SAME stored 64x64x128px mosaic
+    # (67 M px). The scale story is the tile classification: only
+    # ring-boundary tiles pay a per-pixel PIP; interior tiles are byte
+    # passthrough and bbox-disjoint tiles are masked JVM-side without
+    # touching Python — measured as boundary-tile count vs 4096 total.
+    from pyspark.sql import functions as _F
+
+    from gdal_drivers_spark.operators.cutline import cutline_crop
+
+    cut_ring = [(1500, 1000), (6800, 1600), (6000, 7000), (1000, 6200)]
+
+    def _cut():
+        out = cutline_crop(
+            spark.read.parquet(pyr_leaf_dir), cut_ring, pts, raster="tile")
+        return out.agg(
+            _F.sum("n_kept"), _F.sum(_F.col("boundary").cast("long")),
+            _F.count("*"),
+        ).collect()[0]
+
+    dt, dt_min, cut_res = timed_reps(_cut, sane_s=6.0)
+    record("cutline_mosaic", dt, dt_min)
+    derived["cutline_px_per_sec"] = round(
+        n_grid * n_grid * pts * pts / max(dt, 1e-9))
+    derived["cutline_boundary_tiles"] = int(cut_res[1])
+    derived["cutline_kept_px"] = int(cut_res[0])
+
     spark.stop()
     # Self-diagnosing throttle fields: flagship_steady is the canonical
     # quiet-window probe (pure re-execution of a compiled plan — any
