@@ -4768,9 +4768,9 @@ _GRID_IDW_ORACLE_SQL = f"""
 """
 
 
-def _supplier_pattern_images(spark, sf_dir, band_phash):
-    """Supplier-keyed 32×32 single-band pattern images; ``band_phash``
-    maps s_suppkey → the pattern phash (closed-form, oracle-mirrored)."""
+def _supplier_pattern_images(spark, sf_dir, band_phash, bands=1):
+    """Supplier-keyed 32×32 pattern images; ``band_phash`` maps
+    s_suppkey → the pattern phash (closed-form, oracle-mirrored)."""
     from gdal_drivers_spark.core import codecs
     from gdal_drivers_spark.sources.synth import pattern
 
@@ -4778,7 +4778,7 @@ def _supplier_pattern_images(spark, sf_dir, band_phash):
         for pdf in batches:
             rows = []
             for s in pdf["s_suppkey"]:
-                img = pattern(32, 32, 1, band_phash(int(s)))
+                img = pattern(32, 32, bands, band_phash(int(s)))
                 rows.append((str(int(s)), codecs.encode_raw(img), 32, 32, "raw"))
             yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
 
@@ -4883,27 +4883,10 @@ def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees a nonzero pseudo-pan, but the zero rule is mirrored
     anyway); checked per image: value sum + position-weighted sum of
     the fused 3-band raster."""
-    from gdal_drivers_spark.core import codecs
     from gdal_drivers_spark.operators.multimodal import pansharpen
-    from gdal_drivers_spark.sources.synth import pattern
 
-    def gen_for(bands):
-        def gen(batches):
-            for pdf in batches:
-                rows = []
-                for s in pdf["s_suppkey"]:
-                    ph = int(s) % 256 if bands == 3 else (3 * int(s) + 5) % 256
-                    img = pattern(32, 32, bands, ph)
-                    rows.append((str(int(s)), codecs.encode_raw(img),
-                                 32, 32, "raw"))
-                yield pd.DataFrame(
-                    rows, columns=["image_id", "bytes", "w", "h", "fmt"])
-        return gen
-
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey")
-    schema = "image_id string, bytes binary, w int, h int, fmt string"
-    ms = sup.mapInPandas(gen_for(3), schema)
-    pan = sup.mapInPandas(gen_for(1), schema)
+    ms = _supplier_pattern_images(spark, sf_dir, lambda s: s % 256, bands=3)
+    pan = _supplier_pattern_images(spark, sf_dir, lambda s: (3 * s + 5) % 256)
     return _raster_checksum_cols(pansharpen(ms, pan, weights=(1, 2, 1)))
 
 
@@ -5208,46 +5191,15 @@ def q_band_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised). The oracle replays the same expression per closed-form
     pixel in SQL; checked per image: value sum and position-weighted
     sum."""
-    import numpy as np
-
-    from gdal_drivers_spark.core import codecs
     from gdal_drivers_spark.operators.calc import band_calc
-    from gdal_drivers_spark.sources.synth import pattern
 
-    def gen_for(shift7: bool):
-        def gen(batches):
-            for pdf in batches:
-                rows = []
-                for s in pdf["s_suppkey"]:
-                    ph = (7 * int(s) + 11) % 256 if shift7 else int(s) % 256
-                    img = pattern(32, 32, 1, ph)
-                    rows.append((str(int(s)), codecs.encode_raw(img), 32, 32, "raw"))
-                yield pd.DataFrame(
-                    rows, columns=["image_id", "bytes", "w", "h", "fmt"])
-        return gen
-
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey")
-    schema = "image_id string, bytes binary, w int, h int, fmt string"
-    fa = sup.mapInPandas(gen_for(False), schema)
-    fb = sup.mapInPandas(gen_for(True), schema)
+    fa = _supplier_pattern_images(spark, sf_dir, lambda s: s % 256)
+    fb = _supplier_pattern_images(spark, sf_dir, lambda s: (7 * s + 11) % 256)
     out = band_calc(
         {"A": fa, "B": fb},
         "where(A >= B, A - B, (B - A) * 2) + minimum(A, 200) % 7",
     )
-
-    @F.pandas_udf("struct<v_sum long, vpos_sum long>")
-    def _ck(b: pd.Series) -> pd.DataFrame:
-        rows = []
-        for x in b:
-            flat = codecs.decode(bytes(x)).ravel().astype(np.int64)
-            rows.append((int(flat.sum()),
-                         int((flat * (np.arange(flat.size) + 1)).sum())))
-        return pd.DataFrame(rows, columns=["v_sum", "vpos_sum"])
-
-    return out.select(
-        F.col("image_id").cast("long").alias("sid"),
-        _ck(F.col("bytes")).alias("_c"),
-    ).select("sid", "_c.v_sum", "_c.vpos_sum")
+    return _raster_checksum_cols(out)
 
 
 _BAND_CALC_ORACLE_SQL = """
@@ -5558,40 +5510,12 @@ def q_rgb2pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     GENERAL nearest-palette argmin (ties → lowest index, pinned), but
     the cube palette factorizes per channel on the closed-form
     fixture, so the oracle derives every index in SQL ((v+25)//51 per
-    channel — 51 is odd, exact ties impossible) and checks per-image
-    index sums plus a position-weighted sum."""
-    import numpy as np
-
-    from gdal_drivers_spark.core import codecs
+    channel — 51 is odd, exact ties impossible) and checks the
+    per-image index sum plus a position-weighted sum."""
     from gdal_drivers_spark.operators.multimodal import rgb2pct, websafe_palette
-    from gdal_drivers_spark.sources.synth import pattern
 
-    def gen(batches):
-        for pdf in batches:
-            rows = []
-            for s in pdf["s_suppkey"]:
-                img = pattern(32, 32, 3, int(s) % 256)
-                rows.append((str(int(s)), codecs.encode_raw(img), 32, 32, "raw"))
-            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
-
-    images = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey").mapInPandas(
-        gen, "image_id string, bytes binary, w int, h int, fmt string"
-    )
-    out = rgb2pct(images, websafe_palette())
-
-    @F.pandas_udf("struct<idx_sum long, idxpos_sum long>")
-    def _ck(b: pd.Series) -> pd.DataFrame:
-        rows = []
-        for x in b:
-            flat = codecs.decode(bytes(x)).ravel().astype(np.int64)
-            rows.append((int(flat.sum()),
-                         int((flat * (np.arange(flat.size) + 1)).sum())))
-        return pd.DataFrame(rows, columns=["idx_sum", "idxpos_sum"])
-
-    return out.select(
-        F.col("image_id").cast("long").alias("sid"),
-        _ck(F.col("bytes")).alias("_c"),
-    ).select("sid", "_c.idx_sum", "_c.idxpos_sum")
+    images = _supplier_pattern_images(spark, sf_dir, lambda s: s % 256, bands=3)
+    return _raster_checksum_cols(rgb2pct(images, websafe_palette()))
 
 
 _RGB2PCT_ORACLE_SQL = """
@@ -5609,8 +5533,8 @@ _RGB2PCT_ORACLE_SQL = """
         FROM px
     )
     SELECT CAST(sid AS BIGINT) AS sid,
-           CAST(SUM(i) AS BIGINT) AS idx_sum,
-           CAST(SUM(i * pos) AS BIGINT) AS idxpos_sum
+           CAST(SUM(i) AS BIGINT) AS v_sum,
+           CAST(SUM(i * pos) AS BIGINT) AS vpos_sum
     FROM idx GROUP BY sid
 """
 

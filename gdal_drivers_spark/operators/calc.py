@@ -13,9 +13,14 @@ The expression is compiled from a whitelisted Python AST — never
 ``eval``. Supported: int literals, operand names, ``+ - * // %``,
 unary ``-``, one comparison (``< <= > >= == !=`` → 0/1), and the
 calls ``where(cond, a, b)``, ``minimum(a, b)``, ``maximum(a, b)``,
-``abs(a)``. Everything is exact int64 arithmetic (``//`` floors, ``%``
-takes the dividend's sign — numpy semantics), which is what makes a
-bit-exact SQL oracle possible; float math is out of scope here (use
+``abs(a)``. Everything is exact int64 arithmetic with NUMPY semantics:
+``//`` floors and ``%`` is floored mod (result takes the DIVISOR's
+sign — np.mod(-5, 3) == 1). DuckDB/Spark SQL differ on negatives
+(``//`` truncates toward zero, ``%`` takes the dividend's sign:
+-5 // 3 = -1, -5 % 3 = -2 in DuckDB), so oracle SQL for an expression
+whose ``//``/``%`` operands can go negative must mirror explicitly
+(floored mod = ``((a % b) + b) % b``) or keep operands non-negative,
+as the contract fixture does. Float math is out of scope here (use
 the warp/blend kernels).
 
 Reference surface: the per-block compute hook family

@@ -70,9 +70,18 @@ def cutline_crop(
         | (ty * t >= F.lit(maxy)) | ((ty + 1) * t <= F.lit(miny))
     )
     empty = bytes([nd]) * (t * t)
+    # the fast path must NOT heal corrupt payloads: a truncated tile
+    # that happens to sit away from the ring would otherwise come back
+    # as a healthy all-nodata row, making poison counts depend on
+    # where the cutline is. The length check is JVM-side — still no
+    # decode, no Python.
+    payload_ok = F.col(raster).isNotNull() & (F.length(F.col(raster)) == t * t)
     outside = tiles.filter(disjoint).select(
-        "cell", F.lit(empty).alias("raster"),
-        F.lit(0).cast("long").alias("n_kept"), F.lit(False).alias("boundary"),
+        "cell",
+        F.when(payload_ok, F.lit(empty)).alias("raster"),
+        F.when(payload_ok, F.lit(0)).otherwise(F.lit(-1))
+        .cast("long").alias("n_kept"),
+        F.lit(False).alias("boundary"),
     )
 
     def _kernel(batches):
@@ -82,7 +91,11 @@ def cutline_crop(
                 cell = int(row.cell)
                 ctx, cty = (cell >> 26) & ((1 << 26) - 1), cell & ((1 << 26) - 1)
                 x0, y0 = ctx * t, cty * t
-                buf = bytes(getattr(row, raster))
+                raw = getattr(row, raster)
+                if raw is None:
+                    out.append((cell, None, -1, True))
+                    continue
+                buf = bytes(raw)
                 if len(buf) != t * t:
                     out.append((cell, None, -1, True))
                     continue

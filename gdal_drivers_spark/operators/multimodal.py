@@ -429,6 +429,9 @@ def rgb2pct(images: DataFrame, palette: np.ndarray) -> DataFrame:
     if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
         raise ValueError(f"palette must be (P<=256, 3), got {pal.shape}")
 
+    palsq = (pal * pal).sum(1)
+    chunk = 1 << 16  # peak extra memory = chunk×P int64 (~113 MB at P=216)
+
     def _run(batches):
         for pdf in batches:
             out = []
@@ -437,8 +440,18 @@ def rgb2pct(images: DataFrame, palette: np.ndarray) -> DataFrame:
                     img = codecs.decode(bytes(r.bytes), r.fmt).astype(np.int64)
                     if img.shape[2] != 3:
                         raise ValueError("rgb2pct needs a 3-band image")
-                    d2 = ((img[:, :, None, :] - pal[None, None, :, :]) ** 2).sum(-1)
-                    idx = d2.argmin(axis=2).astype(np.uint8)  # first min = lowest index
+                    # |x−p|² = |x|² − 2x·pᵀ + |p|², chunked — the naive
+                    # (h,w,P,3) broadcast tensor is ~5 GB for a 1-Mpx
+                    # image; exact int64 matmul, argmin keeps the
+                    # FIRST (lowest-index) minimum on ties
+                    flat = img.reshape(-1, 3)
+                    idx1 = np.empty(len(flat), np.uint8)
+                    for o in range(0, len(flat), chunk):
+                        f = flat[o:o + chunk]
+                        d2 = ((f * f).sum(1)[:, None] - 2 * (f @ pal.T)
+                              + palsq[None, :])
+                        idx1[o:o + chunk] = d2.argmin(axis=1)
+                    idx = idx1.reshape(img.shape[0], img.shape[1])
                 except Exception:
                     out.append((r.image_id, None, None, None, None, False))
                     continue

@@ -516,7 +516,11 @@ def contour_polygons(
         for pdf in batches:
             out = []
             for r in pdf.itertuples():
-                buf = bytes(getattr(r, tile_col))
+                raw = getattr(r, tile_col)
+                if raw is None:  # upstream poison row: polygonize owns it
+                    out.append((getattr(r, cell), None))
+                    continue
+                buf = bytes(raw)
                 if len(buf) != t * t:
                     out.append((getattr(r, cell), buf))  # polygonize flags it
                     continue

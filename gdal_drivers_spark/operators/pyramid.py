@@ -280,7 +280,8 @@ def retile(
                 tx = (kc >> 26) & ((1 << 26) - 1)
                 ty = kc & ((1 << 26) - 1)
                 gx0, gy0 = tx * ti, ty * ti
-                buf = bytes(getattr(r, tile_col))
+                raw = getattr(r, tile_col)
+                buf = b"" if raw is None else bytes(raw)
                 bad = len(buf) != ti * ti
                 img = (None if bad
                        else np.frombuffer(buf, np.uint8).reshape(ti, ti))

@@ -209,6 +209,15 @@ def burn_features(
             F.array_min(xs).alias("_bx0"), F.array_max(xs).alias("_bx1"),
             F.array_min(ys).alias("_by0"), F.array_max(ys).alias("_by1"),
         )
+        # bbox-intersects-grid gate BEFORE the explode: Spark
+        # sequence(lo, hi) with lo > hi counts DOWN — a feature fully
+        # outside the grid would fan out to every tile between the
+        # clamped edge and its far-away bbox tile (and land a phantom
+        # row on the edge tile, inflating n_features)
+        .filter(
+            (F.col("_bx1") >= 0) & (F.col("_bx0") <= F.lit(gw * t - 1))
+            & (F.col("_by1") >= 0) & (F.col("_by0") <= F.lit(gh * t - 1))
+        )
         .withColumn(
             "_tx",
             F.explode(F.sequence(
@@ -237,7 +246,15 @@ def burn_features(
         x0, y0 = tx * t, ty * t
         img = np.full((t, t), nd, np.uint8)
         burned = np.zeros((t, t), bool)
-        order = np.argsort(pdf["_fid"].to_numpy(), kind="stable")
+        # (fid, burn, bbox) lexsort — a stable fid-only sort would tie-
+        # break DUPLICATE fids by shuffle arrival order, making the
+        # last-wins result partitioning-dependent; the full data key
+        # pins it for any input
+        order = np.lexsort((
+            pdf["_by1"].to_numpy(), pdf["_bx1"].to_numpy(),
+            pdf["_by0"].to_numpy(), pdf["_bx0"].to_numpy(),
+            pdf["_v"].to_numpy(), pdf["_fid"].to_numpy(),
+        ))
         for i in order:  # ascending fid: later paints over earlier
             r = np.asarray([[p[0], p[1]] for p in pdf["_ring"].iloc[i]], np.float64)
             # restrict the PIP to the ring-bbox ∩ tile pixel window

@@ -171,10 +171,16 @@ def viewshed(
         )
 
     computed = scattered.groupBy("_oid").applyInPandas(_kernel, _OUT_SCHEMA)
+    # far-away observers (no kernel row — n_window IS NULL) get the
+    # honest all-zero raster; NULL vis stays reserved for POISON rows,
+    # which DO have a kernel row (counts -1)
+    zero_vis = bytes(side * side)
     return obs.select(F.col("_oid").alias("oid")).join(
         computed, "oid", "left"
     ).select(
-        "oid", "vis",
+        "oid",
+        F.when(F.col("n_window").isNull(), F.lit(zero_vis))
+        .otherwise(F.col("vis")).alias("vis"),
         F.coalesce("n_window", F.lit(0)).alias("n_window"),
         F.coalesce("n_eval", F.lit(0)).alias("n_eval"),
         F.coalesce("n_visible", F.lit(0)).alias("n_visible"),

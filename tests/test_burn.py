@@ -72,3 +72,31 @@ def test_burn_empty_and_degenerate(spark):
     assert near["n_features"] == 1  # only the valid triangle landed
     tile = np.frombuffer(bytes(near["raster"]), np.uint8)
     assert set(np.unique(tile)) <= {3, 80}
+
+
+def test_burn_off_grid_feature_is_ignored(spark):
+    # a feature fully outside the grid must not fan out (Spark's
+    # sequence(lo, hi) counts DOWN when lo > hi) nor land phantom rows
+    feats = [(1, [(2, 2), (9, 3), (5, 9)], 80),
+             (2, [(10_000, 3), (10_009, 4), (10_004, 11)], 200)]
+    got = {r["cell"]: r for r in
+           burn_features(_features(spark, feats), T, Z, (GRID, GRID)).collect()}
+    assert len(got) == GRID * GRID
+    assert got[_cell(0, 0)]["n_features"] == 1
+    assert all(r["n_features"] <= 1 for r in got.values())
+    assert not any((np.frombuffer(bytes(r["raster"]), np.uint8) == 200).any()
+                   for r in got.values())
+
+
+def test_burn_duplicate_fid_is_deterministic(spark):
+    # same fid, overlapping: the (fid, v, bbox) lexsort pins the winner
+    # (here the v=200 feature sorts after v=50 and paints last)
+    sq1 = [(2, 2), (11, 3), (10, 11), (3, 10)]
+    sq2 = [(4, 4), (13, 5), (12, 13), (5, 12)]
+    feats_ab = [(7, sq1, 50), (7, sq2, 200)]
+    feats_ba = [(7, sq2, 200), (7, sq1, 50)]
+    a = burn_features(_features(spark, feats_ab), T, Z, (1, 1)).collect()[0]
+    b = burn_features(_features(spark, feats_ba), T, Z, (1, 1)).collect()[0]
+    assert bytes(a["raster"]) == bytes(b["raster"])
+    overlap = np.frombuffer(bytes(a["raster"]), np.uint8).reshape(T, T)[8, 8]
+    assert overlap == 200

@@ -71,3 +71,15 @@ def test_cutline_poison_and_validation(spark):
         raise AssertionError("2-point ring accepted")
     except ValueError:
         pass
+
+
+def test_cutline_null_and_disjoint_corrupt_poison(spark):
+    ring = [[1, 1], [9, 2], [5, 9]]  # bbox within tile (0,0)
+    rows = [(_cell(0, 0), None),          # NULL payload near the ring
+            (_cell(3, 3), b"short")]      # corrupt AND bbox-disjoint
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cell", "raster"]),
+        "cell long, raster binary")
+    got = {r["cell"]: r for r in cutline_crop(df, ring, T).collect()}
+    for c in (_cell(0, 0), _cell(3, 3)):
+        assert got[c]["n_kept"] == -1 and got[c]["raster"] is None, c

@@ -330,3 +330,15 @@ def test_contour_polygons_validation_and_poison(spark):
     poison = [r for r in got if r["component"] == -1]
     assert len(poison) == 1 and poison[0]["n_pieces"] == 1
     assert poison[0]["lo"] == -1 and poison[0]["hi"] == -1
+
+
+def test_contour_polygons_null_tile_poisons_not_crashes(spark):
+    from gdal_drivers_spark.operators.polygonize import contour_polygons
+
+    rows = [(_cell(tx, ty), bytes(T * T) if (tx, ty) != (1, 1) else None)
+            for tx in range(GRID) for ty in range(GRID)]
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cell", "tile"]), "cell long, tile binary")
+    got = contour_polygons(tiles, [128], T, (GRID, GRID)).collect()
+    poison = [r for r in got if r["component"] == -1]
+    assert len(poison) == 1 and poison[0]["n_pieces"] == 1

@@ -69,3 +69,14 @@ def test_retile_sparse_poison_and_validation(spark):
     assert all(got2[c]["tile"] is None for c in poisoned)
     with pytest.raises(ValueError):
         retile(bad, 32, 24, Z, (2, 2))  # 64 % 24 != 0
+
+
+def test_retile_null_payload_poisons_not_crashes(spark):
+    rows = [(_cell(0, 0), None),
+            (_cell(1, 0), bytes(32 * 32)), (_cell(0, 1), bytes(32 * 32)),
+            (_cell(1, 1), bytes(32 * 32))]
+    src = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cell", "tile"]), "cell long, tile binary")
+    got = {r["cell"]: r for r in retile(src, 32, 16, Z, (2, 2)).collect()}
+    poisoned = sorted(c for c, r in got.items() if not r["ok"])
+    assert poisoned == sorted(_cell(tx, ty) for tx in range(2) for ty in range(2))

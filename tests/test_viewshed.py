@@ -99,3 +99,12 @@ def test_viewshed_off_grid_and_missing_tiles(spark):
     row = viewshed(_obs(spark, [(9, 4, 4)]), holey, T, Z,
                    (GRID, GRID), 5).collect()[0]
     assert row["n_visible"] == -1
+
+
+def test_viewshed_far_observer_gets_zero_raster_not_null(spark):
+    world = np.zeros((W, W), np.uint8)
+    r = 5
+    row = viewshed(_obs(spark, [(1, -500, 8)]), _tiles(spark, world),
+                   T, Z, (GRID, GRID), r).collect()[0]
+    assert row["n_visible"] == 0
+    assert bytes(row["vis"]) == bytes((2 * r + 1) ** 2)  # all-zero, not NULL
