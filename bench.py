@@ -51,6 +51,9 @@ REFERENCE_LINE = {
     # entries below measured r05 (quiet window, ratio 1.00, local[32]
     # sf0.1 — self-anchored per the BENCH.md caveat, meaningful r06 on)
     "pyramid_full_rebuild": 3.74, "pyramid_incremental": 2.29,
+    # measured r05 continuation (quiet window, ratio 0.77 —
+    # BENCH_r05_local.json; self-anchored, meaningful r06 on)
+    "cutline_mosaic": 0.78,
 }
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 Z_BENCH = 8  # 256x256 grid: heavier explode than the correctness queries

@@ -143,6 +143,56 @@ class ImageSet:
 
         return ImageSet(self.spark, resize_images(self.df, out_w, out_h))
 
+    def equalize(self) -> "ImageSet":
+        """Per-image histogram equalization (r05,
+        multimodal.equalize_images — gdalenhance -equalize)."""
+        from .operators.multimodal import equalize_images
+
+        return ImageSet(self.spark, equalize_images(self.df))
+
+    def scale(self, src=None, dst=(0, 255)) -> "ImageSet":
+        """Linear contrast stretch (r05, multimodal.scale_images —
+        gdal_translate -scale)."""
+        from .operators.multimodal import scale_images
+
+        return ImageSet(self.spark, scale_images(self.df, src=src, dst=dst))
+
+    def quantize(self, palette=None) -> "ImageSet":
+        """Palette quantization (r05, multimodal.rgb2pct — rgb2pct.py);
+        default palette = the distributed median-cut build over THIS
+        corpus (gdal's default behavior)."""
+        from .operators.multimodal import build_palette_median_cut, rgb2pct
+
+        pal = build_palette_median_cut(self.df) if palette is None else palette
+        return ImageSet(self.spark, rgb2pct(self.df, pal))
+
+    def calc(self, others: dict, expr: str) -> "ImageSet":
+        """Band algebra with this set as operand "A" (r05,
+        calc.band_calc — gdal_calc.py). ``others`` maps further
+        operand names to ImageSets or DataFrames."""
+        from .operators.calc import band_calc
+
+        frames = {"A": self.df}
+        for k, v in others.items():
+            frames[k] = v.df if isinstance(v, ImageSet) else v
+        return ImageSet(self.spark, band_calc(frames, expr))
+
+    def pansharpen(self, pan, weights=(1, 1, 1)) -> "ImageSet":
+        """Weighted-Brovey fusion against a pan ImageSet/DataFrame
+        (r05, multimodal.pansharpen — gdal_pansharpen.py)."""
+        from .operators.multimodal import pansharpen
+
+        p = pan.df if isinstance(pan, ImageSet) else pan
+        return ImageSet(self.spark, pansharpen(self.df, p, weights=weights))
+
+    def tindex(self) -> DataFrame:
+        """Footprint index rows (r05, tindex.tile_index — gdaltindex);
+        derives footprints from the phash column first."""
+        from .operators.assign import with_footprint
+        from .operators.tindex import tile_index
+
+        return tile_index(with_footprint(self.df))
+
 
 class Assignments:
     def __init__(self, spark: SparkSession, df: DataFrame, z: int):
@@ -300,6 +350,49 @@ class TileSet:
         from .operators.zonal import zonal_mode
 
         return zonal_mode(self.df, zones, **kw)
+
+    def cutline(self, ring, tile_px: int, **kw) -> "TileSet":
+        """Mask to a cutline polygon (r05, cutline.cutline_crop —
+        gdalwarp -cutline); only ring-boundary tiles pay per-pixel."""
+        from .operators.cutline import cutline_crop
+
+        return TileSet(self.spark, cutline_crop(self.df, ring, tile_px, **kw))
+
+    def burn(self, features: DataFrame, tile_px: int, z: int,
+             grid_wh: tuple, **kw) -> "TileSet":
+        """Burn vector features INTO this mosaic (r05,
+        rasterize.burn_into — gdal_rasterize's in-place mode: burned
+        pixels take the feature value, the rest keep this set's
+        pixels)."""
+        from .operators.rasterize import burn_into
+
+        return TileSet(self.spark,
+                       burn_into(self.df, features, tile_px, z, grid_wh, **kw))
+
+    def retile(self, t_in: int, t_out: int, z: int, grid_wh: tuple,
+               **kw) -> "TileSet":
+        """Re-cut to a new tile size (r05, pyramid.retile —
+        gdal_retile.py); raster bytes shuffle exactly once."""
+        from .operators.pyramid import retile
+
+        return TileSet(self.spark,
+                       retile(self.df, t_in, t_out, z, grid_wh, **kw))
+
+    def viewshed(self, observers: DataFrame, tile_px: int, z: int,
+                 grid_wh: tuple, radius: int, **kw) -> DataFrame:
+        """Per-observer visibility (r05, viewshed.viewshed —
+        gdal_viewshed); shuffle ships observer windows, not rasters."""
+        from .operators.viewshed import viewshed
+
+        return viewshed(observers, self.df, tile_px, z, grid_wh, radius, **kw)
+
+    def contour_polygons(self, levels: list, tile_px: int,
+                         grid_wh: tuple, **kw) -> DataFrame:
+        """Fixed-level band polygons (r05, polygonize.contour_polygons
+        — gdal_contour -p)."""
+        from .operators.polygonize import contour_polygons
+
+        return contour_polygons(self.df, levels, tile_px, grid_wh, **kw)
 
 
 class EmbeddingSet:

@@ -159,7 +159,8 @@ def vectorize_tiles(tiles: DataFrame, depth: int, tile_px: int = 256) -> DataFra
 # gdal_rasterize — burn vector features into a tiled raster
 # ---------------------------------------------------------------------------
 
-BURN_SCHEMA = "cell long, raster binary, n_burned long, n_features long"
+BURN_SCHEMA = ("cell long, raster binary, mask binary, "
+               "n_burned long, n_features long")
 
 
 def burn_features(
@@ -276,8 +277,9 @@ def burn_features(
             img[sl][inside] = v
             burned[sl] |= inside
         return pd.DataFrame(
-            [(kc, img.tobytes(), int(burned.sum()), len(pdf))],
-            columns=["cell", "raster", "n_burned", "n_features"],
+            [(kc, img.tobytes(), burned.astype(np.uint8).tobytes(),
+              int(burned.sum()), len(pdf))],
+            columns=["cell", "raster", "mask", "n_burned", "n_features"],
         )
 
     painted = f.groupBy("cell").applyInPandas(_kernel, BURN_SCHEMA)
@@ -289,9 +291,69 @@ def burn_features(
         ).alias("cell")
     )
     empty = bytes([nd]) * (t * t)
+    zeros = bytes(t * t)
     return universe.join(painted, "cell", "left").select(
         "cell",
         F.coalesce("raster", F.lit(empty)).alias("raster"),
+        F.coalesce("mask", F.lit(zeros)).alias("mask"),
         F.coalesce("n_burned", F.lit(0)).alias("n_burned"),
         F.coalesce("n_features", F.lit(0)).alias("n_features"),
+    )
+
+
+def burn_into(
+    base: DataFrame,
+    features: DataFrame,
+    tile_px: int,
+    z: int,
+    grid_wh: tuple,
+    fid: str = "fid",
+    ring: str = "ring",
+    burn: str = "v",
+    cell: str = "cell",
+    tile_col: str = "raster",
+) -> DataFrame:
+    """gdal_rasterize's actual mode of use: burn features INTO an
+    existing raster — burned pixels take the feature value, everything
+    else keeps the base pixel. Composition: ``burn_features`` (which
+    emits the burn mask alongside the painted raster) outer-joined to
+    the base mosaic, then one Arrow merge hop
+    ``out = where(mask, burned, base)``. Base tiles absent from the
+    universe keep the burn output (init background); corrupt/NULL base
+    payloads poison their row (ok=false)."""
+    t = int(tile_px)
+    painted = burn_features(
+        features, t, z, grid_wh, fid=fid, ring=ring, burn=burn)
+    joined = painted.join(
+        base.select(F.col(cell).alias("cell"), F.col(tile_col).alias("_base")),
+        "cell", "left",
+    )
+
+    def _merge(batches):
+        for pdf in batches:
+            out = []
+            for i in range(len(pdf)):
+                c = int(pdf["cell"].iloc[i])
+                nb = int(pdf["n_burned"].iloc[i])
+                nf = int(pdf["n_features"].iloc[i])
+                braw = pdf["_base"].iloc[i]
+                burned_b = bytes(pdf["raster"].iloc[i])
+                if braw is None:
+                    out.append((c, burned_b, nb, nf, True))
+                    continue
+                bbuf = bytes(braw)
+                if len(bbuf) != t * t:
+                    out.append((c, None, -1, nf, False))
+                    continue
+                m = np.frombuffer(bytes(pdf["mask"].iloc[i]), np.uint8)
+                img = np.where(m > 0, np.frombuffer(burned_b, np.uint8),
+                               np.frombuffer(bbuf, np.uint8)).astype(np.uint8)
+                out.append((c, img.tobytes(), nb, nf, True))
+            yield pd.DataFrame(
+                out,
+                columns=["cell", "raster", "n_burned", "n_features", "ok"])
+
+    return joined.mapInPandas(
+        _merge,
+        "cell long, raster binary, n_burned long, n_features long, ok boolean",
     )

@@ -100,3 +100,46 @@ def test_burn_duplicate_fid_is_deterministic(spark):
     assert bytes(a["raster"]) == bytes(b["raster"])
     overlap = np.frombuffer(bytes(a["raster"]), np.uint8).reshape(T, T)[8, 8]
     assert overlap == 200
+
+
+def test_burn_into_composites_with_base(spark):
+    from gdal_drivers_spark.operators.rasterize import burn_into
+
+    rng = np.random.default_rng(31)
+    world = rng.integers(0, 200, (W, W)).astype(np.uint8)
+    # base mosaic: tile (3,3) missing, tile (3,0) corrupt
+    base_rows = [
+        (_cell(tx, ty),
+         b"corrupt" if (tx, ty) == (3, 0)
+         else world[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T].tobytes())
+        for tx in range(GRID) for ty in range(GRID) if (tx, ty) != (3, 3)
+    ]
+    base = spark.createDataFrame(
+        pd.DataFrame(base_rows, columns=["cell", "raster"]),
+        "cell long, raster binary")
+    got = {r["cell"]: r for r in
+           burn_into(base, _features(spark, FEATS), T, Z,
+                     (GRID, GRID)).collect()}
+    assert len(got) == GRID * GRID
+    exp = world.copy()
+    burned = np.zeros((W, W), bool)
+    gy, gx = np.mgrid[0:W, 0:W]
+    for fid, ring, v in sorted(FEATS):
+        inside = points_in_polygon(
+            (gx + 0.5).ravel(), (gy + 0.5).ravel(),
+            np.asarray(ring, np.float64)).reshape(W, W)
+        exp[inside] = v
+        burned |= inside
+    for tx in range(GRID):
+        for ty in range(GRID):
+            row = got[_cell(tx, ty)]
+            if (tx, ty) == (3, 0):
+                assert not row["ok"] and row["raster"] is None
+                continue
+            tile = np.frombuffer(bytes(row["raster"]), np.uint8).reshape(T, T)
+            if (tx, ty) == (3, 3):  # no base tile: burn output over init
+                ref = np.where(burned, exp, 0)[
+                    ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            else:
+                ref = exp[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            assert (tile == ref).all() and row["ok"], (tx, ty)
