@@ -351,11 +351,18 @@ class TileSet:
 
         return zonal_mode(self.df, zones, **kw)
 
+    def _payload_col(self) -> str:
+        """TileSet frames carry their raster bytes as either ``tile``
+        (pyramid/DEM convention) or ``raster`` (mosaic convention);
+        facade verbs adapt instead of forcing a rename."""
+        return "tile" if "tile" in self.df.columns else "raster"
+
     def cutline(self, ring, tile_px: int, **kw) -> "TileSet":
         """Mask to a cutline polygon (r05, cutline.cutline_crop —
         gdalwarp -cutline); only ring-boundary tiles pay per-pixel."""
         from .operators.cutline import cutline_crop
 
+        kw.setdefault("raster", self._payload_col())
         return TileSet(self.spark, cutline_crop(self.df, ring, tile_px, **kw))
 
     def burn(self, features: DataFrame, tile_px: int, z: int,
@@ -366,6 +373,7 @@ class TileSet:
         pixels)."""
         from .operators.rasterize import burn_into
 
+        kw.setdefault("tile_col", self._payload_col())
         return TileSet(self.spark,
                        burn_into(self.df, features, tile_px, z, grid_wh, **kw))
 
@@ -375,6 +383,7 @@ class TileSet:
         gdal_retile.py); raster bytes shuffle exactly once."""
         from .operators.pyramid import retile
 
+        kw.setdefault("tile_col", self._payload_col())
         return TileSet(self.spark,
                        retile(self.df, t_in, t_out, z, grid_wh, **kw))
 
@@ -384,6 +393,7 @@ class TileSet:
         gdal_viewshed); shuffle ships observer windows, not rasters."""
         from .operators.viewshed import viewshed
 
+        kw.setdefault("tile_col", self._payload_col())
         return viewshed(observers, self.df, tile_px, z, grid_wh, radius, **kw)
 
     def contour_polygons(self, levels: list, tile_px: int,
@@ -392,6 +402,7 @@ class TileSet:
         — gdal_contour -p)."""
         from .operators.polygonize import contour_polygons
 
+        kw.setdefault("tile_col", self._payload_col())
         return contour_polygons(self.df, levels, tile_px, grid_wh, **kw)
 
 
