@@ -5052,6 +5052,36 @@ _VIEWSHED_ORACLE_SQL = """
 """
 
 
+def q_polygonize8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_polygonize -8 (r05): 8-connectivity components over the
+    checkerboard field ((x+y)%2)·255 — the fixture that MAXIMALLY
+    separates the two rules: under 4-connectivity every pixel is its
+    own component (16 384 of them); under 8-connectivity each color
+    is ONE diagonal-connected component. The diagonal seam edges ride
+    the same own-coordinates pair-key scheme (gpid·4+2/+3), no halo.
+    Exact oracle: two rows, components keyed by min gpid."""
+    from gdal_drivers_spark.operators.polygonize import polygonize
+
+    tiles = _grid_pattern_tiles(
+        spark, 4, 4, 32, lambda gx, gy: ((gx + gy) % 2) * 255)
+    return polygonize(tiles, tile_px=32, grid_wh=(4, 4), connectivity=8)
+
+
+_POLYGONIZE8_ORACLE_SQL = """
+    WITH px AS (
+        SELECT gx.x AS x, gy.y AS y,
+               ((gx.x + gy.y) % 2) * 255 AS v,
+               gy.y * 128 + gx.x AS gpid
+        FROM generate_series(0, 127) gx(x), generate_series(0, 127) gy(y)
+    )
+    SELECT CAST(min(gpid) AS BIGINT) AS component,
+           CAST(v AS BIGINT) AS value,
+           count(*) AS n_px,
+           CAST(count(DISTINCT (x // 32) * 16 + (y // 32)) AS BIGINT) AS n_pieces
+    FROM px GROUP BY v
+"""
+
+
 def q_contour_polys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_contour -p (r05): band the diagonal field (3x+5y)%256 at
     fixed levels [64,128,192] and polygonize the bands. The band field
@@ -5953,6 +5983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_calc": q_band_calc,
         "burn_raster": q_burn_raster,
         "contour_polys": q_contour_polys,
+        "polygonize8": q_polygonize8,
         "pansharpen": q_pansharpen,
         "retile": q_retile,
         "viewshed": q_viewshed,
@@ -5998,6 +6029,7 @@ def oracle_sql() -> dict[str, str]:
         "band_calc": _BAND_CALC_ORACLE_SQL,
         "burn_raster": _BURN_ORACLE_SQL,
         "contour_polys": _CONTOUR_POLYS_ORACLE_SQL,
+        "polygonize8": _POLYGONIZE8_ORACLE_SQL,
         "pansharpen": _PANSHARPEN_ORACLE_SQL,
         "retile": _RETILE_ORACLE_SQL,
         "viewshed": _VIEWSHED_ORACLE_SQL,

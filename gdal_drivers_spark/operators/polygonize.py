@@ -6,17 +6,18 @@ it would consume, e.g. mask.cpp's quadtree rasters).
 Distributed decomposition — pixels are touched exactly once and never
 shuffled:
 
-1. one Arrow hop labels each tile locally (two-pass union-find,
-   4-connectivity, equal value) and reduces it to
+1. one Arrow hop labels each tile locally (union-find, 4- or
+   8-connectivity, equal value) and reduces it to
    - one summary row per LOCAL component: (node, value, n_px) with
      ``node`` = the component's minimum global pixel id — unique
      across tiles and canonical (the final root is the min pixel id
      of the whole global component, independent of tile layout), and
-   - one row per boundary pixel carrying the CROSS-TILE PAIR KEY:
-     for a horizontal neighbor pair the west pixel's gpid·2, for a
-     vertical pair the north pixel's gpid·2+1 — both sides of a tile
-     seam compute the same key from their own coordinates, so no halo
-     exchange is needed at all;
+   - one row per boundary pixel carrying the CROSS-TILE PAIR KEY
+     (×4 keyspace): horizontal pair = west pixel's gpid·4, vertical =
+     north gpid·4+1, and under 8-connectivity (gdal_polygonize -8)
+     the diagonal pairs ↘/↙ = the upper pixel's gpid·4+2/+3 — both
+     sides of a tile seam compute the same key from their own
+     coordinates, so no halo exchange is needed at all;
 2. a groupBy(pair key) turns seam pairs with equal value into
    equivalence edges between local components (strip-sized data:
    4·t rows per tile, not t²);
@@ -44,15 +45,16 @@ from pyspark.sql import functions as F
 from gdal_drivers_spark.operators.dedup import connected_components
 
 
-def _label_tile(v: np.ndarray) -> np.ndarray:
-    """Union-find labeling, 4-connectivity, equal value. Returns an
-    int array of per-pixel local root indices (root = arbitrary
-    member index; callers canonicalize via min gpid).
+def _label_tile(v: np.ndarray, connectivity: int = 4) -> np.ndarray:
+    """Union-find labeling, 4- or 8-connectivity (gdal_polygonize's
+    default vs -8), equal value. Returns an int array of per-pixel
+    local root indices (root = arbitrary member index; callers
+    canonicalize via min gpid).
 
     The Python loop runs ONLY over equal-neighbor pairs (numpy masks
     find them); the final root resolution is vectorized pointer
     jumping — for a categorical raster with few merges per tile this
-    keeps the kernel numpy-speed instead of 4 interpreted passes over
+    keeps the kernel numpy-speed instead of interpreted passes over
     every pixel."""
     t0, t1 = v.shape
     n = t0 * t1
@@ -64,18 +66,21 @@ def _label_tile(v: np.ndarray) -> np.ndarray:
             a = parent[a]
         return a
 
+    def union_pairs(idx, off):
+        for i in idx:
+            ra, rb = find(int(i) + off), find(int(i))
+            if ra != rb:
+                parent[ra] = rb
+
     flat = v.ravel()
     left = np.flatnonzero(flat[1:] == flat[:-1])
-    left = left[(left % t1) != (t1 - 1)]  # drop row-wrap false pairs
-    for i in left:
-        ra, rb = find(int(i) + 1), find(int(i))
-        if ra != rb:
-            parent[ra] = rb
-    up = np.flatnonzero(flat[t1:] == flat[:-t1])
-    for i in up:
-        ra, rb = find(int(i) + t1), find(int(i))
-        if ra != rb:
-            parent[ra] = rb
+    union_pairs(left[(left % t1) != (t1 - 1)], 1)  # drop row-wrap pairs
+    union_pairs(np.flatnonzero(flat[t1:] == flat[:-t1]), t1)
+    if connectivity == 8:
+        dr = np.flatnonzero(flat[t1 + 1:] == flat[:-(t1 + 1)])
+        union_pairs(dr[(dr % t1) != (t1 - 1)], t1 + 1)  # ↘
+        dl = np.flatnonzero(flat[t1 - 1:] == flat[:-(t1 - 1)])
+        union_pairs(dl[(dl % t1) != 0], t1 - 1)  # ↙
     # vectorized pointer jumping resolves every pixel to its root
     while True:
         p2 = parent[parent]
@@ -93,6 +98,7 @@ def _polygonize_parts(
     grid_origin: tuple,
     max_iter: int,
     adjacency: bool = False,
+    connectivity: int = 4,
 ):
     """Shared pipeline front half: tile labeling → (raw frame,
     summaries, poison rows, grouped seam pairs, CC labels). With
@@ -126,7 +132,7 @@ def _polygonize_parts(
                     srows.append((1, -1, -1, -1, 0))  # poison marker
                     continue
                 gx0, gy0 = tx * t, ty * t
-                roots = _label_tile(v)
+                roots = _label_tile(v, connectivity)
                 gy = np.arange(t)[:, None] + gy0
                 gx = np.arange(t)[None, :] + gx0
                 gpid = (gy * W + gx).ravel().astype(np.int64)
@@ -155,27 +161,57 @@ def _polygonize_parts(
                         uq, cnt2 = np.unique(pairs, axis=0, return_counts=True)
                         for (na, nb), c in zip(uq, cnt2):
                             srows.append((2, int(na), -1, int(nb), int(c)))
-                # kind 1: seam rows. pair key: horizontal = west gpid*2,
-                # vertical = north gpid*2+1 — both sides derive it from
-                # their own coordinates alone
+                # kind 1: seam rows. pair key (×4 keyspace): horizontal
+                # = west gpid·4, vertical = north gpid·4+1, and under
+                # 8-connectivity the diagonals ↘ = upper-left gpid·4+2,
+                # ↙ = upper-right gpid·4+3 — every side derives the key
+                # from its OWN coordinates alone, so no halo is shipped
                 def seam(idx):
                     for i in idx:
                         yield int(node_px[i]), int(flat[i])
 
                 east = np.arange(t) * t + (t - 1)
                 for (node, val), i in zip(seam(east), east):
-                    srows.append((1, node, val, int(gpid[i]) * 2, 1))
+                    srows.append((1, node, val, int(gpid[i]) * 4, 1))
                 if gx0 > 0:
                     west = np.arange(t) * t
                     for (node, val), i in zip(seam(west), west):
-                        srows.append((1, node, val, (int(gpid[i]) - 1) * 2, 1))
+                        srows.append((1, node, val, (int(gpid[i]) - 1) * 4, 1))
                 south = (t - 1) * t + np.arange(t)
                 for (node, val), i in zip(seam(south), south):
-                    srows.append((1, node, val, int(gpid[i]) * 2 + 1, 1))
+                    srows.append((1, node, val, int(gpid[i]) * 4 + 1, 1))
                 if gy0 > 0:
                     north = np.arange(t)
                     for (node, val), i in zip(seam(north), north):
-                        srows.append((1, node, val, (int(gpid[i]) - W) * 2 + 1, 1))
+                        srows.append((1, node, val, (int(gpid[i]) - W) * 4 + 1, 1))
+                if connectivity == 8:
+                    H = gh * t
+                    west = np.arange(t) * t
+                    north = np.arange(t)
+
+                    def emit_diag(idx, keyfn, guard):
+                        for i in np.unique(idx):
+                            g = int(gpid[i])
+                            if guard(g % W, g // W):
+                                srows.append((1, int(node_px[i]),
+                                              int(flat[i]), keyfn(g), 1))
+
+                    # ↘ pair (p, p+W+1): upper-left side = east∪south,
+                    # lower-right side = west∪north of the OTHER tiles
+                    emit_diag(np.concatenate([east, south]),
+                              lambda g: g * 4 + 2,
+                              lambda x, y: x < W - 1 and y < H - 1)
+                    emit_diag(np.concatenate([west, north]),
+                              lambda g: (g - W - 1) * 4 + 2,
+                              lambda x, y: x > 0 and y > 0)
+                    # ↙ pair (p, p+W−1): upper-right side = west∪south,
+                    # lower-left side = east∪north
+                    emit_diag(np.concatenate([west, south]),
+                              lambda g: g * 4 + 3,
+                              lambda x, y: x > 0 and y < H - 1)
+                    emit_diag(np.concatenate([east, north]),
+                              lambda g: (g - W + 1) * 4 + 3,
+                              lambda x, y: x < W - 1 and y > 0)
             yield pd.DataFrame(
                 srows, columns=["kind", "node", "value", "pair_key", "n_px"]
             )
@@ -210,6 +246,7 @@ def polygonize(
     tile_col: str = "tile",
     grid_origin: tuple = (0, 0),
     max_iter: int = 50,
+    connectivity: int = 4,
 ) -> DataFrame:
     """Global equal-value components over a dense tile grid.
 
@@ -226,8 +263,11 @@ def polygonize(
     would alias global pixel ids (gpid = gy·W + gx wraps rows) and
     silently fuse unrelated components, which must fail fast instead.
     """
+    if connectivity not in (4, 8):
+        raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
     raw, summaries, n_bad, _, labels = _polygonize_parts(
-        tiles, tile_px, grid_wh, cell, tile_col, grid_origin, max_iter
+        tiles, tile_px, grid_wh, cell, tile_col, grid_origin, max_iter,
+        connectivity=connectivity,
     )
     out = (
         summaries.join(labels, summaries.node == labels.node, "left")
@@ -490,6 +530,7 @@ def contour_polygons(
     tile_col: str = "tile",
     grid_origin: tuple = (0, 0),
     max_iter: int = 50,
+    connectivity: int = 4,
 ) -> DataFrame:
     """gdal_contour -p (polygon output): classify every pixel into the
     band between consecutive fixed levels (band k ⇔ #levels ≤ v — the
@@ -532,7 +573,8 @@ def contour_polygons(
 
     banded = tiles.select(cell, tile_col).mapInPandas(
         _band, f"{cell} long, {tile_col} binary")
-    comp = polygonize(banded, t, grid_wh, cell, tile_col, grid_origin, max_iter)
+    comp = polygonize(banded, t, grid_wh, cell, tile_col, grid_origin,
+                      max_iter, connectivity=connectivity)
     arr = F.array(*[F.lit(x).cast("long") for x in lv])
     band = F.col("value")
     lo = F.when(band <= 0, F.lit(-1)).otherwise(F.element_at(arr, band.cast("int")))

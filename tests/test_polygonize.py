@@ -342,3 +342,69 @@ def test_contour_polygons_null_tile_poisons_not_crashes(spark):
     got = contour_polygons(tiles, [128], T, (GRID, GRID)).collect()
     poison = [r for r in got if r["component"] == -1]
     assert len(poison) == 1 and poison[0]["n_pieces"] == 1
+
+
+def _flood8(full: np.ndarray):
+    """8-connectivity twin of _flood."""
+    lab = -np.ones(full.shape, int)
+    comps = {}
+    nbrs = [(1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1)]
+    for r in range(W):
+        for c in range(W):
+            if lab[r, c] >= 0:
+                continue
+            q = deque([(r, c)])
+            lab[r, c] = 1
+            members = [(r, c)]
+            while q:
+                rr, cc = q.popleft()
+                for dr, dc in nbrs:
+                    r2, c2 = rr + dr, cc + dc
+                    if (0 <= r2 < W and 0 <= c2 < W and lab[r2, c2] < 0
+                            and full[r2, c2] == full[rr, cc]):
+                        lab[r2, c2] = 1
+                        q.append((r2, c2))
+                        members.append((r2, c2))
+            key = min(rr2 * W + cc2 for rr2, cc2 in members)
+            comps[key] = (int(full[r, c]), len(members))
+    return comps
+
+
+def test_polygonize_8conn_matches_flood_fill(spark):
+    rng = np.random.default_rng(47)
+    full = (rng.integers(0, 3, (W, W)) * 80).astype(np.uint8)
+    rows = [
+        (_cell(tx, ty),
+         full[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T].tobytes())
+        for tx in range(GRID) for ty in range(GRID)
+    ]
+    tiles = spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "tile"]))
+    got = {r["component"]: r for r in
+           polygonize(tiles, T, (GRID, GRID), connectivity=8).collect()}
+    exp = _flood8(full)
+    exp4 = _flood(full)
+    assert len(exp) < len(exp4)  # 8-conn genuinely merges across diagonals
+    assert set(got) == set(exp)
+    for comp, (v, n) in exp.items():
+        assert got[comp]["value"] == v and got[comp]["n_px"] == n
+
+
+def test_polygonize_8conn_checkerboard_two_components(spark):
+    gy, gx = np.mgrid[0:W, 0:W]
+    full = (((gx + gy) % 2) * 255).astype(np.uint8)
+    rows = [
+        (_cell(tx, ty),
+         full[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T].tobytes())
+        for tx in range(GRID) for ty in range(GRID)
+    ]
+    tiles = spark.createDataFrame(pd.DataFrame(rows, columns=["cell", "tile"]))
+    got8 = polygonize(tiles, T, (GRID, GRID), connectivity=8).collect()
+    assert len(got8) == 2  # each color one diagonal-connected component
+    by_v = {r["value"]: r for r in got8}
+    assert by_v[0]["component"] == 0 and by_v[255]["component"] == 1
+    assert by_v[0]["n_px"] == by_v[255]["n_px"] == W * W // 2
+    got4 = polygonize(tiles, T, (GRID, GRID), connectivity=4)
+    assert got4.count() == W * W  # 4-conn: every pixel its own component
+    import pytest
+    with pytest.raises(ValueError):
+        polygonize(tiles, T, (GRID, GRID), connectivity=6)
