@@ -5052,6 +5052,27 @@ _VIEWSHED_ORACLE_SQL = """
 """
 
 
+def q_raster_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal2xyz.py (r05): export the diagonal-field mosaic as
+    (gx, gy, v) point rows with -skipnodata (value 0 dropped AT THE
+    SOURCE, before any shuffle). The oracle regenerates every
+    closed-form pixel and applies the same filter — full row-level
+    parity of the export."""
+    from gdal_drivers_spark.operators.zonal import to_xyz
+
+    tiles = _grid_pattern_tiles(
+        spark, 4, 4, 32, lambda gx, gy: (3 * gx + 5 * gy) % 256)
+    return to_xyz(tiles, 32, skip_value=0)
+
+
+_RASTER_XYZ_ORACLE_SQL = """
+    SELECT CAST(gx.x AS BIGINT) AS gx, CAST(gy.y AS BIGINT) AS gy,
+           CAST((3 * gx.x + 5 * gy.y) % 256 AS BIGINT) AS v
+    FROM generate_series(0, 127) gx(x), generate_series(0, 127) gy(y)
+    WHERE (3 * gx.x + 5 * gy.y) % 256 != 0
+"""
+
+
 def q_polygonize8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_polygonize -8 (r05): 8-connectivity components over the
     checkerboard field ((x+y)%2)·255 — the fixture that MAXIMALLY
@@ -5984,6 +6005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burn_raster": q_burn_raster,
         "contour_polys": q_contour_polys,
         "polygonize8": q_polygonize8,
+        "raster_xyz": q_raster_xyz,
         "pansharpen": q_pansharpen,
         "retile": q_retile,
         "viewshed": q_viewshed,
@@ -6030,6 +6052,7 @@ def oracle_sql() -> dict[str, str]:
         "burn_raster": _BURN_ORACLE_SQL,
         "contour_polys": _CONTOUR_POLYS_ORACLE_SQL,
         "polygonize8": _POLYGONIZE8_ORACLE_SQL,
+        "raster_xyz": _RASTER_XYZ_ORACLE_SQL,
         "pansharpen": _PANSHARPEN_ORACLE_SQL,
         "retile": _RETILE_ORACLE_SQL,
         "viewshed": _VIEWSHED_ORACLE_SQL,

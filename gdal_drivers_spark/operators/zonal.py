@@ -303,3 +303,54 @@ def zonal_mode(
         F.max_by("value", score).alias("mode_value"),
         F.max_by("n_px", score).alias("n_px"),
     )
+
+
+def to_xyz(
+    tiles: DataFrame,
+    tile_px: int,
+    cell: str = "cell",
+    tile_col: str = "tile",
+    skip_value: int | None = None,
+) -> DataFrame:
+    """gdal2xyz.py: export a tiled raster as (gx, gy, v) point rows —
+    global pixel coordinates derived from the cell key inside the same
+    Arrow hop that decodes. ``skip_value`` mirrors -skipnodata (rows
+    with that value are dropped AT THE SOURCE, before anything
+    shuffles — at 100 TB the point of the flag is exactly that the
+    export never materializes the nodata ocean). Corrupt/NULL payloads
+    surface as one (gx=-1, gy=-1, v=-1) poison row per tile, counted
+    never silent.
+
+    This is a fan-out export (t² rows per tile): downstream writes
+    should go straight to a partitioned sink; there is deliberately no
+    collect-shaped form."""
+    import numpy as np
+
+    t = int(tile_px)
+    sk = skip_value
+
+    def _run(batches):
+        for pdf in batches:
+            out = []
+            for i in range(len(pdf)):
+                kc = int(pdf[cell].iloc[i])
+                raw = pdf[tile_col].iloc[i]
+                buf = b"" if raw is None else bytes(raw)
+                if len(buf) != t * t:
+                    out.append(pd.DataFrame(
+                        {"gx": [-1], "gy": [-1], "v": [-1]}))
+                    continue
+                tx = (kc >> 26) & ((1 << 26) - 1)
+                ty = kc & ((1 << 26) - 1)
+                v = np.frombuffer(buf, np.uint8).astype(np.int64)
+                gx = (np.arange(t)[None, :] + tx * t).repeat(t, 0).ravel()
+                gy = (np.arange(t)[:, None] + ty * t).repeat(t, 1).ravel()
+                if sk is not None:
+                    m = v != sk
+                    gx, gy, v = gx[m], gy[m], v[m]
+                out.append(pd.DataFrame({"gx": gx, "gy": gy, "v": v}))
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"gx": [], "gy": [], "v": []})
+
+    return tiles.select(cell, tile_col).mapInPandas(
+        _run, "gx long, gy long, v long")

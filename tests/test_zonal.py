@@ -221,3 +221,25 @@ def test_raster_histogram_matches_numpy(spark):
     assert got2.pop(None) == 1
     v2, c2 = np.unique(pattern(8, 8, 1, 3), return_counts=True)
     assert got2 == {int(v): int(c) for v, c in zip(v2, c2)}
+
+
+def test_to_xyz_export_skip_and_poison(spark):
+    import pandas as pd
+
+    from gdal_drivers_spark.operators.zonal import to_xyz
+
+    t = 8
+    a = (np.arange(t * t) % 5).astype(np.uint8).reshape(t, t)
+    rows = [((4 << 52) + (0 << 26) + 0, a.tobytes()),
+            ((4 << 52) + (1 << 26) + 0, None)]
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cell", "tile"]), "cell long, tile binary")
+    got = to_xyz(tiles, t).collect()
+    pts = {(r["gx"], r["gy"]): r["v"] for r in got if r["gx"] >= 0}
+    assert len(pts) == t * t
+    for y in range(t):
+        for x in range(t):
+            assert pts[(x, y)] == a[y, x]
+    assert sum(1 for r in got if r["gx"] == -1) == 1  # poison row
+    skipped = to_xyz(tiles, t, skip_value=0).collect()
+    assert sum(1 for r in skipped if r["gx"] >= 0) == int((a != 0).sum())
