@@ -405,6 +405,14 @@ class TileSet:
         kw.setdefault("tile_col", self._payload_col())
         return contour_polygons(self.df, levels, tile_px, grid_wh, **kw)
 
+    def to_xyz(self, tile_px: int, **kw) -> DataFrame:
+        """Point export (r05, zonal.to_xyz — gdal2xyz.py);
+        ``skip_value=`` drops nodata at the source."""
+        from .operators.zonal import to_xyz
+
+        kw.setdefault("tile_col", self._payload_col())
+        return to_xyz(self.df, tile_px, **kw)
+
 
 class EmbeddingSet:
     """Fluent surface over the similarity operators for a corpus

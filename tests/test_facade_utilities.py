@@ -48,3 +48,11 @@ def test_tileset_utility_verbs_both_payload_columns(spark):
         row = ts.viewshed(obs, 16, 4, (4, 4), 8).collect()[0]
         assert row["n_visible"] == row["n_eval"], col  # flat field
         assert ts.contour_polygons([128], 16, (4, 4)).count() == 1, col
+
+
+def test_tileset_to_xyz_verb(spark):
+    eng = Engine(spark)
+    for col in ("raster", "tile"):
+        ts = eng.tiles(_tiles(spark, col))
+        assert ts.to_xyz(16).count() == 16 * 256, col       # full export
+        assert ts.to_xyz(16, skip_value=9).count() == 0, col  # all skipped
