@@ -5052,6 +5052,77 @@ _VIEWSHED_ORACLE_SQL = """
 """
 
 
+def q_mosaic_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_merge.py (r05): last-wins nodata-skipping composition —
+    source 1 covers the whole 4×4 grid (diagonal field, natural 0
+    holes), source 2 only the checkerboard-even tiles (a different
+    field); src 2 paints over src 1 wherever its pixel is nonzero.
+    Distinct semantics from the weighted feathered blend. The oracle
+    replays the per-pixel CASE; checked per tile: source count,
+    filled count, value sum, position-weighted sum."""
+    import numpy as np
+
+    from gdal_drivers_spark.operators.blend import mosaic_lastwins
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                tx, ty = int(i) // 4, int(i) % 4
+                x = np.arange(32)[None, :] + tx * 32
+                y = np.arange(32)[:, None] + ty * 32
+                c = (4 << 52) + (tx << 26) + ty
+                rows.append((c, 1, ((3 * x + 5 * y) % 256)
+                             .astype(np.uint8).tobytes()))
+                if (tx + ty) % 2 == 0:
+                    rows.append((c, 2, ((x + 7 * y + 3) % 256)
+                                 .astype(np.uint8).tobytes()))
+            yield pd.DataFrame(rows, columns=["cell", "src_id", "raster"])
+
+    tiles = spark.range(16).mapInPandas(
+        gen, "cell long, src_id long, raster binary")
+    out = mosaic_lastwins(tiles, 32)
+
+    @F.pandas_udf("struct<v_sum long, vpos_sum long>")
+    def _ck(b: pd.Series) -> pd.DataFrame:
+        rows = []
+        for x in b:
+            flat = np.frombuffer(bytes(x), np.uint8).astype(np.int64)
+            rows.append((int(flat.sum()),
+                         int((flat * (np.arange(flat.size) + 1)).sum())))
+        return pd.DataFrame(rows, columns=["v_sum", "vpos_sum"])
+
+    return out.select(
+        (F.shiftright(F.col("cell"), 26) % F.lit(1 << 26)).alias("tcx"),
+        (F.col("cell") % F.lit(1 << 26)).alias("tcy"),
+        "n_sources", "n_filled",
+        _ck(F.col("raster")).alias("_c"),
+    ).select("tcx", "tcy", "n_sources", "n_filled", "_c.v_sum", "_c.vpos_sum")
+
+
+_MOSAIC_MERGE_ORACLE_SQL = """
+    WITH px AS (
+        SELECT gx.x AS x, gy.y AS y,
+               (3 * gx.x + 5 * gy.y) % 256 AS v1,
+               (gx.x + 7 * gy.y + 3) % 256 AS v2,
+               ((gx.x // 32) + (gy.y // 32)) % 2 = 0 AS has2
+        FROM generate_series(0, 127) gx(x), generate_series(0, 127) gy(y)
+    ), m AS (
+        SELECT x // 32 AS tcx, y // 32 AS tcy,
+               CASE WHEN has2 AND v2 != 0 THEN v2 ELSE v1 END AS v,
+               (y % 32) * 32 + (x % 32) + 1 AS pos,
+               CASE WHEN has2 THEN 2 ELSE 1 END AS ns
+        FROM px
+    )
+    SELECT CAST(tcx AS BIGINT) AS tcx, CAST(tcy AS BIGINT) AS tcy,
+           CAST(MAX(ns) AS BIGINT) AS n_sources,
+           CAST(SUM(CASE WHEN v != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(SUM(v) AS BIGINT) AS v_sum,
+           CAST(SUM(v * pos) AS BIGINT) AS vpos_sum
+    FROM m GROUP BY 1, 2
+"""
+
+
 def q_raster_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal2xyz.py (r05): export the diagonal-field mosaic as
     (gx, gy, v) point rows with -skipnodata (value 0 dropped AT THE
@@ -6006,6 +6077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_polys": q_contour_polys,
         "polygonize8": q_polygonize8,
         "raster_xyz": q_raster_xyz,
+        "mosaic_merge": q_mosaic_merge,
         "pansharpen": q_pansharpen,
         "retile": q_retile,
         "viewshed": q_viewshed,
@@ -6053,6 +6125,7 @@ def oracle_sql() -> dict[str, str]:
         "contour_polys": _CONTOUR_POLYS_ORACLE_SQL,
         "polygonize8": _POLYGONIZE8_ORACLE_SQL,
         "raster_xyz": _RASTER_XYZ_ORACLE_SQL,
+        "mosaic_merge": _MOSAIC_MERGE_ORACLE_SQL,
         "pansharpen": _PANSHARPEN_ORACLE_SQL,
         "retile": _RETILE_ORACLE_SQL,
         "viewshed": _VIEWSHED_ORACLE_SQL,

@@ -33,6 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..core import codecs
 from ..core.qcell import UNIT, Grid
@@ -153,3 +154,55 @@ def check_compatibility(sources: pd.DataFrame, eps: float = 1e-4) -> None:
             )
         if s["bands"] != ref["bands"]:
             raise ValueError(f"source {s['source_id']}: band count mismatch")
+
+
+MOSAIC_SCHEMA = "cell long, raster binary, n_filled long, n_sources long"
+
+
+def mosaic_lastwins(
+    tiles: DataFrame,
+    tile_px: int,
+    nodata: int = 0,
+    cell: str = "cell",
+    src: str = "src_id",
+    raster: str = "raster",
+) -> DataFrame:
+    """gdal_merge.py / gdalbuildvrt composition: sources paint in
+    ``src_id`` order and a LATER source overrides an earlier one
+    wherever its pixel is not ``nodata`` — no weighting, no feather
+    (that is ``blend_tiles``); pixels every source leaves at nodata
+    stay nodata. The order is keyed on data (src_id), so output is
+    partitioning-invariant — gdal_merge's command-line file order,
+    made explicit.
+
+    One shuffle (groupBy cell) + one Arrow kernel; per-cell work is
+    O(sources·t²) vectorized. Corrupt/NULL payloads poison the CELL
+    (raster NULL, n_filled -1) — a silently skipped source would
+    change the composite, so the row is flagged, never guessed."""
+    t = int(tile_px)
+    nd = int(nodata) & 0xFF
+
+    def _kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        kc = int(key[0])
+        img = np.full((t, t), nd, np.uint8)
+        order = np.argsort(pdf[src].to_numpy(), kind="stable")
+        for i in order:
+            raw = pdf[raster].iloc[i]
+            buf = b"" if raw is None else bytes(raw)
+            if len(buf) != t * t:
+                return pd.DataFrame(
+                    [(kc, None, -1, len(pdf))],
+                    columns=["cell", "raster", "n_filled", "n_sources"])
+            v = np.frombuffer(buf, np.uint8).reshape(t, t)
+            m = v != nd
+            img[m] = v[m]
+        return pd.DataFrame(
+            [(kc, img.tobytes(), int((img != nd).sum()), len(pdf))],
+            columns=["cell", "raster", "n_filled", "n_sources"])
+
+    return (
+        tiles.select(F.col(cell).alias("cell"), F.col(src).alias(src),
+                     F.col(raster).alias(raster))
+        .groupBy("cell")
+        .applyInPandas(_kernel, MOSAIC_SCHEMA)
+    )
