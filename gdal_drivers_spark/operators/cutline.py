@@ -99,7 +99,13 @@ def cutline_crop(
                 if len(buf) != t * t:
                     out.append((cell, None, -1, True))
                     continue
-                # whole-tile shortcut: corner membership + edge overlap
+                # whole-tile shortcut: corner membership + EXACT
+                # segment-rect intersection (an edge's bbox is a far
+                # too coarse gate for long diagonal edges — it would
+                # classify most interior tiles as boundary and destroy
+                # the O(perimeter) claim): an edge enters the tile rect
+                # iff its bbox overlaps AND the rect's four corners are
+                # not all strictly on one side of the edge's line
                 cx = np.array([x0 + 0.5, x0 + t - 0.5, x0 + 0.5, x0 + t - 0.5])
                 cy = np.array([y0 + 0.5, y0 + 0.5, y0 + t - 0.5, y0 + t - 0.5])
                 corners = points_in_polygon(cx, cy, ring_c)
@@ -107,9 +113,15 @@ def cutline_crop(
                 ex1 = np.maximum(edges[:, 0, 0], edges[:, 1, 0])
                 ey0 = np.minimum(edges[:, 0, 1], edges[:, 1, 1])
                 ey1 = np.maximum(edges[:, 0, 1], edges[:, 1, 1])
-                overlap = (
-                    (ex0 < x0 + t) & (ex1 > x0) & (ey0 < y0 + t) & (ey1 > y0)
-                ).any()
+                bbox_ov = (ex0 < x0 + t) & (ex1 > x0) & (ey0 < y0 + t) & (ey1 > y0)
+                rx = np.array([x0, x0 + t, x0, x0 + t], np.float64)
+                ry = np.array([y0, y0, y0 + t, y0 + t], np.float64)
+                dx = edges[:, 1, 0] - edges[:, 0, 0]
+                dy = edges[:, 1, 1] - edges[:, 0, 1]
+                cross = (dx[None, :] * (ry[:, None] - edges[None, :, 0, 1])
+                         - dy[None, :] * (rx[:, None] - edges[None, :, 0, 0]))
+                one_side = (cross > 0).all(axis=0) | (cross < 0).all(axis=0)
+                overlap = (bbox_ov & ~one_side).any()
                 if not overlap and corners.all():
                     out.append((cell, buf, t * t, False))
                     continue

@@ -83,3 +83,24 @@ def test_cutline_null_and_disjoint_corrupt_poison(spark):
     got = {r["cell"]: r for r in cutline_crop(df, ring, T).collect()}
     for c in (_cell(0, 0), _cell(3, 3)):
         assert got[c]["n_kept"] == -1 and got[c]["raster"] is None, c
+
+
+def test_cutline_boundary_fraction_falls_with_raster_size(spark):
+    # THE scale claim: per-pixel work is O(perimeter) of O(area) tiles.
+    # Same ring shape scaled with the world: boundary tiles grow ~4x
+    # between a 4x4 and a 16x16 grid while total tiles grow 16x, so
+    # the boundary FRACTION must fall by ~half or better.
+    fracs = {}
+    for grid in (4, 16):
+        w = T * grid
+        s = w / 64.0
+        ring = [[5 * s, 3 * s], [58 * s, 13 * s], [40 * s, 62 * s], [9 * s, 50 * s]]
+        rows = [((4 << 52) + (tx << 26) + ty, bytes(T * T))
+                for tx in range(grid) for ty in range(grid)]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["cell", "raster"]),
+            "cell long, raster binary")
+        out = cutline_crop(df, ring, T).collect()
+        nb = sum(bool(r["boundary"]) for r in out)
+        fracs[grid] = nb / len(out)
+    assert fracs[16] <= fracs[4] / 2, fracs
