@@ -5052,6 +5052,55 @@ _VIEWSHED_ORACLE_SQL = """
 """
 
 
+def q_ogr_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -t_srs (r05): Column-only point reprojection — supplier
+    lon/lat → UTM 33N via transform_points, then the COMPOSED hop
+    EPSG:32633 → EPSG:3857 (tm_inverse ∘ Mercator through the 4326
+    hub — the composition path get_transform builds, which no other
+    oracle query exercised). The oracle SQL is GENERATED from the same
+    formula source via the SQL_OPS backend, so both engines evaluate
+    the identical IEEE tree — bit-parity by construction."""
+    from gdal_drivers_spark.operators.spatial_join import transform_points
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("k"),
+        (F.lit(12.0) + ((F.col("s_suppkey") % 600).cast("double") * F.lit(0.01))).alias("x"),
+        (F.lit(-75.0) + ((F.col("s_suppkey") % 1500).cast("double") * F.lit(0.1))).alias("y"),
+    )
+    utm = transform_points(supp, "EPSG:4326", "EPSG:32633",
+                           out_x="utm_e", out_y="utm_n")
+    merc = transform_points(utm, "EPSG:32633", "EPSG:3857",
+                            x="utm_e", y="utm_n",
+                            out_x="merc_x", out_y="merc_y")
+    return merc.select("k", "utm_e", "utm_n", "merc_x", "merc_y")
+
+
+def _ogr_transform_oracle_sql() -> str:
+    import math
+
+    from gdal_drivers_spark.core.srs import (
+        R_MERC, _D2R, SQL_OPS, _SqlExpr, tm_forward, tm_inverse,
+    )
+
+    lon = _SqlExpr("(12.0 + (CAST((s_suppkey % 600) AS DOUBLE) * 0.01))")
+    lat = _SqlExpr("((- 75.0) + (CAST((s_suppkey % 1500) AS DOUBLE) * 0.1))")
+    e, n = tm_forward(lon, lat, 15.0, 0.0, SQL_OPS)
+    lon2, lat2 = tm_inverse(_SqlExpr("utm_e"), _SqlExpr("utm_n"), 15.0, 0.0, SQL_OPS)
+    # mirror _geo_to_merc's Column expressions exactly (same op order)
+    merc_x = f"({lon2.s} * {R_MERC * _D2R!r})"
+    merc_y = (f"({R_MERC!r} * ln(tan({math.pi / 4.0!r} "
+              f"+ ({lat2.s} * {_D2R / 2.0!r}))))")
+    return f"""
+        WITH utm AS (
+            SELECT s_suppkey AS k, {e.s} AS utm_e, {n.s} AS utm_n
+            FROM supplier
+        )
+        SELECT CAST(k AS BIGINT) AS k, utm_e, utm_n,
+               {merc_x} AS merc_x, {merc_y} AS merc_y
+        FROM utm
+    """
+
+
 def q_mosaic_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_merge.py (r05): last-wins nodata-skipping composition —
     source 1 covers the whole 4×4 grid (diagonal field, natural 0
@@ -6078,6 +6127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize8": q_polygonize8,
         "raster_xyz": q_raster_xyz,
         "mosaic_merge": q_mosaic_merge,
+        "ogr_transform": q_ogr_transform,
         "pansharpen": q_pansharpen,
         "retile": q_retile,
         "viewshed": q_viewshed,
@@ -6126,6 +6176,7 @@ def oracle_sql() -> dict[str, str]:
         "polygonize8": _POLYGONIZE8_ORACLE_SQL,
         "raster_xyz": _RASTER_XYZ_ORACLE_SQL,
         "mosaic_merge": _MOSAIC_MERGE_ORACLE_SQL,
+        "ogr_transform": _ogr_transform_oracle_sql(),
         "pansharpen": _PANSHARPEN_ORACLE_SQL,
         "retile": _RETILE_ORACLE_SQL,
         "viewshed": _VIEWSHED_ORACLE_SQL,

@@ -121,3 +121,27 @@ def pip_join(
         return pd.Series(out)
 
     return joined.filter(_inside(F.col(px), F.col(py), F.col("poly_id")))
+
+
+def transform_points(
+    df: DataFrame,
+    src_srs: str,
+    dst_srs: str,
+    x: str = "x",
+    y: str = "y",
+    out_x: str = "tx",
+    out_y: str = "ty",
+) -> DataFrame:
+    """ogr2ogr -t_srs for point columns: reproject (x, y) from
+    ``src_srs`` to ``dst_srs`` as PURE Column expressions — the same
+    3-backend formula source the warp family uses (core.srs), so the
+    transform runs inside whole-stage codegen with zero Python and
+    composes through EPSG:4326 for any registered pair (e.g.
+    EPSG:32633 → EPSG:3857, the UTM→WebMercator hop). Unknown SRS
+    raises at PLAN time (reference: GDAL raises for unknown SRS —
+    unsupported is an error, not a silent no-op)."""
+    from ..core.srs import as_plane, get_transform
+
+    tf = as_plane(get_transform(src_srs, dst_srs))
+    cx, cy = tf.col_xy(F.col(x), F.col(y))
+    return df.withColumn(out_x, cx).withColumn(out_y, cy)
