@@ -172,6 +172,9 @@ class ImageSet:
         operand names to ImageSets or DataFrames."""
         from .operators.calc import band_calc
 
+        if "A" in others:
+            raise ValueError(
+                "operand 'A' is this ImageSet — name the others B, C, …")
         frames = {"A": self.df}
         for k, v in others.items():
             frames[k] = v.df if isinstance(v, ImageSet) else v

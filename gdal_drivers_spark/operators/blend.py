@@ -185,6 +185,13 @@ def mosaic_lastwins(
     def _kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         kc = int(key[0])
         img = np.full((t, t), nd, np.uint8)
+        # duplicate or NULL src_id = undefined paint order (a NULL
+        # even sorts LAST via the long→float64 NaN hop and would
+        # silently win): flagged, never guessed
+        if pdf[src].isna().any() or pdf[src].duplicated().any():
+            return pd.DataFrame(
+                [(kc, None, -1, len(pdf))],
+                columns=["cell", "raster", "n_filled", "n_sources"])
         order = np.argsort(pdf[src].to_numpy(), kind="stable")
         for i in order:
             raw = pdf[raster].iloc[i]

@@ -159,8 +159,9 @@ def vectorize_tiles(tiles: DataFrame, depth: int, tile_px: int = 256) -> DataFra
 # gdal_rasterize — burn vector features into a tiled raster
 # ---------------------------------------------------------------------------
 
-BURN_SCHEMA = ("cell long, raster binary, mask binary, "
-               "n_burned long, n_features long")
+BURN_SCHEMA = "cell long, raster binary, n_burned long, n_features long"
+BURN_MASK_SCHEMA = ("cell long, raster binary, mask binary, "
+                    "n_burned long, n_features long")
 
 
 def burn_features(
@@ -172,6 +173,7 @@ def burn_features(
     ring: str = "ring",
     burn: str = "v",
     init: int = 0,
+    emit_mask: bool = False,
 ) -> DataFrame:
     """gdal_rasterize: paint polygon features into a raster — a pixel
     whose CENTER is inside a feature's ring takes that feature's burn
@@ -276,13 +278,19 @@ def burn_features(
             sl = np.s_[cy0:cy1, cx0:cx1]
             img[sl][inside] = v
             burned[sl] |= inside
+        if emit_mask:
+            return pd.DataFrame(
+                [(kc, img.tobytes(), burned.astype(np.uint8).tobytes(),
+                  int(burned.sum()), len(pdf))],
+                columns=["cell", "raster", "mask", "n_burned", "n_features"],
+            )
         return pd.DataFrame(
-            [(kc, img.tobytes(), burned.astype(np.uint8).tobytes(),
-              int(burned.sum()), len(pdf))],
-            columns=["cell", "raster", "mask", "n_burned", "n_features"],
+            [(kc, img.tobytes(), int(burned.sum()), len(pdf))],
+            columns=["cell", "raster", "n_burned", "n_features"],
         )
 
-    painted = f.groupBy("cell").applyInPandas(_kernel, BURN_SCHEMA)
+    painted = f.groupBy("cell").applyInPandas(
+        _kernel, BURN_MASK_SCHEMA if emit_mask else BURN_SCHEMA)
     spark = features.sparkSession
     universe = spark.range(gw * gh).select(
         (
@@ -291,14 +299,16 @@ def burn_features(
         ).alias("cell")
     )
     empty = bytes([nd]) * (t * t)
-    zeros = bytes(t * t)
-    return universe.join(painted, "cell", "left").select(
-        "cell",
+    cols = [
         F.coalesce("raster", F.lit(empty)).alias("raster"),
-        F.coalesce("mask", F.lit(zeros)).alias("mask"),
         F.coalesce("n_burned", F.lit(0)).alias("n_burned"),
         F.coalesce("n_features", F.lit(0)).alias("n_features"),
-    )
+    ]
+    if emit_mask:
+        # mask doubles the Arrow payload — only the burn_into merge
+        # needs it, plain gdal_rasterize callers skip the cost
+        cols.insert(1, F.coalesce("mask", F.lit(bytes(t * t))).alias("mask"))
+    return universe.join(painted, "cell", "left").select("cell", *cols)
 
 
 def burn_into(
@@ -318,15 +328,22 @@ def burn_into(
     else keeps the base pixel. Composition: ``burn_features`` (which
     emits the burn mask alongside the painted raster) outer-joined to
     the base mosaic, then one Arrow merge hop
-    ``out = where(mask, burned, base)``. Base tiles absent from the
-    universe keep the burn output (init background); corrupt/NULL base
-    payloads poison their row (ok=false)."""
+    ``out = where(mask, burned, base)``. Universe cells with no base
+    tile keep the burn output (init background); corrupt/NULL base
+    payloads poison their row (ok=false), and a base tile whose cell
+    falls OUTSIDE the declared (z, grid_wh) universe also poisons —
+    a silent drop would replace the whole mosaic when z is wrong."""
     t = int(tile_px)
     painted = burn_features(
-        features, t, z, grid_wh, fid=fid, ring=ring, burn=burn)
+        features, t, z, grid_wh, fid=fid, ring=ring, burn=burn,
+        emit_mask=True)
+    # FULL outer: a base tile whose cell is absent from the declared
+    # universe (wrong z / outside grid_wh) must surface as a poison
+    # row, not silently vanish from the composite (polygonize raises
+    # for the analogous mis-declared grid)
     joined = painted.join(
         base.select(F.col(cell).alias("cell"), F.col(tile_col).alias("_base")),
-        "cell", "left",
+        "cell", "full",
     )
 
     def _merge(batches):
@@ -334,9 +351,13 @@ def burn_into(
             out = []
             for i in range(len(pdf)):
                 c = int(pdf["cell"].iloc[i])
+                braw = pdf["_base"].iloc[i]
+                if pdf["raster"].iloc[i] is None:
+                    # base cell outside the burn universe: loud poison
+                    out.append((c, None, -1, -1, False))
+                    continue
                 nb = int(pdf["n_burned"].iloc[i])
                 nf = int(pdf["n_features"].iloc[i])
-                braw = pdf["_base"].iloc[i]
                 burned_b = bytes(pdf["raster"].iloc[i])
                 if braw is None:
                     out.append((c, burned_b, nb, nf, True))

@@ -144,4 +144,7 @@ def transform_points(
 
     tf = as_plane(get_transform(src_srs, dst_srs))
     cx, cy = tf.col_xy(F.col(x), F.col(y))
-    return df.withColumn(out_x, cx).withColumn(out_y, cy)
+    # one atomic withColumns: sequential withColumn would let an
+    # in-place out_x (== x or y) feed ALREADY-TRANSFORMED values into
+    # the second coordinate's expression
+    return df.withColumns({out_x: cx, out_y: cy})

@@ -143,3 +143,28 @@ def test_burn_into_composites_with_base(spark):
             else:
                 ref = exp[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
             assert (tile == ref).all() and row["ok"], (tx, ty)
+
+
+def test_burn_into_flags_base_outside_universe(spark):
+    from gdal_drivers_spark.operators.rasterize import burn_into
+
+    # base packed at z=2 against a z=4 universe: every base cell is
+    # outside the declared grid and must surface as poison, and the
+    # in-universe cells still compose (burn over init)
+    base = spark.createDataFrame(
+        pd.DataFrame([((2 << 52) + (0 << 26) + 0, bytes(T * T))],
+                     columns=["cell", "raster"]),
+        "cell long, raster binary")
+    got = burn_into(base, _features(spark, FEATS), T, Z,
+                    (GRID, GRID)).collect()
+    poison = [r for r in got if not r["ok"]]
+    assert len(poison) == 1 and poison[0]["cell"] == (2 << 52)
+    assert len(got) == GRID * GRID + 1
+
+
+def test_burn_features_mask_only_on_request(spark):
+    out = burn_features(_features(spark, FEATS), T, Z, (GRID, GRID))
+    assert "mask" not in out.columns
+    out2 = burn_features(_features(spark, FEATS), T, Z, (GRID, GRID),
+                         emit_mask=True)
+    assert "mask" in out2.columns

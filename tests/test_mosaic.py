@@ -42,3 +42,15 @@ def test_mosaic_poison_cell(spark):
     rows = [(C, 1, ok.tobytes()), (C, 2, b"short")]
     r = mosaic_lastwins(_df(spark, rows), T).collect()[0]
     assert r["raster"] is None and r["n_filled"] == -1 and r["n_sources"] == 2
+
+
+def test_mosaic_duplicate_or_null_src_poisons(spark):
+    a = np.full((T, T), 7, np.uint8)
+    dup = [(C, 1, a.tobytes()), (C, 1, a.tobytes())]
+    r = mosaic_lastwins(_df(spark, dup), T).collect()[0]
+    assert r["raster"] is None and r["n_filled"] == -1
+    nul = pd.DataFrame([(C, 1, a.tobytes()), (C, None, a.tobytes())],
+                       columns=["cell", "src_id", "raster"])
+    df = spark.createDataFrame(nul, "cell long, src_id long, raster binary")
+    r2 = mosaic_lastwins(df, T).collect()[0]
+    assert r2["raster"] is None and r2["n_filled"] == -1

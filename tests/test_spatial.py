@@ -31,3 +31,20 @@ def test_transform_points_matches_numpy_backend_and_composes(spark):
     assert "tx" in comp.columns  # composition through 4326 resolves
     with pytest.raises(ValueError):
         transform_points(df, "EPSG:4326", "EPSG:9999")
+
+
+def test_transform_points_in_place_output_names(spark):
+    # out_x == x must not feed transformed x into y's expression
+    from gdal_drivers_spark.core.srs import as_plane, get_transform
+    from gdal_drivers_spark.operators.spatial_join import transform_points
+
+    pdf = pd.DataFrame({"x": [12.5, 14.0], "y": [45.0, -30.0]})
+    df = spark.createDataFrame(pdf)
+    got = transform_points(df, "EPSG:4326", "EPSG:32633",
+                           out_x="x", out_y="y").collect()
+    tf = as_plane(get_transform("EPSG:4326", "EPSG:32633"))
+    ex, ey = tf.np_xy(pdf["x"].to_numpy(), pdf["y"].to_numpy())
+    from math import isclose
+    for i, r in enumerate(got):
+        assert isclose(r["x"], ex[i], rel_tol=1e-12)
+        assert isclose(r["y"], ey[i], rel_tol=1e-12)
