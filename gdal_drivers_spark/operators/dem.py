@@ -194,6 +194,35 @@ def _shade(p8: np.ndarray, q8: np.ndarray, azimuth_deg: float,
     return np.rint(np.clip(hs, 0.0, 255.0)).astype(np.uint8)
 
 
+_MULTI_AZ = (225.0, 270.0, 315.0, 360.0)
+
+
+def _shade_multi(p8: np.ndarray, q8: np.ndarray, altitude_deg: float,
+                 z_factor: float) -> np.ndarray:
+    """gdaldem hillshade -multidirectional (USGS Mark 1992): the four
+    hillshades from azimuths 225/270/315/360 combine with weights
+    w_k = sin²(aspect_math − az_math_k). For the 45°-spaced quartet
+    the weights sum IDENTICALLY to 2 (sin² telescopes), so the
+    combination is Σ w_k·hs_k / 2 with no flat-pixel special case —
+    a flat pixel's four shades are equal and any weights average to
+    the same value. Float shades are combined BEFORE the single u8
+    rounding (rounding four times then averaging would lose a bit)."""
+    zen = np.deg2rad(90.0 - altitude_deg)
+    p = z_factor * p8 / 8.0
+    q = z_factor * q8 / 8.0
+    slope = np.arctan(np.sqrt(p * p + q * q))
+    aspect = np.arctan2(q, -p)
+    acc = np.zeros_like(slope)
+    for az_deg in _MULTI_AZ:
+        az = np.deg2rad((360.0 - az_deg + 90.0) % 360.0)
+        w = np.sin(aspect - az) ** 2
+        acc += w * 255.0 * (
+            np.cos(zen) * np.cos(slope)
+            + np.sin(zen) * np.sin(slope) * np.cos(az - aspect)
+        )
+    return np.rint(np.clip(acc / 2.0, 0.0, 255.0)).astype(np.uint8)
+
+
 def hillshade(
     tiles: DataFrame,
     tile_px: int,
@@ -201,6 +230,7 @@ def hillshade(
     azimuth_deg: float = 315.0,
     altitude_deg: float = 45.0,
     z_factor: float = 1.0,
+    multidirectional: bool = False,
 ) -> DataFrame:
     """gdaldem-style hillshade over tiles (``_shade`` for the exact
     formula and azimuth convention). Output rows: (cell, tile,
@@ -221,7 +251,9 @@ def hillshade(
                  "n_bad": [n_bad]}
             )
         p8, q8 = _horn_pq8(P, t)
-        out = _shade(p8, q8, azimuth_deg, altitude_deg, z_factor)
+        out = (_shade_multi(p8, q8, altitude_deg, z_factor)
+               if multidirectional
+               else _shade(p8, q8, azimuth_deg, altitude_deg, z_factor))
         return pd.DataFrame(
             {
                 "cell": [int(key[0])],
@@ -236,7 +268,8 @@ def hillshade(
     )
 
 
-def hillshade_np(elev: np.ndarray, azimuth_deg=315.0, altitude_deg=45.0, z_factor=1.0) -> np.ndarray:
+def hillshade_np(elev: np.ndarray, azimuth_deg=315.0, altitude_deg=45.0,
+                 z_factor=1.0, multidirectional=False) -> np.ndarray:
     """Single-array reference: hillshade of a full (edge-replicated)
     raster — what the tiled operator must reproduce seam-exactly."""
     if elev.shape[0] != elev.shape[1]:
@@ -244,6 +277,8 @@ def hillshade_np(elev: np.ndarray, azimuth_deg=315.0, altitude_deg=45.0, z_facto
     t = elev.shape[0]
     P = np.pad(elev.astype(np.int64), 1, mode="edge")
     p8, q8 = _horn_pq8(P, t)
+    if multidirectional:
+        return _shade_multi(p8, q8, altitude_deg, z_factor)
     return _shade(p8, q8, azimuth_deg, altitude_deg, z_factor)
 
 

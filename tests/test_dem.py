@@ -314,3 +314,45 @@ def test_contour_census_matches_whole_raster(raster):
                 assert r["case_sum"] == int(blk.sum())
                 total_sq += blk.size
     assert total_sq == 3 * (n - 1) * (n - 1)  # disjoint cover, all levels
+
+
+def test_hillshade_multidirectional_tiled_equals_whole(spark):
+    from gdal_drivers_spark.operators.dem import hillshade, hillshade_np
+
+    rng = np.random.default_rng(59)
+    W, T = 64, 16
+    world = (np.cumsum(rng.integers(-3, 4, (W, W)), axis=1) % 200
+             ).astype(np.uint8)
+    rows = [
+        ((4 << 52) + (tx << 26) + ty,
+         world[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T].tobytes())
+        for tx in range(W // T) for ty in range(W // T)
+    ]
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cell", "tile"]))
+    got = {r["cell"]: r for r in
+           hillshade(tiles, T, multidirectional=True).collect()}
+    # stitch and compare byte-exactly to the whole-raster reference
+    exp = hillshade_np(world, multidirectional=True)
+    single = hillshade_np(world)
+    assert not np.array_equal(exp, single)  # mode genuinely differs
+    for tx in range(W // T):
+        for ty in range(W // T):
+            r = got[(4 << 52) + (tx << 26) + ty]
+            tile = np.frombuffer(bytes(r["tile"]), np.uint8).reshape(T, T)
+            assert (tile == exp[ty * T:(ty + 1) * T,
+                                tx * T:(tx + 1) * T]).all(), (tx, ty)
+    # Mark-1992 weighting: the four-azimuth blend softens the deepest
+    # single-azimuth shadows (no pixel darker than ALL four inputs)
+    mins = np.minimum.reduce([
+        hillshade_np(world, azimuth_deg=az) for az in (225, 270, 315, 360)])
+    assert (exp.astype(int) >= mins.astype(int) - 1).all()
+
+
+def test_multi_weights_sum_identity():
+    # sin²θ + sin²(θ−45°) + sin²(θ−90°) + sin²(θ−135°) ≡ 2
+    import math
+    for th in np.linspace(-np.pi, np.pi, 97):
+        tot = sum(math.sin(th - math.radians(a)) ** 2
+                  for a in (225, 270, 315, 360))
+        assert abs(tot - 2.0) < 1e-12
