@@ -684,6 +684,35 @@ def stress() -> dict:
     case("dedup_exact", 256, 1024, build_dedup, "survivor_rows",
          work_scale=1024 / 256)
 
+    # burn (gdal_rasterize, r05): feature fan-out through the JVM bbox
+    # explode + per-tile last-wins paint over a 32×32-tile universe.
+    # Output rows are the CONSTANT dense universe, so the gate rescales
+    # by the feature multiplier (work ∝ features, each a fixed ~10×10
+    # px quad). Catches a plan re-shape in the explode/groupBy/universe
+    # join AND a paint-kernel nonlinearity at 4× the features.
+    def build_burn(mult):
+        from gdal_drivers_spark.operators.rasterize import burn_features
+
+        sup = spark.read.parquet(f"{SF_DIR}/supplier.parquet").select(
+            F.col("s_suppkey").alias("k"))
+        rep = sup.repartition(CPUS * 2).withColumn(
+            "_r", F.explode(F.sequence(F.lit(1), F.lit(mult)))
+        ).select((F.col("k") * mult + F.col("_r")).alias("k"))
+        cx = ((F.col("k") * 37) % 1000).cast("double")
+        cy = ((F.col("k") * 91) % 1000).cast("double")
+        feats = rep.select(
+            F.col("k").alias("fid"),
+            F.array(
+                F.array(cx, cy), F.array(cx + 9, cy + 1),
+                F.array(cx + 8, cy + 10), F.array(cx + 1, cy + 9),
+            ).alias("ring"),
+            (F.col("k") % 255 + 1).alias("v"),
+        )
+        return burn_features(feats, 32, 8, (32, 32))
+
+    case("burn_rasterize", 64, 256, build_burn, "out_tiles",
+         work_scale=256 / 64)
+
     # skew: a zipf-hot key — HALF of all rows land in ONE cell — at the
     # mult-1024 decade's row count (VERDICT r04 #6: the three uniform
     # cases above never exercise the skew path). Algebraic groupBys are
