@@ -59,6 +59,17 @@ def _scatter(
             F.col(pid).alias("_pid"), F.col(px).alias("_px"),
             F.col(py).alias("_py"), F.col(val).alias("_v"),
         )
+        # envelope-intersects-grid gate (the viewshed.py:81 /
+        # rasterize.py:220 fix applied here — VERDICT r05 #1): without
+        # it a point beyond the grid margin makes the clamped
+        # sequence(lo, hi) DESCEND (Spark counts down when lo > hi),
+        # fanning one dirty point across an unbounded tile range. This
+        # filter is what makes the docstring's "out-of-grid keys
+        # dropped" true.
+        .filter(
+            (F.col("_px") + r >= 0) & (F.col("_px") - r <= gw * t - 1)
+            & (F.col("_py") + r >= 0) & (F.col("_py") - r <= gh * t - 1)
+        )
         .withColumn(
             "_tx",
             F.explode(F.sequence(

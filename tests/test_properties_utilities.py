@@ -10,6 +10,8 @@
 - viewshed ray rule: symmetry and dominant-axis exactness.
 """
 
+import ast
+
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -21,7 +23,7 @@ I8 = st.integers(0, 255)
 
 def _expr(depth):
     if depth == 0:
-        return st.sampled_from(["A", "B", str(np.random.randint(0, 9))])
+        return st.one_of(st.sampled_from(["A", "B"]), st.integers(0, 8).map(str))
     sub = st.deferred(lambda: _expr(depth - 1))
     return st.one_of(
         st.sampled_from(["A", "B"]),
@@ -45,7 +47,23 @@ def _expr(depth):
     )
 
 
-@settings(max_examples=150, deadline=None)
+class _CastCompares(ast.NodeTransformer):
+    """Mirror the compiler's PINNED rule (calc.py:14 / build() Compare
+    branch: every comparison evaluates to int64 0/1, wherever it sits
+    in the tree) in the raw-numpy reference: wrap each Compare node in
+    ``_i64(...)``. Without this the reference sees a bool array and
+    numpy refuses e.g. unary ``-`` on it (``-(A < B)``) — the r05
+    verdict's red-suite divergence; the contract is the compiler's
+    documented semantics, so the REFERENCE is what mirrors."""
+
+    def visit_Compare(self, node):
+        self.generic_visit(node)
+        return ast.Call(
+            func=ast.Name(id="_i64", ctx=ast.Load()), args=[node], keywords=[]
+        )
+
+
+@settings(max_examples=150, deadline=None, derandomize=True)
 @given(st.data())
 def test_calc_compiler_matches_numpy_eval(data):
     expr = data.draw(_expr(3))
@@ -53,10 +71,11 @@ def test_calc_compiler_matches_numpy_eval(data):
     b = np.array(data.draw(st.lists(I8, min_size=4, max_size=4)), np.int64)
     got = np.broadcast_to(compile_calc(expr, {"A", "B"})({"A": a, "B": b}), a.shape)
     ns = {"A": a, "B": b, "where": lambda c, x, y: np.where(np.asarray(c) != 0, x, y),
-          "minimum": np.minimum, "maximum": np.maximum, "abs": np.abs}
-    exp = np.asarray(eval(expr, {"__builtins__": {}}, ns))  # noqa: S307 — test-only reference
-    if exp.dtype == bool:
-        exp = exp.astype(np.int64)
+          "minimum": np.minimum, "maximum": np.maximum, "abs": np.abs,
+          "_i64": lambda x: np.asarray(x).astype(np.int64)}
+    ref_src = ast.unparse(ast.fix_missing_locations(
+        _CastCompares().visit(ast.parse(expr, mode="eval"))))
+    exp = np.asarray(eval(ref_src, {"__builtins__": {}}, ns))  # noqa: S307 — test-only reference
     assert (got == np.broadcast_to(exp, a.shape)).all(), expr
 
 
