@@ -25,6 +25,9 @@ Two paths, both standard at scale:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -132,6 +135,72 @@ def lsh_bucket(vec: str, dim: int, n_planes: int = 8, table: int = 0):
     return bucket.cast("long")
 
 
+def _plane_sign_weights(plane: int, dim: int) -> list[int]:
+    """The ±1 weight vector of one pseudo-hyperplane — the
+    ``_plane_sign`` hash evaluated at plan-build time (Python ints are
+    arbitrary-precision, so this is exactly the long-arithmetic result
+    of the runtime formula). Used by the vectorized bucket kernel."""
+    return [
+        1 if ((j + 1) * 69 + plane * 131) * 48271 % 65536 < 32768 else -1
+        for j in range(dim)
+    ]
+
+
+def _lsh_buckets_udf(dim: int, n_planes: int, n_tables: int):
+    """Vectorized all-tables bucket kernel (r06, guide §4.2): ONE Arrow
+    hop computes every table's bucket for a batch of already-QUANTIZED
+    vectors as an exact int64 matmul against the literal ±1 sign matrix
+    — replacing n_tables × n_planes interpreted higher-order folds per
+    row (the folds were ~0.4 ms/row/table at dim 64; the matmul is
+    ~0.1 µs). Values are bit-identical to ``lsh_bucket``: same signs
+    (``_plane_sign_weights`` IS the ``_plane_sign`` hash), same
+    ``s > 0`` bit rule, same bit packing.
+
+    Poison semantics mirror the fold exactly: a NULL vector, a vector
+    SHORTER than ``dim`` or one containing NULL elements yields a NULL
+    plane sum in the fold, and ``when(s > 0).otherwise(0)`` sends every
+    bit to 0 — so those rows get bucket 0 in every table. A vector
+    LONGER than ``dim`` contributes its tail NEGATED (``zip_with`` pads
+    the shorter sequence side with null j, and the ``when``'s otherwise
+    branch is ``-v``) — reproduced by the tail subtraction below."""
+    W = np.array(
+        [_plane_sign_weights(p, dim) for p in range(n_tables * n_planes)],
+        dtype=np.int64,
+    )
+    pow_bits = (1 << (n_planes - 1 - np.arange(n_planes))).astype(np.int64)
+
+    def _row(v):
+        if v is None:
+            return [0] * n_tables
+        try:
+            a = np.asarray(v, dtype=np.int64)
+        except (TypeError, ValueError):
+            return [0] * n_tables  # NULL element → NULL fold → all-0 bits
+        if a.ndim != 1 or len(a) < dim:
+            return [0] * n_tables
+        s = W @ a[:dim]
+        if len(a) > dim:
+            s = s - int(a[dim:].sum())
+        bits = (s > 0).astype(np.int64).reshape(n_tables, n_planes)
+        return [int(b) for b in bits @ pow_bits]
+
+    @F.pandas_udf("array<long>")
+    def _buckets(qs: pd.Series) -> pd.Series:
+        try:
+            Q = np.stack([np.asarray(v, dtype=np.int64) for v in qs])
+            ok = Q.ndim == 2 and Q.shape[1] == dim
+        except (TypeError, ValueError):
+            ok = False
+        if not ok:
+            return pd.Series([_row(v) for v in qs])
+        S = Q @ W.T
+        bits = (S > 0).astype(np.int64)
+        B = bits.reshape(len(Q), n_tables, n_planes) @ pow_bits
+        return pd.Series(list(B))
+
+    return _buckets
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -170,22 +239,26 @@ def lsh_topk(
       probe the n_planes buckets one sign-flip away) — cheaper than
       more tables (no corpus blow-up), weaker per unit of extra
       candidates."""
-    tables = list(range(max(1, n_tables)))
+    n_tables = max(1, n_tables)
+    buckets_udf = _lsh_buckets_udf(dim, n_planes, n_tables)
 
     def side(df, id_col, vec_col, alias_id, alias_vec):
-        parts = [
-            df.select(
-                F.col(id_col).alias(alias_id),
-                quantize(F.col(vec_col)).alias(alias_vec),
-                F.lit(t).alias("_t"),
-                lsh_bucket(vec_col, dim, n_planes, table=t).alias("_b"),
-            )
-            for t in tables
-        ]
-        out = parts[0]
-        for p_df in parts[1:]:
-            out = out.unionByName(p_df)
-        return out
+        # r06 (guide §4.2, §2.3): ONE scan + one Arrow hop computing
+        # every table's bucket (exact int64 matmul, bit-identical to
+        # lsh_bucket — see _lsh_buckets_udf) + a JVM posexplode,
+        # replacing the L-way union that re-scanned the input and
+        # re-ran L×n_planes interpreted folds per row. _t is the array
+        # position — exactly the old union's lit(t).
+        base = df.select(
+            F.col(id_col).alias(alias_id),
+            quantize(F.col(vec_col)).alias(alias_vec),
+        ).select(
+            alias_id, alias_vec,
+            buckets_udf(F.col(alias_vec)).alias("_bs"),
+        )
+        return base.select(
+            alias_id, alias_vec, F.posexplode("_bs").alias("_t", "_b")
+        )
 
     q = side(queries, qid, qvec, "_qid", "_qv")
     if probe_bits >= 1:
@@ -204,15 +277,51 @@ def lsh_topk(
             ).alias("_b"),
         )
     c = side(corpus, cid, cvec, "_cid", "_cv")
-    q_side = F.broadcast(q) if broadcast_queries else q
-    scored = c.join(q_side, ["_t", "_b"]).select(
-        "_qid", "_cid", dot_int(F.col("_qv"), F.col("_cv")).alias("dot_q")
-    )
-    if exclude_self:
-        scored = scored.filter(F.col("_qid") != F.col("_cid"))
-    # a pair found in several tables scores identically each time —
-    # collapse before ranking so row_number sees one row per candidate
-    scored = scored.groupBy("_qid", "_cid").agg(F.max("dot_q").alias("dot_q"))
+    if broadcast_queries:
+        # serving shape: queries broadcast, the corpus is scored in its
+        # own map stage and never shuffles before the per-pair rollup
+        scored = c.join(F.broadcast(q), ["_t", "_b"]).select(
+            "_qid", "_cid", dot_int(F.col("_qv"), F.col("_cv")).alias("dot_q")
+        )
+        if exclude_self:
+            scored = scored.filter(F.col("_qid") != F.col("_cid"))
+        # a pair found in several tables scores identically each time —
+        # collapse before ranking so row_number sees one row per candidate
+        scored = scored.groupBy("_qid", "_cid").agg(F.max("dot_q").alias("dot_q"))
+    else:
+        # self-join / bulk shape (r06, guide §8 "decide with small
+        # rows, move payloads once"): the (table, bucket) equi-join
+        # carries ONLY ids — a hot bucket's |q_b|·|c_b| pair blow-up is
+        # 16-byte rows, not vector payloads — then pairs are DEDUPED
+        # across tables (distinct on skinny keys, map-side partial agg)
+        # BEFORE any dim-length arithmetic, and vectors are attached
+        # once per distinct pair. At r05 the old shape scored every
+        # occurrence first: 3.1 M interpreted dots on the bench corpus
+        # for 1.96 M distinct pairs, with both vector payloads riding
+        # the bucket join. No broadcast hint anywhere — Catalyst/AQE
+        # plan shuffle joins on the equi-keys (the knn_graph
+        # no-broadcast contract).
+        cand = (
+            c.select("_cid", "_t", "_b")
+            .join(q.select("_qid", "_t", "_b"), ["_t", "_b"])
+            .select("_qid", "_cid")
+        )
+        if exclude_self:
+            cand = cand.filter(F.col("_qid") != F.col("_cid"))
+        cand = cand.distinct()
+        qv_frame = queries.select(
+            F.col(qid).alias("_qid"), quantize(F.col(qvec)).alias("_qv")
+        )
+        cv_frame = corpus.select(
+            F.col(cid).alias("_cid"), quantize(F.col(cvec)).alias("_cv")
+        )
+        scored = (
+            cand.join(qv_frame, "_qid")
+            .join(cv_frame, "_cid")
+            .select(
+                "_qid", "_cid", dot_int(F.col("_qv"), F.col("_cv")).alias("dot_q")
+            )
+        )
     w = Window.partitionBy("_qid").orderBy(F.desc("dot_q"), F.col("_cid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
