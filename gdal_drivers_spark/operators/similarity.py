@@ -135,6 +135,34 @@ def lsh_bucket(vec: str, dim: int, n_planes: int = 8, table: int = 0):
     return bucket.cast("long")
 
 
+def _as_int64_vec(v):
+    """Arrow/pandas array cell → exact int64 ndarray, or None for a
+    malformed cell. Arrow hands an int64 array WITH nulls to pandas as
+    float64 with NaN (or object with None) — and ``astype(int64)`` on
+    NaN silently wraps to INT_MIN garbage instead of raising, so the
+    vectorized kernels must screen NaN/None explicitly to reproduce
+    the JVM folds' NULL semantics (r06)."""
+    if v is None:
+        return None
+    a = np.asarray(v)
+    if a.ndim != 1:
+        return None
+    if a.dtype == object:
+        if any(x is None for x in a):
+            return None
+        try:
+            return a.astype(np.int64)
+        except (TypeError, ValueError):
+            return None
+    if np.issubdtype(a.dtype, np.floating):
+        if np.isnan(a).any():
+            return None
+        return a.astype(np.int64)
+    if np.issubdtype(a.dtype, np.integer):
+        return a.astype(np.int64)
+    return None
+
+
 def _plane_sign_weights(plane: int, dim: int) -> list[int]:
     """The ±1 weight vector of one pseudo-hyperplane — the
     ``_plane_sign`` hash evaluated at plan-build time (Python ints are
@@ -169,15 +197,9 @@ def _lsh_buckets_udf(dim: int, n_planes: int, n_tables: int):
     )
     pow_bits = (1 << (n_planes - 1 - np.arange(n_planes))).astype(np.int64)
 
-    def _row(v):
-        if v is None:
-            return [0] * n_tables
-        try:
-            a = np.asarray(v, dtype=np.int64)
-        except (TypeError, ValueError):
-            return [0] * n_tables  # NULL element → NULL fold → all-0 bits
-        if a.ndim != 1 or len(a) < dim:
-            return [0] * n_tables
+    def _row(a):
+        if a is None or len(a) < dim:
+            return [0] * n_tables  # NULL fold → all-0 bits
         s = W @ a[:dim]
         if len(a) > dim:
             s = s - int(a[dim:].sum())
@@ -186,17 +208,14 @@ def _lsh_buckets_udf(dim: int, n_planes: int, n_tables: int):
 
     @F.pandas_udf("array<long>")
     def _buckets(qs: pd.Series) -> pd.Series:
-        try:
-            Q = np.stack([np.asarray(v, dtype=np.int64) for v in qs])
-            ok = Q.ndim == 2 and Q.shape[1] == dim
-        except (TypeError, ValueError):
-            ok = False
-        if not ok:
-            return pd.Series([_row(v) for v in qs])
-        S = Q @ W.T
-        bits = (S > 0).astype(np.int64)
-        B = bits.reshape(len(Q), n_tables, n_planes) @ pow_bits
-        return pd.Series(list(B))
+        arrs = [_as_int64_vec(v) for v in qs]
+        if all(a is not None and len(a) == dim for a in arrs):
+            Q = np.stack(arrs) if arrs else np.empty((0, dim), np.int64)
+            S = Q @ W.T
+            bits = (S > 0).astype(np.int64)
+            B = bits.reshape(len(Q), n_tables, n_planes) @ pow_bits
+            return pd.Series(list(B))
+        return pd.Series([_row(a) for a in arrs])
 
     return _buckets
 
@@ -436,21 +455,79 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF coarse quantization: assign every corpus vector to its
     nearest centroid list by max quantized dot (ties → smaller centroid
-    id). Centroids are the broadcast side; the argmax is a map-side
-    ``max_by`` partial aggregation, so the shuffle carries one row per
-    corpus vector, never the |corpus|×|centroids| scored product.
-    ``centroids`` columns: (list_id, center:array<float>)."""
+    id). ``centroids`` columns: (list_id, center:array<float>).
+
+    r06 plan shape (guide §2.4 / §4.2): a ZERO-SHUFFLE narrow map. The
+    quantized centroid table (n_lists × dim ints — exactly the payload
+    the old plan broadcast) is collected once at plan-build time and
+    shipped in the task closure; one Arrow hop computes every vector's
+    argmax as an exact int64 matmul. The previous shape exploded
+    |corpus| × |centroids| scored rows through an interpreted fold and
+    re-collapsed them with a ``max_by`` groupBy — a whole aggregation
+    exchange that existed only to undo the explode.
+
+    Semantics are pinned by test_ivf_assign_edge_semantics and
+    bit-equal to the old plan: exact integer dots, ties → smaller
+    list_id; a malformed vector (NULL, wrong length, NULL element —
+    every dot NULL) gets the SMALLEST list_id (the old all-NULL
+    ``max_by`` tie-break); a malformed centroid never wins; empty
+    centroids → empty output (the old inner join)."""
     c = corpus.select(F.col(cid).alias("_cid"), quantize(F.col(cvec)).alias("_cv"))
-    cents = centroids.select(
+    cent_rows = centroids.select(
         F.col(list_col).alias("_lid"), quantize(F.col("center")).alias("_ctv")
+    ).collect()  # bounded: n_lists × dim — the old broadcast payload
+    list_type = dict(centroids.dtypes).get(list_col, "bigint")
+    if not cent_rows:
+        return c.select(
+            F.col("_cid").alias(cid),
+            F.lit(None).cast(list_type).alias(list_col),
+            "_cv",
+        ).filter(F.lit(False))
+
+    # centroids grouped by length; only a centroid of the vector's own
+    # length (and with no NULL components) yields a non-NULL dot
+    min_lid = min(int(r["_lid"]) for r in cent_rows)
+    groups: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    by_len: dict[int, list] = {}
+    for r in sorted(cent_rows, key=lambda r: int(r["_lid"])):
+        v = r["_ctv"]
+        if v is None or any(x is None for x in v):
+            continue
+        by_len.setdefault(len(v), []).append((int(r["_lid"]), v))
+    for ln, rows in by_len.items():
+        groups[ln] = (
+            np.array([lid for lid, _ in rows], dtype=np.int64),
+            np.array([list(v) for _, v in rows], dtype=np.int64),
+        )
+    uniq = list(groups.items())
+    fast_dim, (fast_lids, fast_m) = (
+        uniq[0] if len(uniq) == 1 else (None, (None, None))
     )
-    scored = c.join(F.broadcast(cents), F.lit(True)).select(
-        "_cid", "_cv", "_lid", dot_int(F.col("_cv"), F.col("_ctv")).alias("_d")
+
+    def _row(a):
+        if a is None:
+            return min_lid  # every dot NULL → all-NULL tie-break
+        grp = groups.get(len(a))
+        if grp is None:
+            return min_lid
+        lids, M = grp
+        d = M @ a
+        return int(lids[int(np.argmax(d))])  # lids ascending → first max
+
+    @F.pandas_udf(list_type)
+    def _assign(vs: pd.Series) -> pd.Series:
+        arrs = [_as_int64_vec(v) for v in vs]
+        if fast_dim is not None and all(
+            a is not None and len(a) == fast_dim for a in arrs
+        ):
+            X = np.stack(arrs) if arrs else np.empty((0, fast_dim), np.int64)
+            D = X @ fast_m.T
+            return pd.Series(fast_lids[np.argmax(D, axis=1)])
+        return pd.Series([_row(a) for a in arrs], dtype=np.int64)
+
+    return c.select(
+        F.col("_cid").alias(cid), _assign(F.col("_cv")).alias(list_col), "_cv"
     )
-    return scored.groupBy("_cid").agg(
-        F.max_by("_lid", F.struct(F.col("_d"), -F.col("_lid"))).alias(list_col),
-        F.first("_cv").alias("_cv"),
-    ).select(F.col("_cid").alias(cid), list_col, "_cv")
 
 
 _UNSET = object()  # "no cached residual flag" sentinel (None is a valid flag)
@@ -818,37 +895,64 @@ def _pq_codebook_col(codewords: list[list[int]]):
     )
 
 
-def _pq_codes_expr(cv, codewords: list[list[int]], m: int):
-    """array<int> of m sub-codes from an already-QUANTIZED vector
-    Column: per subspace, lexicographic ``array_min`` over
-    struct<dist², code> — pure higher-order Column arithmetic."""
+def _pq_codes_udf(codewords: list[list[int]], m: int):
+    """Vectorized PQ sub-code kernel (r06, guide §4.2): array<int> of m
+    sub-codes from an already-QUANTIZED (or residual) array<long>
+    Column. Per subspace j the code is the codeword with the minimum
+    EXACT integer squared L2 distance on components [j·d, (j+1)·d),
+    ties → smaller code id — the same rule the old per-row
+    ``array_min``-over-struct expression evaluated, but as one int64
+    numpy pass per Arrow batch instead of m·ncodes interpreted
+    slice/fold allocations per row (~2 ms/row at m=8, ncodes=16 — the
+    dominant cost of ann_ivfpq's encode at r05). ``np.argmin`` returns
+    the FIRST minimum, which is exactly the ties→smaller-code rule.
+
+    Poison semantics match the old expression: a subspace whose slice
+    is incomplete (vector NULL, shorter than (j+1)·d, or with a NULL
+    component in the slice) had NULL dists for every codeword, and the
+    lexicographic ``array_min`` over struct<dist, code> then picked
+    code 0 (NULL dist sorts first, ties → smallest code) — here those
+    subspaces emit code 0 directly."""
     dim = len(codewords[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d = dim // m
-    cb = _pq_codebook_col(codewords)
-    ncodes = len(codewords)
+    cb = np.array([[int(v) for v in cw] for cw in codewords], dtype=np.int64)
 
-    def best_code(j):
-        return F.array_min(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(ncodes - 1)),
-                lambda c: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.slice(cv, j * d + 1, d),
-                            F.slice(F.element_at(cb, c + 1), j * d + 1, d),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, v: acc + v,
-                    ).alias("dist"),
-                    c.cast("int").alias("code"),
-                ),
-            )
-        ).getField("code")
+    def _row(v):
+        # per-subspace: an incomplete/NULL-bearing slice had NULL dists
+        # for every codeword → the old array_min picked code 0
+        if v is None:
+            return [0] * m
+        vals = list(v)
+        codes = []
+        for j in range(m):
+            sl = vals[j * d:(j + 1) * d]
+            a = None
+            if len(sl) == d:
+                a = _as_int64_vec(sl)
+            if a is None:
+                codes.append(0)
+                continue
+            dist = ((a[None, :] - cb[:, j * d:(j + 1) * d]) ** 2).sum(axis=1)
+            codes.append(int(np.argmin(dist)))
+        return codes
 
-    return F.array(*[best_code(j) for j in range(m)])
+    @F.pandas_udf("array<int>")
+    def _codes(vs: pd.Series) -> pd.Series:
+        arrs = [_as_int64_vec(v) for v in vs]
+        if all(a is not None and len(a) >= dim for a in arrs):
+            X = np.stack([a[:dim] for a in arrs]) if arrs else np.empty(
+                (0, dim), np.int64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                sl = slice(j * d, (j + 1) * d)
+                D = ((X[:, None, sl] - cb[None, :, sl]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(D, axis=1)
+            return pd.Series(list(codes))
+        return pd.Series([_row(v) for v in vs])
+
+    return _codes
 
 
 def _pq_tables_expr(qv, codewords: list[list[int]], m: int):
@@ -901,12 +1005,14 @@ def pq_encode(
     the minimum exact-integer squared L2 distance on that slice (ties →
     smaller code id). Output: (cid, codes: array<int> length m).
 
-    Plan shape: a NARROW map — the codebook is a literal, the argmin is
-    an ``array_min`` over structs inside higher-order functions, so
+    Plan shape: a NARROW map — the codebook ships in the task closure
+    and the argmin is one vectorized Arrow hop (``_pq_codes_udf``), so
     encoding 10^12 vectors is zero-shuffle (the compression step never
     moves data)."""
-    codes = _pq_codes_expr(quantize(F.col(cvec)), codewords, m)
-    return corpus.select(F.col(cid).alias(cid), codes.alias("codes"))
+    codes_udf = _pq_codes_udf(codewords, m)
+    return corpus.select(
+        F.col(cid).alias(cid), quantize(F.col(cvec)).alias("_q")
+    ).select(F.col(cid), codes_udf(F.col("_q")).alias("codes"))
 
 
 def pq_topk(
@@ -966,6 +1072,7 @@ def ivfpq_encode(
     beyond the assignment's one row per vector. ``codewords`` must
     then quantize residuals (``ivfpq_codewords_from_sample``)."""
     assigned = ivf_assign(corpus, centroids, cid=cid, cvec=cvec)
+    codes_udf = _pq_codes_udf(codewords, m)
     # the `_residual` literal rides along (constant-folded, RLE'd on
     # disk) so a PERSISTED index remembers which scoring decomposition
     # its codes expect — ivfpq_topk(encoded=...) refuses a mismatch
@@ -973,7 +1080,7 @@ def ivfpq_encode(
     if not residual:
         return assigned.select(
             F.col(cid), "list_id",
-            _pq_codes_expr(F.col("_cv"), codewords, m).alias("codes"),
+            codes_udf(F.col("_cv")).alias("codes"),
             F.lit(False).alias("_residual"),
         )
     cents = centroids.select(
@@ -983,10 +1090,11 @@ def ivfpq_encode(
         assigned.join(F.broadcast(cents), "list_id")
         .select(
             F.col(cid), "list_id",
-            _pq_codes_expr(
-                F.zip_with(F.col("_cv"), F.col("_ctv"), lambda a, b: a - b),
-                codewords, m,
-            ).alias("codes"),
+            F.zip_with(F.col("_cv"), F.col("_ctv"), lambda a, b: a - b).alias("_r"),
+        )
+        .select(
+            F.col(cid), "list_id",
+            codes_udf(F.col("_r")).alias("codes"),
             F.lit(True).alias("_residual"),
         )
     )
@@ -1178,7 +1286,7 @@ def pq_train(
     """Lloyd-refined PQ codebooks (per-subspace k-means, the training
     half of Jégou et al. 2011): start from the deterministic spread
     sample, then per round (a) re-encode every vector (narrow, the
-    zero-shuffle ``_pq_codes_expr``), (b) recompute each codeword
+    zero-shuffle ``_pq_codes_udf`` Arrow kernel), (b) recompute each codeword
     component as the rounded mean of its members — ONE distributed
     groupBy of (subspace, code, component) partial sums; only the
     m·ncodes·d fold (the codebook itself) reaches the driver, same
@@ -1200,8 +1308,10 @@ def pq_train(
     d = dim // m
     qv = quantize(F.col(cvec))
     for _ in range(max(0, iters)):
-        codes = _pq_codes_expr(qv, cw, m)
-        exploded = corpus.select(qv.alias("_q"), F.posexplode(codes).alias("sub", "code"))
+        codes_udf = _pq_codes_udf(cw, m)
+        exploded = corpus.select(qv.alias("_q")).select(
+            "_q", F.posexplode(codes_udf(F.col("_q"))).alias("sub", "code")
+        )
         comp = exploded.select(
             "sub", "code",
             F.posexplode(F.slice(F.col("_q"), F.col("sub") * d + 1, d)).alias("pos", "val"),

@@ -1204,3 +1204,61 @@ def test_read_ivf_index_by_path_catalog_free(spark, tmp_path):
         read_ivf_index(spark)
     with pytest.raises(ValueError, match="exactly one"):
         read_ivf_index(spark, "t_bypath", path=p)
+
+
+def test_ivf_assign_edge_semantics(spark):
+    """r06: ivf_assign's vectorized argmax kernel must keep the old
+    broadcast-join/max_by plan's semantics bit-for-bit: exact integer
+    dots, ties -> smaller list_id; a malformed vector (NULL, wrong
+    length, NULL element -- every dot NULL) gets the SMALLEST list_id
+    (the old all-NULL struct tie-break); empty centroids -> empty
+    output (the old inner join)."""
+    from gdal_drivers_spark.operators.similarity import ivf_assign
+
+    cents = spark.createDataFrame(
+        pd.DataFrame({"list_id": [3, 5], "center": [[1.0, 0.0], [0.0, 1.0]]})
+    )
+    corpus = spark.createDataFrame(
+        [(1, [2.0, 1.0]),        # clear winner -> list 3
+         (2, [0.5]),             # short -> all dots NULL -> min lid
+         (3, None),              # NULL vector -> min lid
+         (4, [1.0, None]),       # NULL element -> min lid
+         (5, [1.0, 2.0, 9.9]),   # too long -> min lid
+         (6, [1.0, 1.0]),        # exact dot tie -> smaller lid
+         (7, [0.0, 2.0])],       # clear winner -> list 5
+        "cid long, cvec array<double>",
+    )
+    got = {r["cid"]: r["list_id"] for r in ivf_assign(corpus, cents).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 3, 6: 3, 7: 5}
+    assert ivf_assign(corpus, cents.filter(F.lit(False))).count() == 0
+
+
+def test_lsh_bucket_kernel_parity_poison(spark):
+    """r06: the vectorized all-tables bucket kernel must equal
+    lsh_bucket (the documented fold) on normal AND malformed vectors:
+    short / NULL / NULL-element vectors fold to bucket 0 in every
+    table; a vector LONGER than dim contributes its tail negated."""
+    from gdal_drivers_spark.operators.similarity import (
+        _lsh_buckets_udf, lsh_bucket, quantize,
+    )
+
+    rows = [
+        (1, [float((i * 37) % 11) - 5.0 for i in range(64)]),
+        (2, [0.1] * 32),            # short
+        (3, None),                  # NULL vector
+        (4, [0.2] * 80),            # longer: tail negated by the fold
+        (5, [1.0] * 63 + [None]),   # NULL element
+    ]
+    df = spark.createDataFrame(rows, "cid long, cvec array<double>")
+    udf = _lsh_buckets_udf(64, 8, 4)
+    got = {
+        (r["cid"], r["_t"]): r["_b"]
+        for r in df.select(
+            "cid", F.posexplode(udf(quantize(F.col("cvec")))).alias("_t", "_b")
+        ).collect()
+    }
+    exp_rows = df.select(
+        "cid", *[lsh_bucket("cvec", 64, 8, table=t).alias(f"b{t}") for t in range(4)]
+    ).collect()
+    exp = {(r["cid"], t): r[f"b{t}"] for r in exp_rows for t in range(4)}
+    assert got == exp
