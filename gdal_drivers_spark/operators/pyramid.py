@@ -45,10 +45,17 @@ def rollup_tiles_one_level(tiles: DataFrame, agg: str = "mean") -> DataFrame:
     Each parent group holds ≤4 child tiles; each child is downsampled
     2×2 and placed into its quadrant (missing children stay 0 — the
     nodata-black convention of the mask driver).
-    """
 
-    def _roll(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pcell, band = int(key[0]), int(key[1])
+    Plan shape (r06): one hash repartition on the parent key — the
+    same exchange the old ``groupBy`` paid — then ONE ``mapInPandas``
+    over each partition with a pandas groupby loop inside. The old
+    ``applyInPandas`` form paid ~1.2 ms of per-GROUP Arrow/pandas
+    machinery (measured r06: a trivial group fn cost 1.65 s on the
+    1024-group bench level vs 0.45 s for the bare shuffle); driving
+    the same per-group body from one in-partition groupby cuts that
+    to ~0.1 ms/group. Per-group math and output rows are unchanged."""
+
+    def _roll_group(pcell, band, pdf: pd.DataFrame):
         ts = int(pdf["ts"].iloc[0])
         out = np.zeros((ts, ts), np.float64)
         half = ts // 2
@@ -83,19 +90,30 @@ def rollup_tiles_one_level(tiles: DataFrame, agg: str = "mean") -> DataFrame:
             cy = r.cell & ((1 << 26) - 1)
             qx, qy = cx & 1, cy & 1
             out[qy * half : (qy + 1) * half, qx * half : (qx + 1) * half] = small
-        return pd.DataFrame(
-            {
-                "cell": [pcell],
-                "band": [band],
-                "tile": [np.rint(out).clip(0, 255).astype(np.uint8).tobytes()],
-                "ts": [ts],
-            }
+        return (
+            pcell,
+            band,
+            np.rint(out).clip(0, 255).astype(np.uint8).tobytes(),
+            ts,
         )
+
+    def _roll_part(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        rows = [
+            _roll_group(int(pcell), int(band), g)
+            for (pcell, band), g in pdf.groupby(
+                ["_p", "band"], sort=False, dropna=False
+            )
+        ]
+        yield pd.DataFrame(rows, columns=["cell", "band", "tile", "ts"])
 
     return (
         tiles.withColumn("_p", parent_cell_col())
-        .groupBy("_p", "band")
-        .applyInPandas(_roll, PYRAMID_SCHEMA)
+        .repartition("_p", "band")
+        .mapInPandas(_roll_part, PYRAMID_SCHEMA)
     )
 
 
