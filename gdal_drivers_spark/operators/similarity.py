@@ -234,9 +234,18 @@ def lsh_topk(
     n_tables: int = 4,
     broadcast_queries: bool = True,
     exclude_self: bool = False,
+    self_join: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket candidates. Recall is
     a test property (vs brute_topk), not a parity contract.
+
+    ``self_join=True`` declares that ``queries`` IS ``corpus`` (the
+    kNN-graph case): the quantized+bucketed base is then built ONCE and
+    materialized (``localCheckpoint`` — the LSH index you would persist
+    anyway at 10⁹ vectors), and both join sides and both score-time
+    vector frames derive from it. Without it the planner computes the
+    bucket kernel once per side and re-quantizes per attach frame —
+    four scans of the same input (r06).
 
     ``broadcast_queries`` (r04, VERDICT #3): the default broadcasts the
     (small) query side — right for query serving, fatal when
@@ -279,7 +288,23 @@ def lsh_topk(
             alias_id, alias_vec, F.posexplode("_bs").alias("_t", "_b")
         )
 
-    q = side(queries, qid, qvec, "_qid", "_qv")
+    qv_frame = cv_frame = None
+    if self_join:
+        base = corpus.select(
+            F.col(cid).alias("_cid"), quantize(F.col(cvec)).alias("_cv")
+        ).select(
+            "_cid", "_cv", buckets_udf(F.col("_cv")).alias("_bs")
+        ).localCheckpoint(eager=True)
+        c = base.select("_cid", "_cv", F.posexplode("_bs").alias("_t", "_b"))
+        q = c.select(
+            F.col("_cid").alias("_qid"), F.col("_cv").alias("_qv"), "_t", "_b"
+        )
+        qv_frame = base.select(
+            F.col("_cid").alias("_qid"), F.col("_cv").alias("_qv")
+        )
+        cv_frame = base.select("_cid", "_cv")
+    else:
+        q = side(queries, qid, qvec, "_qid", "_qv")
     if probe_bits >= 1:
         q = q.select(
             "_qid",
@@ -295,7 +320,8 @@ def lsh_topk(
                 )
             ).alias("_b"),
         )
-    c = side(corpus, cid, cvec, "_cid", "_cv")
+    if not self_join:
+        c = side(corpus, cid, cvec, "_cid", "_cv")
     if broadcast_queries:
         # serving shape: queries broadcast, the corpus is scored in its
         # own map stage and never shuffles before the per-pair rollup
@@ -328,12 +354,13 @@ def lsh_topk(
         if exclude_self:
             cand = cand.filter(F.col("_qid") != F.col("_cid"))
         cand = cand.distinct()
-        qv_frame = queries.select(
-            F.col(qid).alias("_qid"), quantize(F.col(qvec)).alias("_qv")
-        )
-        cv_frame = corpus.select(
-            F.col(cid).alias("_cid"), quantize(F.col(cvec)).alias("_cv")
-        )
+        if qv_frame is None:
+            qv_frame = queries.select(
+                F.col(qid).alias("_qid"), quantize(F.col(qvec)).alias("_qv")
+            )
+            cv_frame = corpus.select(
+                F.col(cid).alias("_cid"), quantize(F.col(cvec)).alias("_cv")
+            )
         scored = (
             cand.join(qv_frame, "_qid")
             .join(cv_frame, "_cid")
@@ -373,7 +400,7 @@ def knn_graph(
     return lsh_topk(
         q, corpus, dim, k=k, n_planes=n_planes, n_tables=n_tables,
         probe_bits=probe_bits, qid="_gq", qvec="_gv", cid=cid, cvec=cvec,
-        broadcast_queries=False, exclude_self=True,
+        broadcast_queries=False, exclude_self=True, self_join=True,
     ).withColumnRenamed("_gq", "qid")
 
 
