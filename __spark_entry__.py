@@ -248,7 +248,7 @@ def q_warp_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst_gt = np.array([x0, (x1 - x0) / 128.0, 0.0, y0, 0.0, (y1 - y0) / 128.0])
 
     # source tiles built on executors from the deterministic pattern
-    grid = spark.range(16).select(
+    grid = spark.range(0, 16, 1, min(16, spark.sparkContext.defaultParallelism)).select(
         (F.col("id") % 4).alias("scx"), (F.col("id") / 4).cast("long").alias("scy")
     )
 
@@ -839,7 +839,9 @@ def q_warp_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((scx, scy, codecs.encode_raw(img)))
             yield pd.DataFrame(rows, columns=["scx", "scy", "tile"])
 
-    src = spark.range(64).mapInPandas(gen, "scx long, scy long, tile binary")
+    src = spark.range(
+        0, 64, 1, min(64, spark.sparkContext.defaultParallelism)
+    ).mapInPandas(gen, "scx long, scy long, tile binary")
     src_gt = np.array([0.0, 1 / 256, 0.0, 1.0, 0.0, -1 / 256])
     dst_gt = np.array([0.0, 1 / 128, 0.0, 1.0, 0.0, -1 / 128])
     out = warp_tiles(src, src_gt, dst_gt, dst_shape=(128, 128), tile_px=32, method="nearest")
@@ -873,7 +875,10 @@ def _pattern_src_tiles(spark, ts: int = 32, ntiles: int = 4, quant: int = 1):
 
     from gdal_drivers_spark.core import codecs
 
-    grid = spark.range(ntiles * ntiles).select(
+    grid = spark.range(
+        0, ntiles * ntiles, 1,
+        min(ntiles * ntiles, spark.sparkContext.defaultParallelism),
+    ).select(
         (F.col("id") % ntiles).alias("scx"),
         (F.col("id") / ntiles).cast("long").alias("scy"),
     )
@@ -1206,7 +1211,10 @@ def q_warp_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_drivers_spark.operators.warp import warp_tiles
 
     ts, ntiles = 32, 4
-    grid = spark.range(ntiles * ntiles).select(
+    grid = spark.range(
+        0, ntiles * ntiles, 1,
+        min(ntiles * ntiles, spark.sparkContext.defaultParallelism),
+    ).select(
         (F.col("id") % ntiles).alias("scx"),
         (F.col("id") / ntiles).cast("long").alias("scy"),
     )
@@ -3718,7 +3726,12 @@ def _grid_pattern_tiles(spark, z, n, ts, img_fn, shape="dem", encode=False):
         "cell long, band int, tile binary, ts int" if shape == "pyramid"
         else "cell long, tile binary"
     )
-    return spark.range(n * n).mapInPandas(gen, schema)
+    # r06: cap partitions at the row count — spark.range(16) otherwise
+    # opens defaultParallelism (32) mapInPandas tasks, half of them
+    # empty, each paying a Python-worker round trip on these
+    # fixture-sized grids
+    n_parts = min(n * n, spark.sparkContext.defaultParallelism)
+    return spark.range(0, n * n, 1, n_parts).mapInPandas(gen, schema)
 
 
 def q_pyramid_mode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -76,8 +76,7 @@ def blend_tiles(
     np_dtype = _DTYPES[out_dtype]
     gx0, gy0, gx1, gy1 = grid.x0, grid.y0, grid.x1, grid.y1
 
-    def _blend(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        cell, band = int(key[0]), int(key[1])
+    def _blend_group(cell: int, band: int, pdf: pd.DataFrame):
         # world extents of this cell (drives pixel-center coordinates)
         z = cell >> 52
         cx = (cell >> 26) & ((1 << 26) - 1)
@@ -125,19 +124,32 @@ def blend_tiles(
             out = np.clip(np.rint(out), info.min, info.max)
         tile = out.astype(np_dtype)
         mask = (valid.astype(np.uint8) * 255)  # OR-combine (blender.cpp:721-722)
-        return pd.DataFrame(
-            {
-                "cell": [cell],
-                "band": [band],
-                "tile": [tile.tobytes()],
-                "mask": [mask.tobytes()],
-                "n_sources": [len(pdf)],
-                "w": [tile_px],
-                "h": [tile_px],
-            }
+        return (
+            cell, band, tile.tobytes(), mask.tobytes(), len(pdf), tile_px, tile_px,
         )
 
-    return contribs.groupBy("cell", "band").applyInPandas(_blend, BLEND_SCHEMA)
+    # r06 (same rationale as pyramid.rollup_tiles_one_level): one hash
+    # repartition on the group key, then ONE mapInPandas with an
+    # in-partition pandas groupby — applyInPandas paid ~1.2 ms of
+    # per-group Arrow/pandas machinery, which at 512 bench cells was
+    # half the operator's wall time. Per-group math is unchanged.
+    def _blend_part(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        rows = [
+            _blend_group(int(cell), int(band), g)
+            for (cell, band), g in pdf.groupby(
+                ["cell", "band"], sort=False, dropna=False
+            )
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=["cell", "band", "tile", "mask", "n_sources", "w", "h"],
+        )
+
+    return contribs.repartition("cell", "band").mapInPandas(_blend_part, BLEND_SCHEMA)
 
 
 def check_compatibility(sources: pd.DataFrame, eps: float = 1e-4) -> None:
