@@ -67,7 +67,15 @@ def decode_stats(images: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fm
             out["dec_ok"][i] = True
         return pd.DataFrame(out)
 
-    return images.withColumn("_d", _decode(F.col(bytes_col), F.col(fmt_col))).select(
+    # asNondeterministic (guide §4.4, r06): downstream filters on the
+    # decoded columns (`.filter("dec_ok")` is the canonical consumer)
+    # otherwise make the optimizer push a copy of the filter below the
+    # projection and evaluate the decode UDF TWICE — the r05 bench plan
+    # showed two ArrowEvalPython nodes, i.e. every image decoded twice.
+    # Values are unaffected; the flag only forbids duplicating or
+    # reordering the (expensive) evaluation.
+    dec = _decode.asNondeterministic()
+    return images.withColumn("_d", dec(F.col(bytes_col), F.col(fmt_col))).select(
         "*", "_d.*"
     ).drop("_d")
 
